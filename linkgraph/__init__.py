@@ -1,0 +1,39 @@
+"""linkgraph — a from-scratch PySpark-native link-graph analytics engine.
+
+Re-expresses the query/data-processing capabilities of the reference
+GraphScope GAE analytical engine (/root/reference/analytical_engine) in
+idiomatic Spark: DataFrames + Catalyst for all data movement, vectorized
+pandas/Arrow UDFs for the few kernels the built-ins can't express, a
+driver-side superstep loop with convergence aggregates standing in for the
+reference's PEval/IncEval message-passing workers
+(/root/reference/analytical_engine/core/worker/default_worker.h:81-121).
+
+Layout
+------
+- :mod:`linkgraph.session`    — SparkSession builder tuned for the engine
+- :mod:`linkgraph.corpus`     — synthetic source-code corpus + edge derivation
+- :mod:`linkgraph.graph`      — LinkGraph (vertices/edges), dense-id vertex map,
+  graph ops (project/to_undirected/subgraph/report), the CREATE_GRAPH analog
+- :mod:`linkgraph.superstep`  — superstep loop, convergence, checkpoint/resume
+- :mod:`linkgraph.checkpoint` — parquet-layout checkpoint store with manifest
+  + per-partition lineage (Iceberg-layout compatible; jar-free fallback)
+- :mod:`linkgraph.skew`       — salted two-phase aggregation + skew metrics
+- :mod:`linkgraph.algorithms` — PageRank, WCC, CDLP/LPA, triangles, BFS, SSSP,
+  HITS, k-core/k-shell, clustering, centralities, assortativity, boundaries, SCC
+- :mod:`linkgraph.pipeline`   — training-data ops: dedup (exact/MinHash-LSH/
+  SimHash/n-gram Jaccard/embedding), ANN similarity search, text analysis,
+  multimodal column plumbing
+"""
+
+from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph
+from linkgraph.corpus import synth_corpus, derive_edges
+
+__all__ = [
+    "LinkGraph",
+    "assign_dense_ids",
+    "build_graph",
+    "synth_corpus",
+    "derive_edges",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,49 @@
+"""Built-in analytical algorithms (SURVEY.md §2.3 inventory).
+
+Each algorithm follows the cited reference semantics and returns a result
+DataFrame ``(vid, value)`` (the Context analog,
+/root/reference/analytical_engine/core/context/vertex_data_context.h).
+Join ``LinkGraph.vertices`` on ``vid`` for oids (ADD_COLUMN analog).
+"""
+
+from linkgraph.algorithms.pagerank import pagerank, pagerank_nx
+from linkgraph.algorithms.wcc import wcc
+from linkgraph.algorithms.cdlp import cdlp
+from linkgraph.algorithms.triangles import triangles, triangle_total
+from linkgraph.algorithms.traversal import bfs, sssp
+from linkgraph.algorithms.degrees import degree_centrality
+from linkgraph.algorithms.hits import hits
+from linkgraph.algorithms.cores import k_core, k_shell
+from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity
+from linkgraph.algorithms.centrality import eigenvector_centrality, katz_centrality
+from linkgraph.algorithms.assortativity import (
+    degree_assortativity_coefficient,
+    average_degree_connectivity,
+)
+from linkgraph.algorithms.boundary import node_boundary, edge_boundary
+from linkgraph.algorithms.scc import scc
+
+__all__ = [
+    "pagerank",
+    "pagerank_nx",
+    "wcc",
+    "cdlp",
+    "triangles",
+    "triangle_total",
+    "bfs",
+    "sssp",
+    "degree_centrality",
+    "hits",
+    "k_core",
+    "k_shell",
+    "clustering",
+    "average_clustering",
+    "transitivity",
+    "eigenvector_centrality",
+    "katz_centrality",
+    "degree_assortativity_coefficient",
+    "average_degree_connectivity",
+    "node_boundary",
+    "edge_boundary",
+    "scc",
+]

@@ -1,0 +1,74 @@
+"""k-core / k-shell by iterative peeling.
+
+Reference: gs::KCore (/root/reference/analytical_engine/apps/kcore/kcore.h:44-56
+— repeatedly remove vertices with degree < k) and gs::KShell
+(/root/reference/analytical_engine/apps/kshell/kshell.h — vertices in the
+k-core but not the (k+1)-core). Degrees are undirected-simple (projection
+removes multi-edges/self-loops).
+
+Returns (vid, value) with value 1 if the vertex survives, else 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _core_members(graph: LinkGraph, k: int, max_rounds: int = 10_000) -> DataFrame:
+    """Vertex set (vid) of the k-core."""
+    if k <= 0:  # every vertex (incl. isolated) has degree ≥ 0
+        return graph.vertices.select("vid")
+    und = graph.simple_undirected_edges().persist()  # (lo, hi)
+    alive = und  # edges among alive vertices
+    for _ in range(max_rounds):
+        deg = (
+            alive.select(F.col("lo").alias("vid"))
+            .union(alive.select(F.col("hi").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("vid").persist()
+        nxt = (
+            alive.join(keep.withColumnRenamed("vid", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("vid", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+        before = alive.count()
+        after = nxt.count()
+        alive = nxt
+        if after == before:
+            survivors = keep
+            break
+        keep.unpersist()
+    else:  # pragma: no cover
+        survivors = keep
+    und.unpersist()
+    return survivors
+
+
+def k_core(graph: LinkGraph, k: int) -> DataFrame:
+    members = _core_members(graph, k)
+    return (
+        graph.vertices.select("vid")
+        .join(members.withColumn("value", F.lit(1)), "vid", "left")
+        .select("vid", F.coalesce("value", F.lit(0)).alias("value"))
+    )
+
+
+def k_shell(graph: LinkGraph, k: int) -> DataFrame:
+    """Vertices in the k-core but not the (k+1)-core."""
+    in_k = _core_members(graph, k).withColumn("a", F.lit(1))
+    in_k1 = _core_members(graph, k + 1).withColumn("b", F.lit(1))
+    return (
+        graph.vertices.select("vid")
+        .join(in_k, "vid", "left")
+        .join(in_k1, "vid", "left")
+        .select(
+            "vid",
+            F.when(F.col("a").isNotNull() & F.col("b").isNull(), 1).otherwise(0).alias("value"),
+        )
+    )

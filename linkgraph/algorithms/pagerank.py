@@ -1,0 +1,122 @@
+"""PageRank — NetworkX semantics and LDBC fixed-round semantics.
+
+Reference: /root/reference/analytical_engine/apps/pagerank/pagerank_networkx.h
+(init :65-74, round :90-156, dangling :83-85,117-126,152-153, convergence
+:128-141) and the fixed-round LDBC twin
+/root/reference/analytical_engine/benchmarks/apps/pagerank/pagerank.h:123-176.
+
+Per round (α = damping, N = |V|):
+
+    dangling = α · Σ_{deg(u)=0} rank(u)                 (previous round)
+    msg(v)   = Σ_{(u,v)∈E, deg(u)>0} rank(u)/deg(u)
+    rank'(v) = α·msg(v) + (1-α)/N + dangling/N
+
+Stopping: NetworkX mode — L1 ``Σ|Δ| < tol·N``; LDBC mode — exactly
+``max_iter`` rounds.
+
+Spark shape per superstep: one big join (ranks ⋈ edges on src) + one
+``groupBy(dst).sum`` shuffle (map-side partial aggregation handles hub
+skew for the algebraic sum) + one scalar aggregate that fuses the L1
+convergence test with the next round's dangling mass — a single action
+per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.superstep import run_supersteps
+
+
+def _pagerank_impl(
+    graph: LinkGraph,
+    alpha: float,
+    max_iter: int,
+    tol: float | None,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst").persist()
+    n = graph.vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, value double")
+
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    state0 = (
+        graph.vertices.select("vid")
+        .join(out_deg.withColumnRenamed("src", "vid"), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+    )
+
+    # mutable cross-round scalar: α · Σ rank over dangling vertices
+    dangling = {"mass": None}
+
+    def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        if dangling["mass"] is None:  # PEval: first round computes it fresh
+            dangling["mass"] = (
+                state.where(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+            ) * alpha
+        base = (1.0 - alpha) / n + dangling["mass"] / n
+        msgs = (
+            state.where(F.col("deg") > 0)
+            .join(edges, state["vid"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
+        )
+        new_state = (
+            state.join(msgs, state["vid"] == msgs["dst"], "left")
+            .select(
+                state["vid"],
+                state["deg"],
+                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(base)).alias("rank"),
+                state["rank"].alias("prev_rank"),
+            )
+            .persist()
+        )
+        row = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dg"),
+        ).first()
+        dangling["mass"] = (row["dg"] or 0.0) * alpha
+        return new_state, {"l1": row["l1"] or 0.0}
+
+    if tol is None:
+        conv = lambda stats: False  # noqa: E731 — LDBC: fixed rounds
+    else:
+        conv = lambda stats: stats["l1"] < tol * n  # noqa: E731
+
+    result = run_supersteps(
+        state0, step, conv, max_rounds=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    out = result.state.select("vid", F.col("rank").alias("value"))
+    edges.unpersist()
+    return out
+
+
+def pagerank_nx(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-06,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """NetworkX-semantics PageRank (gs::PageRankNetworkX,
+    /root/reference/python/graphscope/analytical/app/pagerank.py:61-89)."""
+    return _pagerank_impl(graph, alpha, max_iter, tol, checkpoint_dir)
+
+
+def pagerank(
+    graph: LinkGraph,
+    delta: float = 0.85,
+    max_round: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-round LDBC-style PageRank (grape::PageRankAuto,
+    /root/reference/python/graphscope/analytical/app/pagerank.py:29-56)."""
+    return _pagerank_impl(graph, delta, max_round, None, checkpoint_dir)

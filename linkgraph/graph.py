@@ -1,0 +1,246 @@
+"""LinkGraph: the engine's graph abstraction (CREATE_GRAPH analog).
+
+The reference builds per-worker fragments with a distributed oid↔gid
+vertex map and hash edge-cut partitioning
+(/root/reference/analytical_engine/core/loader/arrow_fragment_loader.h:68,
+/root/reference/analytical_engine/core/vertex_map/global_vertex_map.h:34-78).
+Here:
+
+- the **vertex map** is a DataFrame ``(vid:long, oid:string)`` where
+  ``vid`` = rank of oid in global sorted order — computed *without* a
+  single-partition global window: range-partition + in-partition sort +
+  per-partition offset broadcast (a tiny P-row driver collect), so it
+  scales to arbitrarily many vertices;
+- **edges** are ``(src:long, dst:long[, weight:double])``, explicitly
+  hash-repartitioned on ``dst`` (messages aggregate at their destination,
+  mirroring the reference's edge-cut with mirror sync,
+  /root/reference/analytical_engine/apps/projected/wcc_projected.h:105-111);
+- graph ops (PROJECT / TO_UNDIRECTED / VIEW / INDUCE_SUBGRAPH /
+  REPORT_GRAPH, /root/reference/proto/graphscope/proto/types.proto:79-134)
+  become cheap DataFrame transformations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(oids: DataFrame, col: str = "oid", partitions: int | None = None) -> DataFrame:
+    """Map distinct ``oids[col]`` → dense ``vid`` = rank in sorted order.
+
+    Scalable replacement for the reference's GlobalVertexMap
+    (global_vertex_map.h:78 ``gid = Lid2Gid(fid, lid)``): instead of a
+    global ``row_number()`` window (single-partition bottleneck), we
+    range-partition the distinct keys, sort within partitions, and add
+    per-partition cumulative offsets. Only ``P`` rows ever reach the
+    driver. Deterministic for a fixed input set regardless of input
+    partitioning (persisted so both passes see one materialization).
+    """
+    spark = oids.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    ids = (
+        oids.select(F.col(col).cast("string").alias("oid"))
+        .where(F.col("oid").isNotNull())
+        .distinct()
+        .repartitionByRange(p, "oid")
+        .sortWithinPartitions("oid")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["pid"]: r["cnt"] for r in ids.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):  # range partitioner ⇒ pid order == key order
+        offsets[pid] = acc
+        acc += counts[pid]
+    import numpy as np
+
+    def _number(batches):
+        # One call per (sorted) partition; batches arrive in row order, all
+        # rows share one pid → vectorized arange, no per-row Python.
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["pid"].iloc[0])]
+            pdf = pdf.assign(vid=np.arange(pos, pos + len(pdf), dtype="int64"))
+            pos += len(pdf)
+            yield pdf[["vid", "oid"]]
+
+    out = ids.mapInPandas(_number, schema="vid long, oid string")
+    out = out.persist()
+    out.count()  # materialize while `ids` is still pinned
+    ids.unpersist()
+    return out
+
+
+@dataclass
+class LinkGraph:
+    """An immutable directed (or undirected-view) link graph."""
+
+    vertices: DataFrame  # (vid long, oid string)
+    edges: DataFrame  # (src long, dst long[, weight double])
+    directed: bool = True
+    _cached: list = field(default_factory=list, repr=False)
+
+    # -- construction -------------------------------------------------
+    def partitioned(self, num_partitions: int | None = None) -> "LinkGraph":
+        """Hash-repartition edges by dst and pin them in memory.
+
+        Analog of the reference's per-fragment CSR build during load
+        (arrow_fragment_loader.h:398-436): one shuffle up front, every
+        superstep after that reuses the co-located edge blocks.
+        """
+        p = num_partitions or self.edges.sparkSession.sparkContext.defaultParallelism
+        e = self.edges.repartition(p, "dst").sortWithinPartitions("dst").persist()
+        e.count()
+        g = replace(self, edges=e)
+        g._cached = self._cached + [e]
+        return g
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
+
+    # -- views (VIEW_GRAPH / TO_DIRECTED / TO_UNDIRECTED,
+    #    grape_instance.cc:791-806,939) ------------------------------
+    def reversed_view(self) -> "LinkGraph":
+        e = self.edges
+        cols = [F.col("dst").alias("src"), F.col("src").alias("dst")] + [
+            F.col(c) for c in e.columns if c not in ("src", "dst")
+        ]
+        return replace(self, edges=e.select(*cols))
+
+    def to_undirected(self) -> "LinkGraph":
+        """Undirected closure: each edge in both directions, deduped.
+
+        Mirrors load strategy kBothOutIn
+        (arrow_projected_fragment.h:369-370).
+        """
+        e = self.edges.select("src", "dst")
+        und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).where(
+            F.col("src") != F.col("dst")
+        ).distinct()
+        return replace(self, edges=und, directed=False)
+
+    def simple_undirected_edges(self) -> DataFrame:
+        """Each undirected edge exactly once as (lo, hi), no self-loops."""
+        e = self.edges
+        return (
+            e.select(
+                F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+            )
+            .where(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    # -- subgraph (INDUCE_SUBGRAPH, grape_instance.cc:821) ------------
+    def induce_subgraph(self, vertex_set: DataFrame) -> "LinkGraph":
+        vs = vertex_set.select(F.col(vertex_set.columns[0]).alias("vid")).distinct()
+        v = self.vertices.join(vs, "vid", "left_semi")
+        e = (
+            self.edges.join(vs.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(vs.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .select(self.edges.columns)
+        )
+        return replace(self, vertices=v, edges=e)
+
+    # -- REPORT_GRAPH scalar queries (types.proto:251-264) ------------
+    def node_num(self) -> int:
+        return self.vertices.count()
+
+    def edge_num(self) -> int:
+        return self.edges.count()
+
+    def has_node(self, vid: int) -> bool:
+        return self.vertices.where(F.col("vid") == vid).limit(1).count() > 0
+
+    def has_edge(self, src: int, dst: int) -> bool:
+        return (
+            self.edges.where((F.col("src") == src) & (F.col("dst") == dst)).limit(1).count() > 0
+        )
+
+    # -- degrees -------------------------------------------------------
+    def degrees(self, mode: str = "both") -> DataFrame:
+        """(vid, degree). mode ∈ {in, out, both}; zero-degree rows kept."""
+        parts = []
+        if mode in ("out", "both"):
+            parts.append(self.edges.select(F.col("src").alias("vid")))
+        if mode in ("in", "both"):
+            parts.append(self.edges.select(F.col("dst").alias("vid")))
+        touched = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+        deg = touched.groupBy("vid").agg(F.count("*").alias("degree"))
+        return (
+            self.vertices.select("vid")
+            .join(deg, "vid", "left")
+            .select("vid", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+
+    def skew_metrics(self) -> dict:
+        """Partition-lineage + skew metrics for the metrics table.
+
+        The north rule requires explicit skew handling with metrics:
+        max/avg in-degree, heavy-hitter count, per-partition edge counts.
+        """
+        indeg = self.edges.groupBy("dst").agg(F.count("*").alias("d"))
+        row = indeg.agg(
+            F.max("d").alias("max_in"),
+            F.avg("d").alias("avg_in"),
+            F.count("*").alias("n_dst"),
+        ).first()
+        parts = (
+            self.edges.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        return {
+            "max_in_degree": row["max_in"],
+            "avg_in_degree": row["avg_in"],
+            "distinct_dst": row["n_dst"],
+            "partition_edge_counts": {r["pid"]: r["rows"] for r in parts},
+        }
+
+
+def build_graph(
+    edge_oids: DataFrame,
+    src_col: str = "src_oid",
+    dst_col: str = "dst_oid",
+    weight_col: str | None = None,
+    partitions: int | None = None,
+) -> LinkGraph:
+    """CREATE_GRAPH: oid-pair edge list → LinkGraph with dense vids.
+
+    Join-based oid→vid resolution replaces the reference's distributed
+    vertex map lookup (arrow_projected_vertex_map.h:110-127). The vertex
+    map is usually ≪ edges; Catalyst/AQE picks broadcast when it fits.
+    """
+    oids = edge_oids.select(F.col(src_col).alias("oid")).union(
+        edge_oids.select(F.col(dst_col).alias("oid"))
+    )
+    vmap = assign_dense_ids(oids, partitions=partitions)
+    cols = [F.col(src_col), F.col(dst_col)] + ([F.col(weight_col)] if weight_col else [])
+    e = edge_oids.select(*cols)
+    e = (
+        e.join(vmap.select(F.col("oid").alias(src_col), F.col("vid").alias("src")), src_col)
+        .join(vmap.select(F.col("oid").alias(dst_col), F.col("vid").alias("dst")), dst_col)
+        .select("src", "dst", *([F.col(weight_col).alias("weight")] if weight_col else []))
+    )
+    return LinkGraph(vertices=vmap, edges=e)
+
+
+def graph_from_edge_vids(spark: SparkSession, pairs: list[tuple[int, int]], directed: bool = True) -> LinkGraph:
+    """Tiny fixture helper: build a LinkGraph from literal (src, dst) vids."""
+    e = spark.createDataFrame(pairs or [(0, 0)], "src long, dst long")
+    if not pairs:
+        e = e.limit(0)
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    return LinkGraph(vertices=v, edges=e.select("src", "dst"), directed=directed)

@@ -1,0 +1,52 @@
+"""Training-data pipeline operators (beyond-reference, first-class).
+
+Large-scale corpus preparation ops the engine needs at 100 TB alongside
+the graph algorithms: deduplication (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding cosine), approximate similarity search, text
+analysis (language id, quality, tokens, fingerprints), and multimodal
+column plumbing. Everything is DataFrame-first; pandas UDFs appear only
+where Catalyst has no vectorized equivalent (SimHash bit packing,
+multimodal decode).
+"""
+
+from linkgraph.pipeline.text import (
+    token_counts,
+    quality_scores,
+    language_id,
+    fingerprints,
+)
+from linkgraph.pipeline.dedup import (
+    exact_duplicates,
+    exact_dedup,
+    word_shingles,
+    minhash_signatures,
+    minhash_lsh_duplicates,
+    simhash_signatures,
+    simhash_duplicates,
+    ngram_jaccard_pairs,
+)
+from linkgraph.pipeline.similarity import (
+    with_cosine,
+    cosine_topk,
+    lsh_ann_topk,
+    embedding_near_duplicates,
+)
+
+__all__ = [
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+    "exact_duplicates",
+    "exact_dedup",
+    "word_shingles",
+    "minhash_signatures",
+    "minhash_lsh_duplicates",
+    "simhash_signatures",
+    "simhash_duplicates",
+    "ngram_jaccard_pairs",
+    "with_cosine",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "embedding_near_duplicates",
+]

@@ -1,0 +1,606 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a ``queries()``
+entry (a (spark, sf_dir) → DataFrame callable) and a matching
+``oracle_sql()`` ANSI-SQL string executed by DuckDB over the same parquet
+tables. Column names/types are aligned on both sides (driver hashes
+values after sorting columns by name). Iterative algorithms that SQL
+cannot express (k-core peeling, converged PageRank on the corpus graph)
+ship as rows-only entries.
+
+The **oracle graph** is derived from the ``orders`` table with pure
+arithmetic both engines compute identically::
+
+    edges: src = o_custkey % 400, dst = o_orderkey % 400  (distinct, no loops)
+    vertices: all endpoints
+    weights (sssp): (src + dst) % 7 + 1
+
+Floating-point outputs are rounded to 6 decimals on both sides; summation
+order between engines can differ in the last ulp, far below 1e-6.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.corpus import synth_corpus, derive_edges
+from linkgraph import build_graph
+
+V_MOD = 400
+PR_ROUNDS = 3
+CDLP_ROUNDS = 2
+ALPHA = 0.85
+
+# ---------------------------------------------------------------- helpers
+
+
+def _oracle_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = (
+        orders.select(
+            F.pmod(F.col("o_custkey"), F.lit(V_MOD)).alias("src"),
+            F.pmod(F.col("o_orderkey"), F.lit(V_MOD)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    return LinkGraph(vertices=v, edges=e)
+
+
+_EDGES_SQL = f"""
+  SELECT DISTINCT o_custkey % {V_MOD} AS src, o_orderkey % {V_MOD} AS dst
+  FROM orders WHERE o_custkey % {V_MOD} <> o_orderkey % {V_MOD}
+"""
+
+_VERTS_SQL = "SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e"
+
+_UND_SQL = """
+  und AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+  simple_und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM e)
+"""
+
+
+def _with_graph(body: str) -> str:
+    return f"WITH e AS ({_EDGES_SQL}), v AS ({_VERTS_SQL}), {_UND_SQL}, {body}"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus_graph(spark: SparkSession) -> LinkGraph:
+    corpus = synth_corpus(spark, 2000, seed=42)
+    return build_graph(derive_edges(corpus))
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_edges(spark, sf_dir):
+    return _oracle_graph(spark, sf_dir).edges
+
+
+def q_graph_summary(spark, sf_dir):
+    g = _oracle_graph(spark, sf_dir)
+    return (
+        g.edges.agg(F.count("*").alias("n_edges"))
+        .crossJoin(g.vertices.agg(F.count("*").alias("n_vertices")))
+        .select("n_vertices", "n_edges")
+    )
+
+
+def q_out_degree(spark, sf_dir):
+    return _oracle_graph(spark, sf_dir).degrees("out").select(
+        "vid", F.col("degree").cast("long").alias("degree")
+    )
+
+
+def q_in_degree(spark, sf_dir):
+    return _oracle_graph(spark, sf_dir).degrees("in").select(
+        "vid", F.col("degree").cast("long").alias("degree")
+    )
+
+
+def q_degree_centrality(spark, sf_dir):
+    from linkgraph.algorithms import degree_centrality
+
+    g = _oracle_graph(spark, sf_dir)
+    return degree_centrality(g, "both").select("vid", F.round("value", 6).alias("value"))
+
+
+def q_triangles(spark, sf_dir):
+    from linkgraph.algorithms import triangles
+
+    return triangles(_oracle_graph(spark, sf_dir)).select(
+        "vid", F.col("value").cast("long").alias("value")
+    )
+
+
+def q_triangle_total(spark, sf_dir):
+    from linkgraph.algorithms import triangles
+
+    return triangles(_oracle_graph(spark, sf_dir)).agg(
+        (F.sum("value") / 3).cast("long").alias("total_triangles")
+    )
+
+
+def q_wcc(spark, sf_dir):
+    from linkgraph.algorithms import wcc
+
+    return wcc(_oracle_graph(spark, sf_dir)).select(
+        "vid", F.col("value").cast("long").alias("comp")
+    )
+
+
+def q_scc(spark, sf_dir):
+    from linkgraph.algorithms import scc
+
+    return scc(_oracle_graph(spark, sf_dir)).select(
+        "vid", F.col("value").cast("long").alias("comp")
+    )
+
+
+def q_cdlp(spark, sf_dir):
+    from linkgraph.algorithms import cdlp
+
+    return cdlp(_oracle_graph(spark, sf_dir), max_round=CDLP_ROUNDS).select(
+        "vid", F.col("value").cast("long").alias("label")
+    )
+
+
+def q_pagerank_rounds(spark, sf_dir):
+    from linkgraph.algorithms import pagerank
+
+    return pagerank(_oracle_graph(spark, sf_dir), delta=ALPHA, max_round=PR_ROUNDS).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_bfs(spark, sf_dir):
+    from linkgraph.algorithms import bfs
+
+    g = _oracle_graph(spark, sf_dir)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return (
+        bfs(g, src=src)
+        .where(F.col("value") >= 0)
+        .select("vid", F.col("value").cast("long").alias("depth"))
+    )
+
+
+def q_sssp(spark, sf_dir):
+    from linkgraph.algorithms import sssp
+
+    g = _oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src", "dst", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("weight")
+    )
+    g2 = LinkGraph(vertices=g.vertices, edges=e)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return (
+        sssp(g2, src=src)
+        .where(F.col("value") >= 0)
+        .select("vid", F.col("value").cast("long").alias("dist"))
+    )
+
+
+def q_degree_assortativity(spark, sf_dir):
+    from linkgraph.algorithms import degree_assortativity_coefficient
+
+    g = _oracle_graph(spark, sf_dir)
+    r = degree_assortativity_coefficient(g, "out", "in")
+    return spark.createDataFrame([(round(r, 6),)], "assortativity double")
+
+
+def q_avg_degree_connectivity(spark, sf_dir):
+    from linkgraph.algorithms import average_degree_connectivity
+
+    return average_degree_connectivity(_oracle_graph(spark, sf_dir)).select(
+        F.col("degree").cast("long").alias("degree"),
+        F.round("avg_nbr_degree", 6).alias("avg_nbr_degree"),
+    )
+
+
+def q_node_boundary(spark, sf_dir):
+    from linkgraph.algorithms import node_boundary
+
+    g = _oracle_graph(spark, sf_dir)
+    s = g.vertices.where(F.col("vid") < 50).select("vid")
+    return node_boundary(g, s).select(F.col("vid").cast("long").alias("vid"))
+
+
+def q_edge_boundary(spark, sf_dir):
+    from linkgraph.algorithms import edge_boundary
+
+    g = _oracle_graph(spark, sf_dir)
+    s = g.vertices.where(F.col("vid") < 50).select("vid")
+    return edge_boundary(g, s).select("src", "dst")
+
+
+def q_kcore(spark, sf_dir):  # rows-only (iterative peeling is not SQL)
+    from linkgraph.algorithms import k_core
+
+    return k_core(_oracle_graph(spark, sf_dir), k=20).select(
+        "vid", F.col("value").cast("long").alias("in_core")
+    )
+
+
+def q_corpus_pagerank(spark, sf_dir):  # rows-only: corpus is engine-synthesized
+    from linkgraph.algorithms import pagerank_nx
+
+    g = _corpus_graph(spark)
+    return (
+        pagerank_nx(g, alpha=ALPHA, max_iter=100, tol=1e-6)
+        .join(g.vertices, "vid")
+        .select("oid", F.round("value", 6).alias("value"))
+    )
+
+
+def q_corpus_wcc(spark, sf_dir):  # rows-only
+    from linkgraph.algorithms import wcc
+
+    g = _corpus_graph(spark)
+    return wcc(g).join(g.vertices, "vid").select("oid", F.col("value").alias("comp"))
+
+
+# ---- documents / embeddings ----
+
+
+def q_doc_tokens(spark, sf_dir):
+    from linkgraph.pipeline import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark, sf_dir):
+    from linkgraph.pipeline import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+def q_doc_langid(spark, sf_dir):
+    from linkgraph.pipeline import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from linkgraph.pipeline import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).select("doc_id", "norm_md5")
+
+
+def q_doc_exact_dedup_count(spark, sf_dir):
+    from linkgraph.pipeline import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).agg(F.count("*").alias("n_unique"))
+
+
+def q_doc_minhash_dups(spark, sf_dir):  # rows-only: xxhash64 not in DuckDB
+    from linkgraph.pipeline import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(_docs(spark, sf_dir), threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_doc_simhash_dups(spark, sf_dir):  # rows-only
+    from linkgraph.pipeline import simhash_duplicates
+
+    return simhash_duplicates(_docs(spark, sf_dir), max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_emb_knn(spark, sf_dir):
+    from linkgraph.pipeline import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(embs, queries, k=10).select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    from linkgraph.pipeline import embedding_near_duplicates
+
+    return embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.5, exact=True).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "g_edges": q_edges,
+    "g_summary": q_graph_summary,
+    "g_out_degree": q_out_degree,
+    "g_in_degree": q_in_degree,
+    "g_degree_centrality": q_degree_centrality,
+    "g_triangles": q_triangles,
+    "g_triangle_total": q_triangle_total,
+    "g_wcc": q_wcc,
+    "g_scc": q_scc,
+    "g_cdlp_r2": q_cdlp,
+    "g_pagerank_r3": q_pagerank_rounds,
+    "g_bfs": q_bfs,
+    "g_sssp": q_sssp,
+    "g_degree_assortativity": q_degree_assortativity,
+    "g_avg_degree_connectivity": q_avg_degree_connectivity,
+    "g_node_boundary": q_node_boundary,
+    "g_edge_boundary": q_edge_boundary,
+    "g_kcore_20": q_kcore,
+    "corpus_pagerank": q_corpus_pagerank,
+    "corpus_wcc": q_corpus_wcc,
+    "doc_tokens": q_doc_tokens,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_exact_dedup_count": q_doc_exact_dedup_count,
+    "doc_minhash_dups": q_doc_minhash_dups,
+    "doc_simhash_dups": q_doc_simhash_dups,
+    "emb_knn": q_emb_knn,
+    "emb_neardup": q_emb_neardup,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _pagerank_sql(rounds: int) -> str:
+    """Unrolled fixed-round PageRank with dangling redistribution."""
+    pre = f"""
+  deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid),
+  r0 AS (SELECT vid, d, 1.0 / (SELECT n FROM nv) AS rank FROM vd)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  dang{i} AS (SELECT {ALPHA} * coalesce(sum(rank), 0) AS m FROM r{p} WHERE d = 0),
+  msg{i} AS (SELECT e.dst AS vid, sum(r.rank / r.d) AS s
+             FROM e JOIN r{p} r ON e.src = r.vid WHERE r.d > 0 GROUP BY e.dst),
+  r{i} AS (SELECT vd.vid, vd.d,
+                  {ALPHA} * coalesce(m.s, 0)
+                  + (1 - {ALPHA}) / (SELECT n FROM nv)
+                  + (SELECT m FROM dang{i}) / (SELECT n FROM nv) AS rank
+           FROM vd LEFT JOIN msg{i} m ON vd.vid = m.vid)"""
+        )
+    return _with_graph(
+        pre + "," + ",".join(steps) + f"\n  SELECT vid, round(rank, 6) AS value FROM r{rounds}"
+    )
+
+
+def _cdlp_sql(rounds: int) -> str:
+    pre = """
+  bidir AS (SELECT src, dst FROM e WHERE src <> dst
+            UNION ALL SELECT dst AS src, src AS dst FROM e WHERE src <> dst),
+  l0 AS (SELECT vid, vid AS label FROM v)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  cnt{i} AS (SELECT b.dst AS vid, l.label, count(*) AS c
+             FROM bidir b JOIN l{p} l ON b.src = l.vid GROUP BY b.dst, l.label),
+  best{i} AS (SELECT vid, label FROM (
+                SELECT vid, label,
+                       row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+                FROM cnt{i}) WHERE rn = 1),
+  l{i} AS (SELECT l{p}.vid, coalesce(b.label, l{p}.label) AS label
+           FROM l{p} LEFT JOIN best{i} b ON l{p}.vid = b.vid)"""
+        )
+    return _with_graph(
+        pre + "," + ",".join(steps) + f"\n  SELECT vid, label FROM l{rounds}"
+    )
+
+
+_LANG_MARKER_SQL = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "los", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "des", "est"),
+}
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, markers in _LANG_MARKER_SQL.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(words, w -> list_contains([{lst}], w))) AS s_{lang}"
+        )
+    order = list(_LANG_MARKER_SQL)
+    cases = []
+    for i, lang in enumerate(order):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(order):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+  WITH w AS (
+    SELECT doc_id,
+           list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                          x -> lower(x)) AS words
+    FROM documents
+  ), s AS (SELECT doc_id, {', '.join(score_exprs)} FROM w)
+  SELECT doc_id, CASE {' '.join(cases)} ELSE 'unknown' END AS lang_pred FROM s
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "g_edges": f"WITH e AS ({_EDGES_SQL}) SELECT src, dst FROM e",
+    "g_summary": _with_graph(
+        "x AS (SELECT 1) SELECT (SELECT count(*) FROM v) AS n_vertices, (SELECT count(*) FROM e) AS n_edges"
+    ),
+    "g_out_degree": _with_graph(
+        """od AS (SELECT src AS vid, count(*) AS degree FROM e GROUP BY src)
+  SELECT v.vid, coalesce(od.degree, 0) AS degree FROM v LEFT JOIN od ON v.vid = od.vid"""
+    ),
+    "g_in_degree": _with_graph(
+        """idg AS (SELECT dst AS vid, count(*) AS degree FROM e GROUP BY dst)
+  SELECT v.vid, coalesce(idg.degree, 0) AS degree FROM v LEFT JOIN idg ON v.vid = idg.vid"""
+    ),
+    "g_degree_centrality": _with_graph(
+        """alldeg AS (
+    SELECT vid, count(*) AS d FROM (
+      SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e) GROUP BY vid),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT v.vid, round(coalesce(alldeg.d, 0) * 1.0 / ((SELECT n FROM nv) - 1), 6) AS value
+  FROM v LEFT JOIN alldeg ON v.vid = alldeg.vid"""
+    ),
+    "g_triangles": _with_graph(
+        """tri AS (
+    SELECT a.lo AS v1, a.hi AS v2, b.hi AS v3
+    FROM simple_und a
+    JOIN simple_und b ON a.hi = b.lo
+    JOIN simple_und c ON c.lo = a.lo AND c.hi = b.hi),
+  corners AS (SELECT v1 AS vid FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri),
+  cnt AS (SELECT vid, count(*) AS value FROM corners GROUP BY vid)
+  SELECT v.vid, coalesce(cnt.value, 0) AS value FROM v LEFT JOIN cnt ON v.vid = cnt.vid"""
+    ),
+    "g_triangle_total": _with_graph(
+        """tri AS (
+    SELECT a.lo AS v1 FROM simple_und a
+    JOIN simple_und b ON a.hi = b.lo
+    JOIN simple_und c ON c.lo = a.lo AND c.hi = b.hi)
+  SELECT count(*) AS total_triangles FROM tri"""
+    ),
+    "g_wcc": _with_graph(
+        """reach AS (
+    WITH RECURSIVE r(vid, t) AS (
+      SELECT vid, vid FROM v
+      UNION
+      SELECT r.vid, und.dst FROM r JOIN und ON r.t = und.src)
+    SELECT * FROM r)
+  SELECT vid, min(t) AS comp FROM reach GROUP BY vid"""
+    ),
+    "g_scc": _with_graph(
+        """reach AS (
+    WITH RECURSIVE r(vid, t) AS (
+      SELECT vid, vid FROM v
+      UNION
+      SELECT r.vid, e.dst FROM r JOIN e ON r.t = e.src)
+    SELECT * FROM r),
+  mutual AS (
+    SELECT r1.vid, r1.t FROM reach r1 JOIN reach r2 ON r1.vid = r2.t AND r1.t = r2.vid)
+  SELECT vid, max(t) AS comp FROM mutual GROUP BY vid"""
+    ),
+    "g_cdlp_r2": _cdlp_sql(CDLP_ROUNDS),
+    "g_pagerank_r3": _pagerank_sql(PR_ROUNDS),
+    "g_bfs": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(vid, d) AS (
+      SELECT (SELECT min(vid) FROM v), 0
+      UNION
+      SELECT e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 50)
+    SELECT * FROM w)
+  SELECT vid, min(d) AS depth FROM walk GROUP BY vid"""
+    ),
+    "g_sssp": _with_graph(
+        """we AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e),
+  walk AS (
+    WITH RECURSIVE x(vid, c) AS (
+      SELECT (SELECT min(vid) FROM v), 0
+      UNION
+      SELECT we.dst, x.c + we.w FROM x JOIN we ON x.vid = we.src WHERE x.c < 60)
+    SELECT * FROM x)
+  SELECT vid, min(c) AS dist FROM walk GROUP BY vid"""
+    ),
+    "g_degree_assortativity": _with_graph(
+        """od AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
+  idg AS (SELECT dst AS vid, count(*) AS d FROM e GROUP BY dst)
+  SELECT round(corr(coalesce(od.d, 0), coalesce(idg.d, 0)), 6) AS assortativity
+  FROM e LEFT JOIN od ON e.src = od.vid LEFT JOIN idg ON e.dst = idg.vid"""
+    ),
+    "g_avg_degree_connectivity": _with_graph(
+        """bid AS (SELECT lo AS a, hi AS b FROM simple_und UNION ALL SELECT hi AS a, lo AS b FROM simple_und),
+  dg AS (SELECT a, count(*) AS deg FROM bid GROUP BY a)
+  SELECT d1.deg AS degree, round(avg(d2.deg), 6) AS avg_nbr_degree
+  FROM bid JOIN dg d1 ON bid.a = d1.a JOIN dg d2 ON bid.b = d2.a
+  GROUP BY d1.deg"""
+    ),
+    "g_node_boundary": _with_graph(
+        """s AS (SELECT vid FROM v WHERE vid < 50)
+  SELECT DISTINCT e.dst AS vid FROM e
+  WHERE e.src IN (SELECT vid FROM s) AND e.dst NOT IN (SELECT vid FROM s)"""
+    ),
+    "g_edge_boundary": _with_graph(
+        """s AS (SELECT vid FROM v WHERE vid < 50)
+  SELECT e.src, e.dst FROM e
+  WHERE e.src IN (SELECT vid FROM s) AND e.dst NOT IN (SELECT vid FROM s)"""
+    ),
+    # -- documents --
+    "doc_tokens": """
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+  FROM documents""",
+    "doc_quality": """
+  WITH q AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_words,
+           length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+           len(list_filter(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)),
+               w -> list_contains(['the','a','an','of','to','and','in','is','it','that'], w))) AS n_stop
+    FROM documents)
+  SELECT doc_id, n_chars, n_words,
+         round(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END, 6) AS punct_ratio,
+         round(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0 END, 6) AS stopword_ratio
+  FROM q""",
+    "doc_langid": _langid_sql(),
+    "doc_fingerprint": """
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_md5
+  FROM documents""",
+    "doc_exact_dedup_count": """
+  SELECT count(*) AS n_unique FROM (
+    SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+    # -- embeddings --
+    "emb_knn": """
+  WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+  scored AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+  ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored)
+  SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 10""",
+    "emb_neardup": """
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5""",
+}

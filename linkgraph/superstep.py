@@ -1,0 +1,98 @@
+"""Driver-side superstep loop — the engine's execution model.
+
+Replaces the reference's worker loop
+(/root/reference/analytical_engine/core/worker/default_worker.h:81-121):
+``PEval``; then ``while (!messages.ToTerminate()) IncEval(...)``. Here a
+superstep is one Spark job over a *state DataFrame*; "messages" are the
+shuffle inside the step function; termination is a scalar aggregate
+(convergence stats) returned by the step, mirroring the reference's
+message-manager terminate vote + Sum communicator
+(/root/reference/analytical_engine/apps/pagerank/pagerank_networkx.h:85,128-141).
+
+Iteration-specific machinery Catalyst does not provide (SURVEY.md §4.2):
+
+- **lineage cutting** — every round the new state is cached and the old
+  unpersisted; every ``local_checkpoint_every`` rounds an *eager*
+  ``localCheckpoint`` truncates the logical plan (else round k's plan
+  embeds k self-joins and planning time explodes);
+- **durable checkpoint/resume** — every ``checkpoint_every`` rounds the
+  state snapshots through :class:`linkgraph.checkpoint.CheckpointStore`
+  with per-partition lineage + metrics; ``run`` resumes from the latest
+  committed round if the store already has one;
+- **per-round metrics** — each round's stats row (plus wall time) is kept
+  for BENCH reporting.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from linkgraph.checkpoint import CheckpointStore
+
+# A step takes (state, round) and returns (new_state, stats) where stats is
+# a dict of scalars the loop hands to `converged`.
+StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
+
+
+@dataclass
+class SuperstepResult:
+    state: DataFrame
+    rounds: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+
+def run_supersteps(
+    init_state: DataFrame,
+    step: StepFn,
+    converged: Callable[[dict], bool],
+    max_rounds: int,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    local_checkpoint_every: int = 5,
+    resume: bool = True,
+) -> SuperstepResult:
+    spark = init_state.sparkSession
+    start_round = 0
+    state = init_state
+
+    store = CheckpointStore(checkpoint_dir) if checkpoint_dir else None
+    if store and resume:
+        loaded = store.load_latest(spark)
+        if loaded is not None:
+            state, start_round = loaded[0], loaded[1]
+
+    state = state.persist()
+    state.count()
+
+    history: list[dict] = []
+    done = False
+    rnd = start_round
+    for rnd in range(start_round + 1, max_rounds + 1):
+        t0 = time.time()
+        returned, stats = step(state, rnd)
+        if rnd % local_checkpoint_every == 0:
+            new_state = returned.localCheckpoint(eager=True)  # cut lineage
+            returned.unpersist()
+        else:
+            new_state = returned.persist()
+            new_state.count()
+        stats = dict(stats or {})
+        stats["round"] = rnd
+        stats["wall_sec"] = time.time() - t0
+        history.append(stats)
+        state.unpersist()
+        state = new_state
+        if store and rnd % checkpoint_every == 0:
+            store.save(state, rnd, metrics=stats)
+        if converged(stats):
+            done = True
+            break
+
+    if store and not (history and history[-1]["round"] % checkpoint_every == 0):
+        store.save(state, rnd, metrics=history[-1] if history else {})
+    return SuperstepResult(state=state, rounds=rnd, converged=done, history=history)

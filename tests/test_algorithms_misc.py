@@ -1,0 +1,165 @@
+"""Non-flagship algorithm coverage: traversals, HITS, cores, clustering,
+centralities, assortativity, boundaries — validated against plain-Python
+oracles on tiny graphs (reference test style, test_app.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import graph_from_edge_vids
+from linkgraph.algorithms import (
+    average_clustering,
+    average_degree_connectivity,
+    bfs,
+    clustering,
+    degree_assortativity_coefficient,
+    degree_centrality,
+    edge_boundary,
+    eigenvector_centrality,
+    hits,
+    k_core,
+    k_shell,
+    katz_centrality,
+    node_boundary,
+    sssp,
+    transitivity,
+)
+from tests.conftest import TRI_MIX, rmat_edges
+
+DIAMOND = [(1, 2), (1, 3), (2, 4), (3, 4)]
+
+
+def _d(df):
+    return {r["vid"]: r["value"] for r in df.collect()}
+
+
+def test_bfs_depths(spark):
+    g = graph_from_edge_vids(spark, DIAMOND)
+    assert _d(bfs(g, src=1)) == {1: 0, 2: 1, 3: 1, 4: 2}
+    # unreachable sentinel
+    assert _d(bfs(g, src=4)) == {1: -1, 2: -1, 3: -1, 4: 0}
+
+
+def test_sssp_weighted(spark):
+    e = spark.createDataFrame(
+        [(0, 1, 4.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    v = spark.createDataFrame([(i, str(i)) for i in range(4)], "vid long, oid string")
+    from linkgraph.graph import LinkGraph
+
+    g = LinkGraph(vertices=v, edges=e)
+    assert _d(sssp(g, src=0)) == {0: 0.0, 1: 2.0, 2: 1.0, 3: 3.0}
+
+
+def test_sssp_unweighted_equals_bfs(spark):
+    edges = rmat_edges(80, 200, seed=5)
+    g = graph_from_edge_vids(spark, edges)
+    d_bfs = _d(bfs(g, src=0))
+    d_sssp = _d(sssp(g, src=0, weight_col=None))
+    assert {k: (v if v < 0 else float(v)) for k, v in d_bfs.items()} == d_sssp
+
+
+def test_degree_centrality(spark):
+    g = graph_from_edge_vids(spark, DIAMOND)
+    got = _d(degree_centrality(g, "out").withColumnRenamed("value", "value"))
+    assert got == {1: 2 / 3, 2: 1 / 3, 3: 1 / 3, 4: 0.0}
+
+
+def test_hits_against_networkx_formula(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    g = graph_from_edge_vids(spark, edges)
+    out = hits(g, tolerance=1e-10, max_round=500, normalized=True)
+    got = {r["vid"]: (r["hub"], r["auth"]) for r in out.collect()}
+
+    # plain-python power iteration, same semantics
+    verts = [0, 1, 2, 3]
+    h = {v: 1 / 4 for v in verts}
+    for _ in range(500):
+        hlast = dict(h)
+        a = {v: sum(hlast[u] for u, w in edges if w == v) for v in verts}
+        h = {v: sum(a[w] for u, w in edges if u == v) for v in verts}
+        hm, am = max(h.values()), max(a.values())
+        h = {v: x / hm for v, x in h.items()}
+        a = {v: x / am for v, x in a.items()}
+        if sum(abs(h[v] - hlast[v]) for v in verts) < 1e-10:
+            break
+    hs, as_ = sum(h.values()), sum(a.values())
+    want = {v: (h[v] / hs, a[v] / as_) for v in verts}
+    for v in verts:
+        assert np.allclose(got[v], want[v], atol=1e-6)
+
+
+def test_k_core_k_shell(spark):
+    g = graph_from_edge_vids(spark, TRI_MIX)  # K4 + pendant 3-6
+    assert _d(k_core(g, 3)) == {0: 1, 1: 1, 2: 1, 3: 1, 6: 0}
+    assert _d(k_core(g, 1)) == {0: 1, 1: 1, 2: 1, 3: 1, 6: 1}
+    assert _d(k_shell(g, 1)) == {0: 0, 1: 0, 2: 0, 3: 0, 6: 1}
+    assert _d(k_shell(g, 3)) == {0: 1, 1: 1, 2: 1, 3: 1, 6: 0}
+
+
+def test_clustering_coefficients(spark):
+    g = graph_from_edge_vids(spark, TRI_MIX)
+    got = _d(clustering(g))
+    # K4 vertices 0,1,2: deg 3, tri 3 → 1.0; vertex 3: deg 4, tri 3 → 0.5; 6: 0
+    assert got[0] == got[1] == got[2] == 1.0
+    assert got[3] == 0.5 and got[6] == 0.0
+    assert abs(average_clustering(g) - (3 * 1.0 + 0.5) / 5) < 1e-12
+    # transitivity = 3*4 / sum deg(deg-1)/2 = 12/(3+3+3+6+0)
+    assert abs(transitivity(g) - 12 / 15) < 1e-12
+
+
+def test_eigenvector_centrality_cycle(spark):
+    # directed 3-cycle: symmetric → uniform centrality
+    g = graph_from_edge_vids(spark, [(0, 1), (1, 2), (2, 0)])
+    got = _d(eigenvector_centrality(g, tolerance=1e-12, max_round=200))
+    assert np.allclose(list(got.values()), 1 / math.sqrt(3), atol=1e-6)
+
+
+def test_katz_centrality_star(spark):
+    g = graph_from_edge_vids(spark, [(1, 0), (2, 0), (3, 0)])
+    got = _d(katz_centrality(g, alpha=0.1, beta=1.0, tolerance=1e-12, max_round=200))
+    # leaves: x=1; center: 1 + 0.1*3 = 1.3, then L2-normalized
+    raw = {0: 1.3, 1: 1.0, 2: 1.0, 3: 1.0}
+    nrm = math.sqrt(sum(v * v for v in raw.values()))
+    for v in raw:
+        assert abs(got[v] - raw[v] / nrm) < 1e-6
+
+
+def test_degree_assortativity(spark):
+    edges = rmat_edges(60, 150, seed=9)
+    g = graph_from_edge_vids(spark, edges)
+    r = degree_assortativity_coefficient(g, "out", "in")
+    # plain python pearson over edges
+    out_d, in_d = {}, {}
+    for s, d in edges:
+        out_d[s] = out_d.get(s, 0) + 1
+        in_d[d] = in_d.get(d, 0) + 1
+    xs = [out_d.get(s, 0) for s, d in edges]
+    ys = [in_d.get(d, 0) for s, d in edges]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r - want) < 1e-9
+
+
+def test_average_degree_connectivity(spark):
+    g = graph_from_edge_vids(spark, TRI_MIX)
+    got = {r["degree"]: r["avg_nbr_degree"] for r in average_degree_connectivity(g).collect()}
+    # degrees: 0,1,2 → 3; 3 → 4; 6 → 1
+    # k=3 nodes (0,1,2): neighbors deg = {3,3,4} each → avg 10/3
+    assert abs(got[3] - 10 / 3) < 1e-12
+    # k=4 node (3): neighbors 0,1,2,6 → (3+3+3+1)/4
+    assert abs(got[4] - 10 / 4) < 1e-12
+    # k=1 node (6): neighbor 3 → 4
+    assert got[1] == 4.0
+
+
+def test_boundaries(spark):
+    g = graph_from_edge_vids(spark, DIAMOND)
+    s = spark.createDataFrame([(1,), (2,)], "vid long")
+    nb = sorted(r["vid"] for r in node_boundary(g, s).collect())
+    assert nb == [3, 4]
+    eb = sorted((r["src"], r["dst"]) for r in edge_boundary(g, s).collect())
+    assert eb == [(1, 3), (2, 4)]

@@ -1,0 +1,100 @@
+"""Corpus synthesis, edge derivation, dense-id vertex map, graph ops."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkgraph.corpus import content_sha_set, derive_edges, synth_corpus
+from linkgraph.graph import assign_dense_ids, build_graph, graph_from_edge_vids
+
+
+def test_corpus_schema_and_determinism(spark):
+    c1 = synth_corpus(spark, 200, seed=42, partitions=2)
+    c2 = synth_corpus(spark, 200, seed=42, partitions=7)
+    assert c1.columns == ["repo", "path", "commit", "lang", "content"]
+    assert c1.count() == 200
+    # identical row set regardless of partitioning
+    assert c1.exceptAll(c2).count() == 0 and c2.exceptAll(c1).count() == 0
+    r = c1.first()
+    assert len(r["commit"]) == 40
+    assert r["lang"] in ("py", "java", "cpp")
+
+
+def test_content_sha_invariant_through_pipeline(spark):
+    c = synth_corpus(spark, 150, seed=42)
+    before = {r["sha"] for r in content_sha_set(c).collect()}
+    # a repartition + filter-free projection pipeline must preserve the set
+    after_df = c.repartition(5, "repo").select("repo", "path", "commit", "lang", "content")
+    after = {r["sha"] for r in content_sha_set(after_df).collect()}
+    assert before == after
+    assert len(before) == 150  # contents are unique
+
+
+def test_derive_edges_resolves_to_existing_files(spark):
+    c = synth_corpus(spark, 300, seed=42)
+    e = derive_edges(c)
+    oids = c.select(F.concat("repo", F.lit(":"), "path").alias("oid"))
+    dangling = e.join(oids.withColumnRenamed("oid", "dst_oid"), "dst_oid", "left_anti")
+    assert dangling.count() == 0
+    assert e.where(F.col("src_oid") == F.col("dst_oid")).count() == 0
+    assert e.count() > 100  # corpus generates real edges
+
+
+def test_edge_derivation_partition_invariant(spark):
+    c1 = synth_corpus(spark, 200, seed=42, partitions=1)
+    c2 = synth_corpus(spark, 200, seed=42, partitions=8)
+    e1 = set(map(tuple, derive_edges(c1).collect()))
+    e2 = set(map(tuple, derive_edges(c2).collect()))
+    assert e1 == e2
+
+
+def test_assign_dense_ids_is_rank_of_sorted_oid(spark):
+    import random
+
+    rng = random.Random(1)
+    oids = [f"k{rng.randrange(10_000):05d}" for _ in range(500)]
+    df = spark.createDataFrame([(o,) for o in oids], "oid string")
+    got = {r["oid"]: r["vid"] for r in assign_dense_ids(df, partitions=4).collect()}
+    want = {o: i for i, o in enumerate(sorted(set(oids)))}
+    assert got == want
+
+
+def test_assign_dense_ids_partition_invariant(spark):
+    df = spark.createDataFrame([(f"x{i:04d}",) for i in range(777)], "oid string")
+    a = {r["oid"]: r["vid"] for r in assign_dense_ids(df, partitions=3).collect()}
+    b = {r["oid"]: r["vid"] for r in assign_dense_ids(df.repartition(13), partitions=6).collect()}
+    assert a == b
+
+
+def test_build_graph_end_to_end(spark):
+    c = synth_corpus(spark, 120, seed=42)
+    g = build_graph(derive_edges(c))
+    n, m = g.node_num(), g.edge_num()
+    assert n > 0 and m > 0
+    # vids dense in [0, n)
+    row = g.vertices.agg(F.min("vid"), F.max("vid"), F.count("*")).first()
+    assert row[0] == 0 and row[1] == n - 1 and row[2] == n
+    # every edge endpoint resolves
+    assert g.edges.where(F.col("src").isNull() | F.col("dst").isNull()).count() == 0
+
+
+def test_graph_views_and_report_ops(spark):
+    g = graph_from_edge_vids(spark, [(0, 1), (1, 2), (2, 0), (2, 2)])
+    assert g.node_num() == 3
+    assert g.has_edge(0, 1) and not g.has_edge(1, 0)
+    rg = g.reversed_view()
+    assert rg.has_edge(1, 0)
+    und = g.to_undirected()
+    assert und.edge_num() == 6  # 3 undirected edges, both directions, self-loop dropped
+    sub = g.induce_subgraph(spark.createDataFrame([(0,), (1,)], "vid long"))
+    assert sub.edge_num() == 1 and sub.node_num() == 2
+    deg = {r["vid"]: r["degree"] for r in g.degrees("out").collect()}
+    assert deg == {0: 1, 1: 1, 2: 2}
+
+
+def test_skew_metrics(spark):
+    g = graph_from_edge_vids(spark, [(i, 0) for i in range(1, 20)] + [(1, 2)])
+    m = g.skew_metrics()
+    assert m["max_in_degree"] == 19
+    assert m["distinct_dst"] == 2
+    assert sum(m["partition_edge_counts"].values()) == 20

@@ -1,0 +1,203 @@
+"""Training-data pipeline operator tests over the driver's documents/embeddings."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.pipeline import (
+    cosine_topk,
+    embedding_near_duplicates,
+    exact_dedup,
+    exact_duplicates,
+    fingerprints,
+    language_id,
+    lsh_ann_topk,
+    minhash_lsh_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_duplicates,
+    simhash_signatures,
+    token_counts,
+    word_shingles,
+)
+from linkgraph.pipeline.multimodal import extract_features, sample_frames, synth_media
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_token_counts(spark, docs):
+    got = token_counts(docs).orderBy("doc_id").limit(5).collect()
+    rows = docs.orderBy("doc_id").limit(5).collect()
+    for g, r in zip(got, rows):
+        assert g["ws_tokens"] == len(r["text"].split())
+        assert g["bpe_tokens"] >= g["ws_tokens"]
+
+
+def test_quality_scores_bounds(docs):
+    q = quality_scores(docs)
+    row = q.agg(
+        F.min("quality"), F.max("quality"), F.min("punct_ratio"), F.max("stopword_ratio")
+    ).first()
+    assert 0.0 <= row[0] and row[1] <= 1.0
+    assert row[2] >= 0.0 and row[3] <= 1.0
+    assert q.count() == docs.count()
+
+
+def test_language_id_deterministic(docs):
+    a = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    b = {r["doc_id"]: r["lang_pred"] for r in language_id(docs.repartition(7)).collect()}
+    assert a == b
+    assert set(a.values()) <= {"en", "es", "de", "fr", "unknown"}
+
+
+def test_fingerprints_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different text")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: (r["norm_md5"], r["roll_hash"]) for r in fingerprints(df).collect()}
+    assert fp[0][0] == fp[1][0]  # normalization collapses case/punct/ws
+    assert fp[0][0] != fp[2][0]
+    assert fp[0][1] != fp[2][1]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "unique")], "doc_id long, text string"
+    )
+    dups = exact_duplicates(df).collect()
+    assert len(dups) == 1 and dups[0]["doc_ids"] == [0, 1]
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [0, 2]
+
+
+def test_minhash_shingles_and_signatures(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "x y z w q")], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: set(r["shingles"]) for r in word_shingles(df, k=3).collect()}
+    assert sh[0] == {"a b c", "b c d", "c d e"}
+    sig = {r["doc_id"]: r["sig"] for r in minhash_signatures(word_shingles(df, k=3)).collect()}
+    assert sig[0] == sig[1] and sig[0] != sig[2]
+    assert len(sig[0]) == 64
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again for testing"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content with no overlap whatsoever in any shingle"
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             minhash_lsh_duplicates(df, threshold=0.4).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+    assert (0, 2) in pairs  # one-word edit keeps most shingles
+
+
+def test_simhash(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "alpha beta gamma delta epsilon zeta eta iota"),
+         (2, "totally unrelated words here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sigs[0] != sigs[2]
+    ham01 = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((sigs[0] ^ sigs[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02
+    pairs = simhash_duplicates(df, max_hamming=ham01).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three four five six"), (1, "one two three four five seven"),
+         (2, "eight nine ten eleven twelve thirteen")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    # exact jaccard of 3-shingle sets: docs share 3 of 4+4 distinct → 3/5
+    assert abs(pairs[(0, 1)] - 3 / 5) < 1e-12
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(embs, queries, k=5).collect()
+    pdf = embs.select("vec_id", "embedding").toPandas()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in range(3):
+        qv = Mn[ids == qid][0]
+        sims = Mn @ qv
+        mask = ids != qid
+        order = sorted(zip(-sims[mask], ids[mask]))
+        want = [int(i) for _, i in order[:5]]
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+        assert mine == want
+
+
+def test_lsh_ann_recall(spark, embs):
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(embs, queries, k=5)
+    approx = lsh_ann_topk(embs, queries, k=5, n_planes=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.2  # 4-plane single-probe on random vectors is lossy but nonzero
+
+
+def test_embedding_near_duplicates_exact_vs_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ex = embedding_near_duplicates(df, threshold=0.99, dim=4, exact=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in ex] == [(0, 1)]
+    lsh = embedding_near_duplicates(df, threshold=0.99, dim=4, n_planes=2).collect()
+    assert all((r["id_a"], r["id_b"]) == (0, 1) for r in lsh)
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, 50)
+    feats = extract_features(media).collect()
+    assert len(feats) == 50 and all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in feats}
+    assert again == first
+    frames = sample_frames(media, every_n=30)
+    vids = media.where(F.col("modality") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
+    with pytest.raises(Exception):
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_real_decode_raises(spark):
+    math  # silence linters; placeholder for future real-decode gate
