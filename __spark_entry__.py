@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Delegates to :mod:`linkgraph.queries`, the engine's registry of
+SURVEY.md §2 operators: each SQL-expressible operator has a Spark
+callable and a matching DuckDB oracle; iterative algorithms (k-core
+peeling, converged PageRank on the synthesized corpus graph) ship as
+rows-only entries.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from linkgraph.queries import ORACLE_SQL, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged NetworkX-semantics PageRank on the dependency
+    graph derived from the synthetic source-code corpus (BASELINE.json
+    north_star), joined back to vertex oids."""
+    from linkgraph import build_graph, derive_edges, synth_corpus
+    from linkgraph.algorithms import pagerank_nx
+    from pyspark.sql import functions as F
+
+    corpus = synth_corpus(spark, 2000, seed=42)
+    g = build_graph(derive_edges(corpus)).partitioned()
+    ranks = pagerank_nx(g, alpha=0.85, max_iter=100, tol=1e-6)
+    return (
+        ranks.join(g.vertices, "vid")
+        .select("vid", "oid", F.round("value", 10).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "vid")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

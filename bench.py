@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline metric + per-query timings.
+
+Default mode (driver contract): runs the headline queries against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric follows BASELINE.json: NetworkX-semantics PageRank
+(alpha=0.85, L1 tol=1e-6) time-to-convergence on the dependency-edge
+graph derived from the synthetic source-code corpus, plus
+iterations/sec.
+
+``--scaling`` mode runs the same PageRank job at two parallelism levels
+(N and 4N cores — the sandbox stand-in for N vs 4N executor clusters)
+and reports throughput at both plus scaling efficiency
+(eff = throughput_4N / (4 * throughput_N) ... relative to ideal 4x, but
+per the north rule we report eff = (T_N / T_4N) / 4 normalized by core
+ratio). Results are appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# corpus files per sf unit: sf0.1 -> 60k files (~90k edges)
+CORPUS_FILES_PER_SF = 600_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # "sf0.1"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _mk_spark(cores: int):
+    from linkgraph.session import get_spark
+
+    return get_spark(app_name=f"linkgraph-bench-{cores}", cores=cores,
+                     shuffle_partitions=max(cores, 8))
+
+
+def bench_pagerank(spark, n_files: int):
+    """Headline: corpus synth -> edge derivation -> graph build -> PR to
+    convergence. Returns (build_sec, pr_sec, rounds, iters_per_sec)."""
+    from linkgraph import build_graph, derive_edges, synth_corpus
+    from linkgraph.algorithms.pagerank import _pagerank_impl
+
+    t0 = time.time()
+    corpus = synth_corpus(spark, n_files, seed=42)
+    g = build_graph(derive_edges(corpus)).partitioned()
+    n_edges = g.edges.count()
+    build_sec = time.time() - t0
+
+    t1 = time.time()
+    from linkgraph.superstep import run_supersteps  # noqa: F401 (import cost outside timing)
+    from pyspark.sql import functions as F
+
+    ranks = _pagerank_impl(g, alpha=0.85, max_iter=100, tol=1e-6, checkpoint_dir=None)
+    checksum = ranks.agg(F.sum("value")).first()[0]
+    pr_sec = time.time() - t1
+
+    import linkgraph.algorithms.pagerank as _prmod  # module, not the re-exported fn
+
+    rounds = _prmod.LAST_ROUNDS
+    g.unpersist()
+    return build_sec, pr_sec, rounds, n_edges, checksum
+
+
+def run_default() -> dict:
+    sf = _sf_from_dir(SF_DIR)
+    n_files = max(2000, int(CORPUS_FILES_PER_SF * sf))
+    spark = _mk_spark(CPUS)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    build_sec, pr_sec, rounds, n_edges, _ = bench_pagerank(spark, n_files)
+    queries["corpus_build"] = round(build_sec, 3)
+    queries["pagerank_convergence"] = round(pr_sec, 3)
+    if rounds:
+        queries["pagerank_iters_per_sec"] = round(rounds / pr_sec, 3)
+
+    # secondary headline queries on the sf parquet tables
+    from linkgraph.queries import QUERIES
+
+    for name in (
+        "g_wcc",
+        "g_cdlp_r2",
+        "g_triangles",
+        "g_pagerank_r3",
+        "doc_fingerprint",
+        "doc_minhash_dups",
+        "emb_knn",
+    ):
+        t = time.time()
+        QUERIES[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t, 3)
+
+    total = time.time() - t0
+    out = {
+        "metric": "pagerank_time_to_convergence_1e-6_on_corpus_dependency_graph",
+        "value": round(pr_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_corpus_files": n_files,
+        "n_edges": n_edges,
+        "pagerank_rounds": rounds,
+        "cores": CPUS,
+        "total_sec": round(total, 3),
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(lo: int, hi: int, n_files: int | None) -> dict:
+    """Same job at two parallelism levels; scaling efficiency per the
+    north rule: eff = (throughput_hi / throughput_lo) / (hi / lo),
+    throughput = PageRank iterations/sec."""
+    sf = _sf_from_dir(SF_DIR)
+    n_files = n_files or max(2000, int(CORPUS_FILES_PER_SF * sf))
+    results = {}
+    for cores in (lo, hi):
+        spark = _mk_spark(cores)
+        build_sec, pr_sec, rounds, n_edges, checksum = bench_pagerank(spark, n_files)
+        spark.stop()
+        results[cores] = {
+            "build_sec": round(build_sec, 3),
+            "pr_sec": round(pr_sec, 3),
+            "rounds": rounds,
+            "iters_per_sec": round((rounds or 0) / pr_sec, 4),
+            "checksum": checksum,
+            "n_edges": n_edges,
+        }
+    thr_lo, thr_hi = results[lo]["iters_per_sec"], results[hi]["iters_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
+    return {
+        "metric": "pagerank_scaling_efficiency",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "cores_lo": lo,
+        "cores_hi": hi,
+        "per_level": {str(k): v for k, v in results.items()},
+        "sf": sf,
+        "n_corpus_files": n_files,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--n-files", type=int, default=None)
+    args = ap.parse_args()
+    if args.scaling:
+        out = run_scaling(args.lo, args.hi, args.n_files)
+    else:
+        out = run_default()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

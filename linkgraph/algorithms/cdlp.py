@@ -37,10 +37,15 @@ def cdlp(
     num_salts: int = 16,
 ) -> DataFrame:
     e = graph.edges.select("src", "dst")
-    # neighbor multiset = in-neighbors ∪ out-neighbors (multiplicities kept)
-    bidir = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).where(F.col("src") != F.col("dst")).persist()
+    p = e.sparkSession.sparkContext.defaultParallelism
+    # neighbor multiset = in-neighbors ∪ out-neighbors (multiplicities kept);
+    # co-partitioned on the per-round join key so it never re-shuffles
+    bidir = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .repartition(p, "src")
+        .persist()
+    )
 
     state0 = graph.vertices.select("vid", F.col("vid").alias("label"))
 
@@ -62,7 +67,7 @@ def cdlp(
             )
             .persist()
         )
-        new_state.count()
+        new_state.count()  # materialize; fixed-round → no stats needed
         return new_state, {}
 
     result = run_supersteps(

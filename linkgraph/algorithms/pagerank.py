@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 from linkgraph.superstep import run_supersteps
 
+# Bench instrumentation: rounds/history of the most recent run (driver-side
+# scalars only — analogous to the reference's per-round perf logging).
+LAST_ROUNDS: int | None = None
+LAST_HISTORY: list[dict] | None = None
+
 
 def _pagerank_impl(
     graph: LinkGraph,
@@ -38,7 +43,10 @@ def _pagerank_impl(
     checkpoint_dir: str | None,
 ) -> DataFrame:
     spark = graph.edges.sparkSession
-    edges = graph.edges.select("src", "dst").persist()
+    p = spark.sparkContext.defaultParallelism
+    # cache edges partitioned on the per-round join key: the big table
+    # shuffles once here and never again; only the small state moves
+    edges = graph.edges.select("src", "dst").repartition(p, "src").persist()
     n = graph.vertices.count()
     if n == 0:
         return spark.createDataFrame([], "vid long, value double")
@@ -94,6 +102,9 @@ def _pagerank_impl(
     result = run_supersteps(
         state0, step, conv, max_rounds=max_iter, checkpoint_dir=checkpoint_dir
     )
+    global LAST_ROUNDS, LAST_HISTORY
+    LAST_ROUNDS = result.rounds
+    LAST_HISTORY = result.history
     out = result.state.select("vid", F.col("rank").alias("value"))
     edges.unpersist()
     return out

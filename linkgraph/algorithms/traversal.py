@@ -51,7 +51,7 @@ def bfs(graph: LinkGraph, src: int, max_depth: int = 10_000) -> DataFrame:
             )
             .persist()
         )
-        n = new_state.where(F.col("changed")).count()
+        n = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         return new_state, {"changed": n}
 
     res = run_supersteps(state0, step, lambda s: s["changed"] == 0, max_rounds=max_depth)
@@ -98,7 +98,7 @@ def sssp(
             )
             .persist()
         )
-        n = new_state.where(F.col("changed")).count()
+        n = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         return new_state, {"changed": n}
 
     res = run_supersteps(state0, step, lambda s: s["changed"] == 0, max_rounds=max_rounds)

@@ -26,10 +26,12 @@ from linkgraph.superstep import run_supersteps
 def wcc(graph: LinkGraph, max_rounds: int = 200, checkpoint_dir: str | None = None) -> DataFrame:
     spark = graph.edges.sparkSession
     e = graph.edges.select("src", "dst")
+    p = spark.sparkContext.defaultParallelism
     und = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .repartition(p, "src")  # co-partition on the per-round join key
         .persist()
     )
     state0 = graph.vertices.select(
@@ -52,7 +54,8 @@ def wcc(graph: LinkGraph, max_rounds: int = 200, checkpoint_dir: str | None = No
             )
             .persist()
         )
-        n_changed = new_state.where(F.col("changed")).count()
+        # one action per round: materializes the cache AND counts changes
+        n_changed = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         return new_state, {"changed": n_changed}
 
     result = run_supersteps(

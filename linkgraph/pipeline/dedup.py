@@ -190,18 +190,18 @@ def simhash_duplicates(
     verify with bit_count(xor).
     """
     sig = simhash_signatures(df, id_col, text_col)
+    # shiftright takes a literal bit count — unroll the 4 chunks in Python
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        for c in range(4)
+    ]
     chunks = sig.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                ),
-            )
-        ).alias("e"),
+        F.explode(F.array(*chunk_structs)).alias("e"),
     ).select(id_col, "simhash", F.col("e.chunk").alias("chunk"), F.col("e.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Iterative plans reference prior rounds' DataFrames several times;
+        # treeString expands shared subtrees, so an uncapped plan string can
+        # OOM the driver just *rendering* a plan. 1 MB is plenty for debugging.
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -78,6 +78,9 @@ def run_supersteps(
         if rnd % local_checkpoint_every == 0:
             new_state = returned.localCheckpoint(eager=True)  # cut lineage
             returned.unpersist()
+        elif returned.storageLevel.useMemory or returned.storageLevel.useDisk:
+            # step already persisted + materialized it (via its stats agg)
+            new_state = returned
         else:
             new_state = returned.persist()
             new_state.count()

@@ -11,8 +11,9 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("linkgraph-tests")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -72,13 +72,13 @@ def test_degree_centrality(spark):
 def test_hits_against_networkx_formula(spark):
     edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
     g = graph_from_edge_vids(spark, edges)
-    out = hits(g, tolerance=1e-10, max_round=500, normalized=True)
+    out = hits(g, tolerance=1e-8, max_round=60, normalized=True)
     got = {r["vid"]: (r["hub"], r["auth"]) for r in out.collect()}
 
     # plain-python power iteration, same semantics
     verts = [0, 1, 2, 3]
     h = {v: 1 / 4 for v in verts}
-    for _ in range(500):
+    for _ in range(60):
         hlast = dict(h)
         a = {v: sum(hlast[u] for u, w in edges if w == v) for v in verts}
         h = {v: sum(a[w] for u, w in edges if u == v) for v in verts}

@@ -1,0 +1,52 @@
+"""CSR fast tier vs reference (pure-DataFrame) tier — SURVEY.md §7.1.
+
+The fast tier must produce identical results: allclose(1e-12-ish; both
+tiers compute the same float math, only reduction order differs) for
+PageRank, exact equality for WCC labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from linkgraph.graph import graph_from_edge_vids
+from linkgraph.algorithms import pagerank_nx, wcc
+from linkgraph.csr import build_csr_blocks, pagerank_csr, wcc_csr
+from tests.conftest import LANGVILLE_MEYER, TWO_COMPONENTS, rmat_edges
+
+
+def _d(df):
+    return {r["vid"]: r["value"] for r in df.collect()}
+
+
+def test_csr_blocks_cover_all_edges(spark):
+    edges = rmat_edges(80, 300)
+    g = graph_from_edge_vids(spark, edges)
+    blocks = build_csr_blocks(g.edges, 4).collect()
+    assert sum(b["n_edges"] for b in blocks) == len(edges)
+    seen = set()
+    for b in blocks:
+        us, indptr, udst, dst_idx = b["us"], b["indptr"], b["udst"], b["dst_idx"]
+        assert list(indptr) == sorted(indptr) and indptr[-1] == b["n_edges"]
+        for i, s in enumerate(us):
+            assert s % 4 == b["bid"]
+            for j in range(indptr[i], indptr[i + 1]):
+                seen.add((s, udst[dst_idx[j]]))
+    assert seen == set(edges)
+
+
+@pytest.mark.parametrize("edges", [LANGVILLE_MEYER, rmat_edges(120, 600)])
+def test_pagerank_csr_matches_reference_tier(spark, edges):
+    g = graph_from_edge_vids(spark, edges)
+    ref = _d(pagerank_nx(g, alpha=0.85, max_iter=40, tol=1e-8))
+    fast = _d(pagerank_csr(g, alpha=0.85, max_iter=40, tol=1e-8, num_blocks=4))
+    assert set(ref) == set(fast)
+    ks = sorted(ref)
+    assert np.allclose([fast[k] for k in ks], [ref[k] for k in ks], atol=1e-9, rtol=0)
+
+
+def test_wcc_csr_matches_reference_tier(spark):
+    edges = TWO_COMPONENTS + [(10, 11)]
+    g = graph_from_edge_vids(spark, edges)
+    assert _d(wcc_csr(g, num_blocks=3)) == _d(wcc(g))
