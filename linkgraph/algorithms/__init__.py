@@ -19,9 +19,23 @@ from linkgraph.algorithms.centrality import eigenvector_centrality, katz_central
 from linkgraph.algorithms.assortativity import (
     degree_assortativity_coefficient,
     average_degree_connectivity,
+    attribute_assortativity_coefficient,
+    numeric_assortativity_coefficient,
 )
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.scc import scc
+from linkgraph.algorithms.paths import (
+    bfs_parents,
+    bfs_generic,
+    sssp_predecessors,
+    sssp_path,
+    sssp_has_path,
+    is_simple_path,
+    multi_source_bfs,
+    all_pairs_shortest_path_length,
+    closeness_centrality,
+    average_shortest_path_length,
+)
 
 __all__ = [
     "pagerank",
@@ -46,4 +60,16 @@ __all__ = [
     "node_boundary",
     "edge_boundary",
     "scc",
+    "attribute_assortativity_coefficient",
+    "numeric_assortativity_coefficient",
+    "bfs_parents",
+    "bfs_generic",
+    "sssp_predecessors",
+    "sssp_path",
+    "sssp_has_path",
+    "is_simple_path",
+    "multi_source_bfs",
+    "all_pairs_shortest_path_length",
+    "closeness_centrality",
+    "average_shortest_path_length",
 ]

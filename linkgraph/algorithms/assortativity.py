@@ -9,6 +9,10 @@ References:
 - gs::AverageDegreeConnectivity (yaml:206-208; python sig
   app/average_degree_connectivity.py:31-95): for each degree class k, the
   mean degree of neighbors of degree-k vertices (undirected default).
+- gs::AttributeAssortativity (yaml:214-216; python sig
+  app/attribute_assortativity.py:31-108): categorical mixing-matrix
+  assortativity ``r = (tr(M) - ||M²||) / (1 - ||M²||)`` and numeric
+  assortativity = Pearson correlation of endpoint attribute values.
 """
 
 from __future__ import annotations
@@ -26,6 +30,48 @@ def degree_assortativity_coefficient(
     dy = graph.degrees(mode=y).withColumnRenamed("degree", "dy").withColumnRenamed("vid", "dst")
     joined = graph.edges.select("src", "dst").join(dx, "src").join(dy, "dst")
     r = joined.agg(F.corr("dx", "dy").alias("r")).first()["r"]
+    return float(r) if r is not None else float("nan")
+
+
+def _edge_attrs(graph: LinkGraph, attrs: DataFrame) -> DataFrame:
+    """(xa, ya) — attribute of src and dst per directed edge."""
+    a = attrs.select(F.col(attrs.columns[0]).alias("vid"), F.col(attrs.columns[1]).alias("attr"))
+    return (
+        graph.edges.select("src", "dst")
+        .join(a.select(F.col("vid").alias("src"), F.col("attr").alias("xa")), "src")
+        .join(a.select(F.col("vid").alias("dst"), F.col("attr").alias("ya")), "dst")
+        .select("xa", "ya")
+    )
+
+
+def attribute_assortativity_coefficient(graph: LinkGraph, attrs: DataFrame) -> float:
+    """Categorical mixing-matrix assortativity (NetworkX formula):
+    r = (Σ_i e_ii − Σ_i a_i b_i) / (1 − Σ_i a_i b_i), where e is the
+    row-normalized mixing matrix, a/b its row/column sums.
+
+    ``attrs``: (vid, attribute) DataFrame. Computed with two small
+    aggregations — the mixing matrix has |categories|² entries and is
+    collected to the driver (categories ≪ vertices by assumption).
+    """
+    ea = _edge_attrs(graph, attrs)
+    total = ea.count()
+    if total == 0:
+        return float("nan")
+    m = {(r["xa"], r["ya"]): r["c"] / total for r in ea.groupBy("xa", "ya").agg(F.count("*").alias("c")).collect()}
+    cats = sorted({k[0] for k in m} | {k[1] for k in m}, key=repr)
+    a = {c: sum(v for (x, _), v in m.items() if x == c) for c in cats}
+    b = {c: sum(v for (_, y), v in m.items() if y == c) for c in cats}
+    tr = sum(m.get((c, c), 0.0) for c in cats)
+    sum_ab = sum(a[c] * b[c] for c in cats)
+    if sum_ab == 1.0:
+        return float("nan")
+    return float((tr - sum_ab) / (1.0 - sum_ab))
+
+
+def numeric_assortativity_coefficient(graph: LinkGraph, attrs: DataFrame) -> float:
+    """Numeric assortativity = Pearson correlation of endpoint values."""
+    ea = _edge_attrs(graph, attrs)
+    r = ea.agg(F.corr(F.col("xa").cast("double"), F.col("ya").cast("double")).alias("r")).first()["r"]
     return float(r) if r is not None else float("nan")
 
 

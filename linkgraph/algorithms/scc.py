@@ -28,8 +28,7 @@ from linkgraph.graph import LinkGraph
 
 def _propagate_max_forward(verts: DataFrame, edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
     """verts(vid) × edges(src,dst) → (vid, color) fixpoint of forward max."""
-    state = verts.select("vid", F.col("vid").alias("color")).persist()
-    state.count()
+    state = verts.select("vid", F.col("vid").alias("color")).localCheckpoint(eager=True)
     for rnd in range(max_rounds):
         msgs = (
             state.join(edges, state["vid"] == edges["src"])
@@ -43,13 +42,10 @@ def _propagate_max_forward(verts: DataFrame, edges: DataFrame, max_rounds: int =
                 F.greatest(state["color"], F.coalesce("mc", state["color"])).alias("color"),
                 (F.coalesce("mc", state["color"]) > state["color"]).alias("chg"),
             )
+            .localCheckpoint(eager=True)  # flat lineage every round
         )
-        new = new.localCheckpoint(eager=True) if rnd % 5 == 4 else new.persist()
-        changed = new.where(F.col("chg")).count()
-        state.unpersist()
-        state = new.select("vid", "color").persist()
-        state.count()  # materialize before dropping `new`'s cache
-        new.unpersist()
+        changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        state = new.select("vid", "color")
         if changed == 0:
             break
     return state

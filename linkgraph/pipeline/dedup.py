@@ -185,18 +185,26 @@ def simhash_duplicates(
 ) -> DataFrame:
     """(id_a, id_b, hamming) — pairs within Hamming distance ``max_hamming``.
 
-    Banding pigeonhole: split 64 bits into 4 chunks of 16; any pair with
-    ≤3 differing bits agrees exactly on ≥1 chunk → equi-join per chunk,
-    verify with bit_count(xor).
+    Banding pigeonhole: with ``c = max_hamming + 1`` chunks, any pair
+    with ≤ max_hamming differing bits agrees exactly on ≥1 chunk →
+    equi-join per chunk, verify with bit_count(xor). Chunk count capped
+    at 16 (4-bit chunks); beyond that the bucket join degenerates.
     """
     sig = simhash_signatures(df, id_col, text_col)
-    # shiftright takes a literal bit count — unroll the 4 chunks in Python
-    chunk_structs = [
-        F.struct(
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+    n_chunks = max(1, min(max_hamming + 1, 16))
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    # shiftright takes a literal bit count — unroll the chunks in Python
+    def _chunk_val(c: int):
+        if widths[c] >= 64:  # single-chunk degenerate case: exact-match join
+            return F.col("simhash")
+        return F.shiftright(F.col("simhash"), offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
         )
-        for c in range(4)
+
+    chunk_structs = [
+        F.struct(F.lit(c).alias("chunk"), _chunk_val(c).alias("cv")) for c in range(n_chunks)
     ]
     chunks = sig.select(
         F.col(id_col),

@@ -102,11 +102,16 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact re-rank.
+    """Approximate top-k: probe the query's LSH bucket, exact re-rank.
 
     Recall < 1 by construction; the bucketed join replaces the full scan
-    with a 1/2^n_planes-selectivity equi-join — the 100 TB path.
+    with a (1+n_planes)/2^n_planes-selectivity equi-join — the 100 TB
+    path. ``multi_probe`` additionally probes every bucket at Hamming
+    distance 1 from the query code (flip each plane bit), the standard
+    multi-probe LSH recall boost at the cost of n_planes extra buckets
+    per query — still ≪ a full scan.
     """
     emb_b = lsh_bucket_codes(embeddings, vec_col, dim, n_planes, seed)
     q_b = lsh_bucket_codes(
@@ -116,6 +121,13 @@ def lsh_ann_topk(
         n_planes,
         seed,
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        )
+        q_b = q_b.select(
+            query_id_col, "_qvec", F.explode(probes).alias("bucket")
+        )
     joined = emb_b.join(F.broadcast(q_b), "bucket").where(F.col(id_col) != F.col(query_id_col))
     scored = joined.select(
         query_id_col,

@@ -98,17 +98,20 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """(id, norm_md5, roll_hash).
 
     norm_md5: md5 of lowercase text with punctuation stripped and
-    whitespace collapsed — near-dup-canonical form. roll_hash: 64-bit
-    polynomial rolling hash over word hashes (acc·31 + xxhash64(word),
-    wrapping), computed with ``F.aggregate`` — no Python.
+    whitespace collapsed — near-dup-canonical form. roll_hash:
+    polynomial rolling hash over word hashes modulo the Mersenne prime
+    2^31-1 (acc·31 + (xxhash64(word) mod M), all mod M) computed with
+    ``F.aggregate`` — no Python, and no long overflow under ANSI mode
+    (acc < 2^31 so acc·31 + h < 2^36).
     """
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), r"[^\w\s]", ""), r"\s+", " ")
     )
+    M = F.lit(2147483647).cast("long")  # 2^31 - 1
     roll = F.aggregate(
         _words(text_col),
         F.lit(0).cast("long"),
-        lambda acc, w: acc * F.lit(31).cast("long") + F.xxhash64(w),
+        lambda acc, w: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(w), M), M),
     )
     return df.select(
         F.col(id_col),

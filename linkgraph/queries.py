@@ -198,6 +198,55 @@ def q_sssp(spark, sf_dir):
     )
 
 
+def q_closeness(spark, sf_dir):
+    from linkgraph.algorithms import closeness_centrality
+
+    return closeness_centrality(_oracle_graph(spark, sf_dir)).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_apsp(spark, sf_dir):
+    from linkgraph.algorithms import all_pairs_shortest_path_length
+
+    return all_pairs_shortest_path_length(_oracle_graph(spark, sf_dir)).select(
+        "root", "vid", F.col("dist").cast("long").alias("dist")
+    )
+
+
+def q_avg_path_length(spark, sf_dir):
+    from linkgraph.algorithms import average_shortest_path_length
+
+    r = average_shortest_path_length(_oracle_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(r, 6),)], "avg_path_length double")
+
+
+def q_bfs_tree(spark, sf_dir):
+    from linkgraph.algorithms import bfs_generic
+
+    g = _oracle_graph(spark, sf_dir)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return bfs_generic(g, src=src, format="edges").select("src", "dst")
+
+
+def q_numeric_assortativity(spark, sf_dir):
+    from linkgraph.algorithms import numeric_assortativity_coefficient
+
+    g = _oracle_graph(spark, sf_dir)
+    attrs = g.vertices.select("vid", F.pmod(F.col("vid"), F.lit(5)).alias("attr"))
+    r = numeric_assortativity_coefficient(g, attrs)
+    return spark.createDataFrame([(round(r, 6),)], "numeric_assortativity double")
+
+
+def q_attr_assortativity(spark, sf_dir):
+    from linkgraph.algorithms import attribute_assortativity_coefficient
+
+    g = _oracle_graph(spark, sf_dir)
+    attrs = g.vertices.select("vid", F.pmod(F.col("vid"), F.lit(5)).alias("attr"))
+    r = attribute_assortativity_coefficient(g, attrs)
+    return spark.createDataFrame([(round(r, 6),)], "attr_assortativity double")
+
+
 def q_degree_assortativity(spark, sf_dir):
     from linkgraph.algorithms import degree_assortativity_coefficient
 
@@ -229,6 +278,57 @@ def q_edge_boundary(spark, sf_dir):
     g = _oracle_graph(spark, sf_dir)
     s = g.vertices.where(F.col("vid") < 50).select("vid")
     return edge_boundary(g, s).select("src", "dst")
+
+
+def q_clustering(spark, sf_dir):
+    from linkgraph.algorithms import clustering
+
+    return clustering(_oracle_graph(spark, sf_dir)).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_transitivity(spark, sf_dir):
+    from linkgraph.algorithms import transitivity
+
+    r = transitivity(_oracle_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(r, 6),)], "transitivity double")
+
+
+def q_avg_clustering(spark, sf_dir):
+    from linkgraph.algorithms import average_clustering
+
+    r = average_clustering(_oracle_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(r, 6),)], "avg_clustering double")
+
+
+def q_katz_r3(spark, sf_dir):
+    from linkgraph.algorithms import katz_centrality
+
+    return katz_centrality(
+        _oracle_graph(spark, sf_dir),
+        alpha=0.1,
+        beta=1.0,
+        tolerance=0.0,  # never converges early → exactly 3 rounds
+        max_round=3,
+        normalized=False,
+    ).select("vid", F.round("value", 6).alias("value"))
+
+
+def q_eigenvector_r2(spark, sf_dir):
+    from linkgraph.algorithms import eigenvector_centrality
+
+    return eigenvector_centrality(
+        _oracle_graph(spark, sf_dir), tolerance=0.0, max_round=2
+    ).select("vid", F.round("value", 6).alias("value"))
+
+
+def q_kshell(spark, sf_dir):  # rows-only (iterative peeling is not SQL)
+    from linkgraph.algorithms import k_shell
+
+    return k_shell(_oracle_graph(spark, sf_dir), k=10).select(
+        "vid", F.col("value").cast("long").alias("in_shell")
+    )
 
 
 def q_kcore(spark, sf_dir):  # rows-only (iterative peeling is not SQL)
@@ -327,6 +427,42 @@ def q_emb_knn(spark, sf_dir):
     )
 
 
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from linkgraph.pipeline import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.4, max_shingle_freq=100
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_emb_lsh_ann(spark, sf_dir):  # rows-only: seeded numpy hyperplanes
+    from linkgraph.pipeline import lsh_ann_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(embs, queries, k=10).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_media_features(spark, sf_dir):  # rows-only: engine-synthesized media
+    from linkgraph.pipeline.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 200, seed=42)).select(
+        "media_id", "modality", F.element_at("feature", 1).alias("f0"),
+        F.size("feature").cast("long").alias("dim"),
+    )
+
+
+def q_media_frames(spark, sf_dir):  # rows-only
+    from linkgraph.pipeline.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 200, seed=42), every_n=30)
+
+
 def q_emb_neardup(spark, sf_dir):
     from linkgraph.pipeline import embedding_near_duplicates
 
@@ -349,10 +485,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_pagerank_r3": q_pagerank_rounds,
     "g_bfs": q_bfs,
     "g_sssp": q_sssp,
+    "g_closeness": q_closeness,
+    "g_apsp": q_apsp,
+    "g_avg_path_length": q_avg_path_length,
+    "g_bfs_tree": q_bfs_tree,
+    "g_numeric_assortativity": q_numeric_assortativity,
+    "g_attr_assortativity": q_attr_assortativity,
     "g_degree_assortativity": q_degree_assortativity,
     "g_avg_degree_connectivity": q_avg_degree_connectivity,
     "g_node_boundary": q_node_boundary,
     "g_edge_boundary": q_edge_boundary,
+    "g_clustering": q_clustering,
+    "g_transitivity": q_transitivity,
+    "g_avg_clustering": q_avg_clustering,
+    "g_katz_r3": q_katz_r3,
+    "g_eigenvector_r2": q_eigenvector_r2,
+    "g_kshell_10": q_kshell,
     "g_kcore_20": q_kcore,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_wcc": q_corpus_wcc,
@@ -363,8 +511,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_dedup_count": q_doc_exact_dedup_count,
     "doc_minhash_dups": q_doc_minhash_dups,
     "doc_simhash_dups": q_doc_simhash_dups,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
+    "emb_lsh_ann": q_emb_lsh_ann,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
 }
 
 
@@ -515,6 +667,73 @@ ORACLE_SQL: dict[str, str] = {
     SELECT r1.vid, r1.t FROM reach r1 JOIN reach r2 ON r1.vid = r2.t AND r1.t = r2.vid)
   SELECT vid, max(t) AS comp FROM mutual GROUP BY vid"""
     ),
+    "g_clustering": _with_graph(
+        """tri AS (
+    SELECT a.lo AS v1, a.hi AS v2, b.hi AS v3
+    FROM simple_und a
+    JOIN simple_und b ON a.hi = b.lo
+    JOIN simple_und c ON c.lo = a.lo AND c.hi = b.hi),
+  corners AS (SELECT v1 AS vid FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri),
+  tcnt AS (SELECT vid, count(*) AS t FROM corners GROUP BY vid),
+  bid AS (SELECT lo AS a FROM simple_und UNION ALL SELECT hi AS a FROM simple_und),
+  dg AS (SELECT a AS vid, count(*) AS deg FROM bid GROUP BY a)
+  SELECT v.vid,
+         round(CASE WHEN coalesce(dg.deg, 0) >= 2
+                    THEN 2.0 * coalesce(tcnt.t, 0) / (dg.deg * (dg.deg - 1))
+                    ELSE 0.0 END, 6) AS value
+  FROM v LEFT JOIN dg ON v.vid = dg.vid LEFT JOIN tcnt ON v.vid = tcnt.vid"""
+    ),
+    "g_transitivity": _with_graph(
+        """tri AS (
+    SELECT count(*) AS t FROM simple_und a
+    JOIN simple_und b ON a.hi = b.lo
+    JOIN simple_und c ON c.lo = a.lo AND c.hi = b.hi),
+  bid AS (SELECT lo AS a FROM simple_und UNION ALL SELECT hi AS a FROM simple_und),
+  dg AS (SELECT a AS vid, count(*) AS deg FROM bid GROUP BY a),
+  triads AS (SELECT sum(deg * (deg - 1) / 2.0) AS p FROM dg)
+  SELECT round(CASE WHEN (SELECT p FROM triads) > 0
+               THEN 3.0 * (SELECT t FROM tri) / (SELECT p FROM triads)
+               ELSE 0.0 END, 6) AS transitivity"""
+    ),
+    "g_avg_clustering": _with_graph(
+        """tri AS (
+    SELECT a.lo AS v1, a.hi AS v2, b.hi AS v3
+    FROM simple_und a
+    JOIN simple_und b ON a.hi = b.lo
+    JOIN simple_und c ON c.lo = a.lo AND c.hi = b.hi),
+  corners AS (SELECT v1 AS vid FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri),
+  tcnt AS (SELECT vid, count(*) AS t FROM corners GROUP BY vid),
+  bid AS (SELECT lo AS a FROM simple_und UNION ALL SELECT hi AS a FROM simple_und),
+  dg AS (SELECT a AS vid, count(*) AS deg FROM bid GROUP BY a),
+  lcc AS (
+    SELECT v.vid, CASE WHEN coalesce(dg.deg, 0) >= 2
+                       THEN 2.0 * coalesce(tcnt.t, 0) / (dg.deg * (dg.deg - 1))
+                       ELSE 0.0 END AS c
+    FROM v LEFT JOIN dg ON v.vid = dg.vid LEFT JOIN tcnt ON v.vid = tcnt.vid)
+  SELECT round(avg(c), 6) AS avg_clustering FROM lcc"""
+    ),
+    "g_katz_r3": _with_graph(
+        """idg AS (SELECT dst AS vid, count(*) AS ind FROM e GROUP BY dst),
+  x2 AS (SELECT v.vid, CAST(0.1 AS DOUBLE) * coalesce(idg.ind, 0) + CAST(1.0 AS DOUBLE) AS x
+         FROM v LEFT JOIN idg ON v.vid = idg.vid),
+  m3 AS (SELECT e.dst AS vid, sum(x2.x) AS s FROM e JOIN x2 ON e.src = x2.vid GROUP BY e.dst),
+  x3 AS (SELECT v.vid, CAST(0.1 AS DOUBLE) * coalesce(m3.s, 0) + CAST(1.0 AS DOUBLE) AS x
+         FROM v LEFT JOIN m3 ON v.vid = m3.vid)
+  SELECT vid, CAST(round(x, 6) AS DOUBLE) AS value FROM x3"""
+    ),
+    "g_eigenvector_r2": _with_graph(
+        """nv AS (SELECT count(*) AS n FROM v),
+  idg AS (SELECT dst AS vid, count(*) AS ind FROM e GROUP BY dst),
+  r1 AS (SELECT v.vid, (1.0 + coalesce(idg.ind, 0)) / (SELECT n FROM nv) AS raw
+         FROM v LEFT JOIN idg ON v.vid = idg.vid),
+  n1 AS (SELECT sqrt(sum(raw * raw)) AS l2 FROM r1),
+  x1 AS (SELECT vid, raw / (SELECT l2 FROM n1) AS x FROM r1),
+  m2 AS (SELECT e.dst AS vid, sum(x1.x) AS s FROM e JOIN x1 ON e.src = x1.vid GROUP BY e.dst),
+  r2 AS (SELECT x1.vid, x1.x + coalesce(m2.s, 0) AS raw FROM x1 LEFT JOIN m2 ON x1.vid = m2.vid),
+  n2 AS (SELECT sqrt(sum(raw * raw)) AS l2 FROM r2),
+  x2 AS (SELECT vid, raw / (SELECT l2 FROM n2) AS x FROM r2)
+  SELECT vid, round(x, 6) AS value FROM x2"""
+    ),
     "g_cdlp_r2": _cdlp_sql(CDLP_ROUNDS),
     "g_pagerank_r3": _pagerank_sql(PR_ROUNDS),
     "g_bfs": _with_graph(
@@ -535,6 +754,72 @@ ORACLE_SQL: dict[str, str] = {
       SELECT we.dst, x.c + we.w FROM x JOIN we ON x.vid = we.src WHERE x.c < 60)
     SELECT * FROM x)
   SELECT vid, min(c) AS dist FROM walk GROUP BY vid"""
+    ),
+    "g_closeness": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.src, w.d + 1 FROM w JOIN e ON w.vid = e.dst WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  agg AS (SELECT root, count(*) - 1 AS rm1, sum(dist) AS s FROM sp GROUP BY root),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT v.vid,
+         round(CASE WHEN coalesce(agg.s, 0) > 0
+               THEN (agg.rm1 * 1.0 / agg.s) * (agg.rm1 * 1.0 / ((SELECT n FROM nv) - 1))
+               ELSE 0.0 END, 6) AS value
+  FROM v LEFT JOIN agg ON v.vid = agg.root"""
+    ),
+    "g_apsp": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 20)
+    SELECT * FROM w)
+  SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid"""
+    ),
+    "g_avg_path_length": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid)
+  SELECT round(avg(dist * 1.0), 6) AS avg_path_length FROM sp WHERE dist > 0"""
+    ),
+    "g_bfs_tree": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(vid, d) AS (
+      SELECT (SELECT min(vid) FROM v), 0
+      UNION
+      SELECT e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 50)
+    SELECT * FROM w),
+  depth AS (SELECT vid, min(d) AS d FROM walk GROUP BY vid),
+  tree AS (
+    SELECT c.vid AS dst, min(e.src) AS src
+    FROM depth c JOIN e ON e.dst = c.vid JOIN depth p ON p.vid = e.src
+    WHERE p.d = c.d - 1 AND c.d > 0
+    GROUP BY c.vid)
+  SELECT src, dst FROM tree"""
+    ),
+    "g_numeric_assortativity": _with_graph(
+        """x AS (SELECT 1)
+  SELECT round(corr(CAST(src % 5 AS DOUBLE), CAST(dst % 5 AS DOUBLE)), 6)
+         AS numeric_assortativity FROM e"""
+    ),
+    "g_attr_assortativity": _with_graph(
+        """tot AS (SELECT count(*) AS t FROM e),
+  m AS (SELECT src % 5 AS i, dst % 5 AS j, count(*) * 1.0 / (SELECT t FROM tot) AS p
+        FROM e GROUP BY src % 5, dst % 5),
+  ar AS (SELECT i, sum(p) AS a FROM m GROUP BY i),
+  br AS (SELECT j, sum(p) AS b FROM m GROUP BY j),
+  tr AS (SELECT coalesce(sum(p), 0) AS tr FROM m WHERE i = j),
+  sab AS (SELECT sum(ar.a * br.b) AS sab FROM ar JOIN br ON ar.i = br.j)
+  SELECT round(((SELECT tr FROM tr) - (SELECT sab FROM sab))
+               / (1 - (SELECT sab FROM sab)), 6) AS attr_assortativity"""
     ),
     "g_degree_assortativity": _with_graph(
         """od AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
@@ -586,6 +871,33 @@ ORACLE_SQL: dict[str, str] = {
     "doc_exact_dedup_count": """
   SELECT count(*) AS n_unique FROM (
     SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+    "doc_ngram_jaccard": """
+  WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words
+    FROM documents),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(words) >= 3
+             THEN list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(list_slice(words, i, i + 2), ' '))
+             ELSE [array_to_string(words, ' ')] END) AS shingles
+    FROM w),
+  ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+  rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+  exr AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN rare USING (s)),
+  cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb
+    FROM exr a JOIN exr b USING (s) WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+  inter AS (
+    SELECT c.id_a, c.id_b, c.na, c.nb, count(*) AS i
+    FROM cand c
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b, c.na, c.nb)
+  SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+  FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.4""",
     # -- embeddings --
     "emb_knn": """
   WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

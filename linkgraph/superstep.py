@@ -11,10 +11,14 @@ message-manager terminate vote + Sum communicator
 
 Iteration-specific machinery Catalyst does not provide (SURVEY.md §4.2):
 
-- **lineage cutting** — every round the new state is cached and the old
-  unpersisted; every ``local_checkpoint_every`` rounds an *eager*
-  ``localCheckpoint`` truncates the logical plan (else round k's plan
-  embeds k self-joins and planning time explodes);
+- **lineage cutting** — every round the returned state is
+  ``localCheckpoint``-ed, so round k+1's plan bottoms out at round k's
+  ``LogicalRDD`` leaf. Anything weaker is a trap: if states are merely
+  cached and unpersisted as they age, a later materialization (or
+  executor loss) recomputes *through* the evicted cache entries —
+  recursively re-running the whole history with exponential fan-out from
+  shared subplans. The checkpoint scan itself is served from the step's
+  cache (the step's stats aggregate already materialized it);
 - **durable checkpoint/resume** — every ``checkpoint_every`` rounds the
   state snapshots through :class:`linkgraph.checkpoint.CheckpointStore`
   with per-partition lineage + metrics; ``run`` resumes from the latest
@@ -53,7 +57,6 @@ def run_supersteps(
     max_rounds: int,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
-    local_checkpoint_every: int = 5,
     resume: bool = True,
 ) -> SuperstepResult:
     spark = init_state.sparkSession
@@ -66,8 +69,7 @@ def run_supersteps(
         if loaded is not None:
             state, start_round = loaded[0], loaded[1]
 
-    state = state.persist()
-    state.count()
+    state = state.localCheckpoint(eager=True)
 
     history: list[dict] = []
     done = False
@@ -75,20 +77,14 @@ def run_supersteps(
     for rnd in range(start_round + 1, max_rounds + 1):
         t0 = time.time()
         returned, stats = step(state, rnd)
-        if rnd % local_checkpoint_every == 0:
-            new_state = returned.localCheckpoint(eager=True)  # cut lineage
+        # flat lineage invariant: every round's state is a LogicalRDD leaf
+        new_state = returned.localCheckpoint(eager=True)
+        if returned.storageLevel.useMemory or returned.storageLevel.useDisk:
             returned.unpersist()
-        elif returned.storageLevel.useMemory or returned.storageLevel.useDisk:
-            # step already persisted + materialized it (via its stats agg)
-            new_state = returned
-        else:
-            new_state = returned.persist()
-            new_state.count()
         stats = dict(stats or {})
         stats["round"] = rnd
         stats["wall_sec"] = time.time() - t0
         history.append(stats)
-        state.unpersist()
         state = new_state
         if store and rnd % checkpoint_every == 0:
             store.save(state, rnd, metrics=stats)

@@ -1,0 +1,140 @@
+"""Path-family + assortativity operators vs plain-Python oracles."""
+
+from __future__ import annotations
+
+import math
+from collections import deque
+
+import pytest
+
+from linkgraph.graph import graph_from_edge_vids
+from linkgraph.algorithms import (
+    all_pairs_shortest_path_length,
+    attribute_assortativity_coefficient,
+    average_shortest_path_length,
+    bfs_generic,
+    closeness_centrality,
+    is_simple_path,
+    numeric_assortativity_coefficient,
+    sssp_has_path,
+    sssp_path,
+)
+from tests.conftest import rmat_edges
+
+EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 0)]
+
+
+def _py_bfs_all(edges, verts, reverse=False):
+    adj = {}
+    for s, d in edges:
+        if reverse:
+            s, d = d, s
+        adj.setdefault(s, []).append(d)
+    out = {}
+    for r in verts:
+        dist = {r: 0}
+        q = deque([r])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, []):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        out[r] = dist
+    return out
+
+
+def test_apsp_matches_python_bfs(spark):
+    edges = rmat_edges(60, 200)
+    verts = sorted({v for e in edges for v in e})
+    g = graph_from_edge_vids(spark, edges)
+    got = {}
+    for r in all_pairs_shortest_path_length(g).collect():
+        got.setdefault(r["root"], {})[r["vid"]] = r["dist"]
+    assert got == _py_bfs_all(edges, verts)
+
+
+def test_closeness_matches_networkx_formula(spark):
+    verts = sorted({v for e in EDGES for v in e})
+    n = len(verts)
+    g = graph_from_edge_vids(spark, EDGES)
+    got = {r["vid"]: r["value"] for r in closeness_centrality(g).collect()}
+    dist_to = _py_bfs_all(EDGES, verts, reverse=True)
+    for v in verts:
+        d = dist_to[v]
+        s = sum(d.values())
+        r = len(d)
+        want = ((r - 1) / s) * ((r - 1) / (n - 1)) if s > 0 else 0.0
+        assert math.isclose(got[v], want, abs_tol=1e-9), (v, got[v], want)
+
+
+def test_average_shortest_path_length(spark):
+    verts = sorted({v for e in EDGES for v in e})
+    g = graph_from_edge_vids(spark, EDGES)
+    alld = _py_bfs_all(EDGES, verts)
+    pairs = [d for dd in alld.values() for d in dd.values() if d > 0]
+    assert math.isclose(
+        average_shortest_path_length(g), sum(pairs) / len(pairs), abs_tol=1e-9
+    )
+
+
+def test_sssp_path_and_has_path(spark):
+    g = graph_from_edge_vids(spark, EDGES)
+    assert sssp_has_path(g, 0, 4)
+    assert not sssp_has_path(g, 4, 0)
+    p = sssp_path(g, 0, 4, weight_col=None)
+    assert p[0] == 0 and p[-1] == 4 and len(p) == 4  # 0→{1,2}→3→4
+    edge_set = set(EDGES)
+    assert all((a, b) in edge_set for a, b in zip(p, p[1:]))
+    assert sssp_path(g, 4, 0, weight_col=None) == []
+
+
+def test_bfs_generic_formats(spark):
+    g = graph_from_edge_vids(spark, EDGES)
+    tree = {(r["src"], r["dst"]) for r in bfs_generic(g, 0, "edges").collect()}
+    # BFS tree from 0: 1 and 2 at depth 1, 3 via min-parent 1, 4 via 3
+    assert tree == {(0, 1), (0, 2), (1, 3), (3, 4)}
+    preds = {r["vid"]: r["predecessor"] for r in bfs_generic(g, 0, "predecessors").collect()}
+    assert preds == {1: 0, 2: 0, 3: 1, 4: 3}
+    succ = {r["vid"]: list(r["successors"]) for r in bfs_generic(g, 0, "successors").collect()}
+    assert succ == {0: [1, 2], 1: [3], 3: [4]}
+
+
+def test_is_simple_path(spark):
+    g = graph_from_edge_vids(spark, EDGES)
+    assert is_simple_path(g, [0, 1, 3, 4])
+    assert is_simple_path(g, [5, 0, 2, 3])
+    assert is_simple_path(g, [2])
+    assert not is_simple_path(g, [0, 3])        # not an edge
+    assert not is_simple_path(g, [0, 1, 3, 4, 0])  # repeated vertex (not an edge either)
+    assert not is_simple_path(g, [])
+    assert not is_simple_path(g, [99])          # absent vertex
+
+
+def test_attribute_and_numeric_assortativity(spark):
+    g = graph_from_edge_vids(spark, EDGES)
+    attrs = spark.createDataFrame(
+        [(v, v % 2) for v in range(6)], "vid long, attr long"
+    )
+    # python oracle: mixing matrix over directed edges
+    pairs = [(s % 2, d % 2) for s, d in EDGES]
+    total = len(pairs)
+    cats = sorted({x for p in pairs for x in p})
+    m = {(i, j): sum(1 for p in pairs if p == (i, j)) / total for i in cats for j in cats}
+    a = {i: sum(m[(i, j)] for j in cats) for i in cats}
+    b = {j: sum(m[(i, j)] for i in cats) for j in cats}
+    tr = sum(m[(c, c)] for c in cats)
+    sab = sum(a[c] * b[c] for c in cats)
+    want = (tr - sab) / (1 - sab)
+    assert math.isclose(attribute_assortativity_coefficient(g, attrs), want, abs_tol=1e-9)
+
+    xs = [float(s % 2) for s, d in EDGES]
+    ys = [float(d % 2) for s, d in EDGES]
+    mx, my = sum(xs) / total, sum(ys) / total
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    want_num = cov / (sx * sy)
+    assert math.isclose(
+        numeric_assortativity_coefficient(g, attrs), want_num, abs_tol=1e-9
+    )
