@@ -52,9 +52,13 @@ def _mk_spark(cores: int):
                      shuffle_partitions=max(cores, 8))
 
 
-def bench_pagerank(spark, n_files: int):
-    """Headline: corpus synth -> edge derivation -> graph build -> PR to
-    convergence. Returns (build_sec, pr_sec, rounds, iters_per_sec)."""
+def bench_pagerank(spark, n_files: int, tol: float | None = 1e-6, max_iter: int = 100):
+    """Headline: corpus synth -> edge derivation -> graph build -> PageRank.
+
+    ``tol`` set → NetworkX convergence mode (headline time-to-convergence);
+    ``tol=None`` → exactly ``max_iter`` rounds (LDBC mode — used by the
+    scaling run so both parallelism levels execute identical work).
+    """
     from linkgraph import build_graph, derive_edges, synth_corpus
     from linkgraph.algorithms.pagerank import _pagerank_impl
 
@@ -65,15 +69,17 @@ def bench_pagerank(spark, n_files: int):
     build_sec = time.time() - t0
 
     t1 = time.time()
-    from linkgraph.superstep import run_supersteps  # noqa: F401 (import cost outside timing)
     from pyspark.sql import functions as F
 
-    ranks = _pagerank_impl(g, alpha=0.85, max_iter=100, tol=1e-6, checkpoint_dir=None)
+    ranks = _pagerank_impl(g, alpha=0.85, max_iter=max_iter, tol=tol, checkpoint_dir=None)
     checksum = ranks.agg(F.sum("value")).first()[0]
     pr_sec = time.time() - t1
 
-    import linkgraph.algorithms.pagerank as _prmod  # module, not the re-exported fn
+    import importlib
 
+    # the package __init__ re-exports a `pagerank` function that shadows the
+    # submodule on attribute lookup — go through sys.modules instead
+    _prmod = importlib.import_module("linkgraph.algorithms.pagerank")
     rounds = _prmod.LAST_ROUNDS
     g.unpersist()
     return build_sec, pr_sec, rounds, n_edges, checksum
@@ -131,11 +137,15 @@ def run_scaling(lo: int, hi: int, n_files: int | None) -> dict:
     north rule: eff = (throughput_hi / throughput_lo) / (hi / lo),
     throughput = PageRank iterations/sec."""
     sf = _sf_from_dir(SF_DIR)
-    n_files = n_files or max(2000, int(CORPUS_FILES_PER_SF * sf))
+    # scaling evidence needs compute to dominate scheduling overhead:
+    # default to a much larger corpus than the headline run
+    n_files = n_files or max(2_000_000, int(CORPUS_FILES_PER_SF * sf))
     results = {}
     for cores in (lo, hi):
         spark = _mk_spark(cores)
-        build_sec, pr_sec, rounds, n_edges, checksum = bench_pagerank(spark, n_files)
+        build_sec, pr_sec, rounds, n_edges, checksum = bench_pagerank(
+            spark, n_files, tol=None, max_iter=10
+        )
         spark.stop()
         results[cores] = {
             "build_sec": round(build_sec, 3),

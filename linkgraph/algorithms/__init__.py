@@ -24,9 +24,12 @@ from linkgraph.algorithms.assortativity import (
 )
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.scc import scc
+from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.lpa_u2i import lpa_u2i
 from linkgraph.algorithms.paths import (
     bfs_parents,
     bfs_generic,
+    sampling_path,
     sssp_predecessors,
     sssp_path,
     sssp_has_path,
@@ -72,4 +75,7 @@ __all__ = [
     "all_pairs_shortest_path_length",
     "closeness_centrality",
     "average_shortest_path_length",
+    "betweenness_centrality",
+    "lpa_u2i",
+    "sampling_path",
 ]

@@ -1,0 +1,87 @@
+"""Bipartite weighted label propagation (u2i) — gs::LPAU2I.
+
+Reference: /root/reference/coordinator/gscoordinator/builtin/app/.gs_conf.yaml:144-146
+(apps/lpa/lpa_u2i.h; python sig app/lpa.py:60-83): label propagation over
+a bipartite user→item graph with edge weights, alternating stages each
+round — items adopt the weight-dominant label among adjacent users, then
+users adopt the weight-dominant label among adjacent items. Ties break to
+the smallest label; runs exactly ``max_round`` rounds.
+
+The weighted per-vertex argmax is the same skew-safe shape as CDLP:
+two-phase salted ``sum(weight)`` by (vertex, label), then an algebraic
+``max(struct(weight, -label))`` — no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _dominant_label(nbr_labels: DataFrame, key: str, num_salts: int) -> DataFrame:
+    """(key, new_label) = label with max total weight, min-label ties.
+
+    Two-phase: (key, label, salt) partial sums absorb hub skew before the
+    per-(key, label) merge; the argmax is an algebraic max(struct)."""
+    salted = nbr_labels.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("label")), F.lit(num_salts))
+    )
+    phase1 = salted.groupBy(key, "label", "_salt").agg(F.sum("w").alias("pw"))
+    counts = phase1.groupBy(key, "label").agg(F.sum("pw").alias("tw"))
+    return counts.groupBy(key).agg(
+        F.max(F.struct(F.col("tw"), (-F.col("label")).alias("neg"))).alias("top")
+    ).select(key, (-F.col("top.neg")).alias("new_label"))
+
+
+def lpa_u2i(
+    graph: LinkGraph,
+    user_set: DataFrame,
+    max_round: int = 10,
+    weight_col: str | None = "weight",
+    num_salts: int = 16,
+) -> DataFrame:
+    """(vid, value) — final labels after ``max_round`` alternating rounds.
+
+    ``user_set``: one-column DataFrame of user vids; every edge is
+    interpreted user→item (edges whose src is not a user are ignored).
+    """
+    users = user_set.select(F.col(user_set.columns[0]).alias("vid")).distinct()
+    e = graph.edges
+    if weight_col and weight_col in e.columns:
+        ue = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    else:
+        ue = e.select("src", "dst", F.lit(1.0).alias("w"))
+    ue = ue.join(users.withColumnRenamed("vid", "src"), "src", "left_semi").persist()
+
+    labels = graph.vertices.select("vid", F.col("vid").alias("label")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(max_round):
+        # stage 1 (u2i): items adopt dominant user label
+        u_labels = labels.join(users, "vid", "left_semi")
+        nbr = ue.join(
+            u_labels.select(F.col("vid").alias("src"), "label"), "src"
+        ).select(F.col("dst"), "label", "w")
+        best_i = _dominant_label(nbr, "dst", num_salts)
+        labels = (
+            labels.join(best_i, labels["vid"] == best_i["dst"], "left")
+            .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # stage 2 (i2u): users adopt dominant item label
+        i_labels = labels.join(users, "vid", "left_anti")
+        nbr2 = ue.join(
+            i_labels.select(F.col("vid").alias("dst"), "label"), "dst"
+        ).select(F.col("src"), "label", "w")
+        best_u = _dominant_label(nbr2, "src", num_salts)
+        labels = (
+            labels.join(best_u, labels["vid"] == best_u["src"], "left")
+            .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+
+    ue.unpersist()
+    return labels.select("vid", F.col("label").alias("value"))

@@ -282,6 +282,54 @@ def closeness_centrality(graph: LinkGraph, wf_improved: bool = True) -> DataFram
     )
 
 
+def sampling_path(
+    graph: LinkGraph, num_paths: int = 10, length: int = 3, seed: int = 42
+) -> DataFrame:
+    """(path_id, path: array<long>) — seeded pseudo-random walk sampling.
+
+    Reference: apps/sampling_path/sampling_path.h (random path sampling
+    over hops). Determinism: start vertices are the ``num_paths`` smallest
+    ``xxhash64(vid, seed)`` values; each hop follows the out-edge with the
+    smallest ``xxhash64(dst, seed + hop)`` — reproducible at any
+    parallelism. Paths stop early at sinks.
+    """
+    edges = graph.edges.select("src", "dst")
+    starts = (
+        graph.vertices.select("vid", F.xxhash64("vid", F.lit(seed)).alias("h"))
+        .orderBy("h", "vid")
+        .limit(num_paths)
+        .select(
+            F.col("vid").alias("path_id"),
+            F.col("vid").alias("cur"),
+            F.array(F.col("vid")).alias("path"),
+        )
+    )
+    state = starts.localCheckpoint(eager=True)
+    for hop in range(1, length + 1):
+        nxt = (
+            state.join(edges, state["cur"] == edges["src"])
+            .groupBy("path_id")
+            .agg(
+                F.min(
+                    F.struct(F.xxhash64("dst", F.lit(seed + hop)).alias("h"), F.col("dst"))
+                ).alias("pick")
+            )
+            .select("path_id", F.col("pick.dst").alias("nxt"))
+        )
+        state = (
+            state.join(nxt, "path_id", "left")
+            .select(
+                "path_id",
+                F.coalesce("nxt", F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("nxt").isNotNull(), F.array_append("path", F.col("nxt"))
+                ).otherwise(F.col("path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("path_id", "path")
+
+
 def average_shortest_path_length(graph: LinkGraph) -> float:
     """gs::SSSPAverageLength — mean dist over ordered reachable pairs
     (excluding self-pairs), unweighted."""
