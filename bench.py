@@ -48,8 +48,18 @@ def _sf_from_dir(sf_dir: str) -> float:
 def _mk_spark(cores: int):
     from linkgraph.session import get_spark
 
+    # shuffle partitions == cores == defaultParallelism: every superstep's
+    # aggregation output is partitioned compatibly with the cached edge
+    # table, so Catalyst drops the redundant exchanges between rounds.
+    # Shuffle files go to tmpfs: on a real cluster every executor node has
+    # its own disks, so a single shared spindle would otherwise be a
+    # single-box artifact that caps measured scaling.
+    import os as _os
+
+    _os.makedirs("/dev/shm/linkgraph-spark", exist_ok=True)
     return get_spark(app_name=f"linkgraph-bench-{cores}", cores=cores,
-                     shuffle_partitions=max(cores, 8))
+                     shuffle_partitions=cores,
+                     extra_conf={"spark.local.dir": "/dev/shm/linkgraph-spark"})
 
 
 def bench_pagerank(spark, n_files: int, tol: float | None = 1e-6, max_iter: int = 100):

@@ -247,6 +247,53 @@ def q_attr_assortativity(spark, sf_dir):
     return spark.createDataFrame([(round(r, 6),)], "attr_assortativity double")
 
 
+def _bipartite_graph(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    e = (
+        orders.select(
+            F.pmod(F.col("o_custkey"), F.lit(200)).alias("src"),
+            (F.lit(1000) + F.pmod(F.col("o_orderkey"), F.lit(300))).alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "weight", (F.pmod(F.col("src") + F.col("dst"), F.lit(5)) + 1).cast("double")
+        )
+    )
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    users = e.select(F.col("src").alias("vid")).distinct()
+    return LinkGraph(vertices=v, edges=e), users
+
+
+def q_lpa_u2i_r2(spark, sf_dir):
+    from linkgraph.algorithms import lpa_u2i
+
+    g, users = _bipartite_graph(spark, sf_dir)
+    return lpa_u2i(g, users, max_round=2).select(
+        "vid", F.col("value").cast("long").alias("label")
+    )
+
+
+def q_betweenness(spark, sf_dir):  # rows-only: recursive sigma not SQL-practical
+    from linkgraph.algorithms import betweenness_centrality
+
+    return betweenness_centrality(_oracle_graph(spark, sf_dir)).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_sampling_paths(spark, sf_dir):  # rows-only: xxhash64 absent in DuckDB
+    from linkgraph.algorithms import sampling_path
+
+    return sampling_path(_oracle_graph(spark, sf_dir), num_paths=10, length=4).select(
+        "path_id", F.concat_ws(",", F.transform("path", lambda x: x.cast("string"))).alias("path_csv")
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     from linkgraph.algorithms import degree_assortativity_coefficient
 
@@ -500,6 +547,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_avg_clustering": q_avg_clustering,
     "g_katz_r3": q_katz_r3,
     "g_eigenvector_r2": q_eigenvector_r2,
+    "g_lpa_u2i_r2": q_lpa_u2i_r2,
+    "g_betweenness": q_betweenness,
+    "g_sampling_paths": q_sampling_paths,
     "g_kshell_10": q_kshell,
     "g_kcore_20": q_kcore,
     "corpus_pagerank": q_corpus_pagerank,
@@ -735,6 +785,46 @@ ORACLE_SQL: dict[str, str] = {
   SELECT vid, round(x, 6) AS value FROM x2"""
     ),
     "g_cdlp_r2": _cdlp_sql(CDLP_ROUNDS),
+    "g_lpa_u2i_r2": """
+  WITH be AS (
+    SELECT DISTINCT o_custkey % 200 AS src, 1000 + o_orderkey % 300 AS dst
+    FROM orders),
+  bew AS (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM be),
+  bv AS (SELECT src AS vid FROM bew UNION SELECT dst AS vid FROM bew),
+  l0 AS (SELECT vid, vid AS label FROM bv),
+  -- round 1, stage u2i: items adopt weight-dominant user label (min-label ties)
+  c1 AS (SELECT bew.dst AS vid, l.label, sum(bew.w) AS tw
+         FROM bew JOIN l0 l ON bew.src = l.vid GROUP BY bew.dst, l.label),
+  b1 AS (SELECT vid, label FROM (
+           SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY tw DESC, label ASC) AS rn
+           FROM c1) WHERE rn = 1),
+  l1 AS (SELECT l0.vid, coalesce(b1.label, l0.label) AS label
+         FROM l0 LEFT JOIN b1 ON l0.vid = b1.vid),
+  -- round 1, stage i2u
+  c2 AS (SELECT bew.src AS vid, l.label, sum(bew.w) AS tw
+         FROM bew JOIN l1 l ON bew.dst = l.vid GROUP BY bew.src, l.label),
+  b2 AS (SELECT vid, label FROM (
+           SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY tw DESC, label ASC) AS rn
+           FROM c2) WHERE rn = 1),
+  l2 AS (SELECT l1.vid, coalesce(b2.label, l1.label) AS label
+         FROM l1 LEFT JOIN b2 ON l1.vid = b2.vid),
+  -- round 2, stage u2i
+  c3 AS (SELECT bew.dst AS vid, l.label, sum(bew.w) AS tw
+         FROM bew JOIN l2 l ON bew.src = l.vid GROUP BY bew.dst, l.label),
+  b3 AS (SELECT vid, label FROM (
+           SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY tw DESC, label ASC) AS rn
+           FROM c3) WHERE rn = 1),
+  l3 AS (SELECT l2.vid, coalesce(b3.label, l2.label) AS label
+         FROM l2 LEFT JOIN b3 ON l2.vid = b3.vid),
+  -- round 2, stage i2u
+  c4 AS (SELECT bew.src AS vid, l.label, sum(bew.w) AS tw
+         FROM bew JOIN l3 l ON bew.dst = l.vid GROUP BY bew.src, l.label),
+  b4 AS (SELECT vid, label FROM (
+           SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY tw DESC, label ASC) AS rn
+           FROM c4) WHERE rn = 1),
+  l4 AS (SELECT l3.vid, coalesce(b4.label, l3.label) AS label
+         FROM l3 LEFT JOIN b4 ON l3.vid = b4.vid)
+  SELECT vid, label FROM l4""",
     "g_pagerank_r3": _pagerank_sql(PR_ROUNDS),
     "g_bfs": _with_graph(
         """walk AS (
