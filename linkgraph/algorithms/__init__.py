@@ -25,6 +25,7 @@ from linkgraph.algorithms.assortativity import (
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.louvain import louvain
 from linkgraph.algorithms.lpa_u2i import lpa_u2i
 from linkgraph.algorithms.paths import (
     bfs_parents,
@@ -78,4 +79,5 @@ __all__ = [
     "betweenness_centrality",
     "lpa_u2i",
     "sampling_path",
+    "louvain",
 ]

@@ -278,6 +278,14 @@ def q_lpa_u2i_r2(spark, sf_dir):
     )
 
 
+def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
+    from linkgraph.algorithms import louvain
+
+    return louvain(_oracle_graph(spark, sf_dir), max_phases=2).select(
+        "vid", F.col("value").cast("long").alias("comm")
+    )
+
+
 def q_betweenness(spark, sf_dir):  # rows-only: recursive sigma not SQL-practical
     from linkgraph.algorithms import betweenness_centrality
 
@@ -548,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_katz_r3": q_katz_r3,
     "g_eigenvector_r2": q_eigenvector_r2,
     "g_lpa_u2i_r2": q_lpa_u2i_r2,
+    "g_louvain": q_louvain,
     "g_betweenness": q_betweenness,
     "g_sampling_paths": q_sampling_paths,
     "g_kshell_10": q_kshell,
