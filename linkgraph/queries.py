@@ -281,9 +281,9 @@ def q_lpa_u2i_r2(spark, sf_dir):
 def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     from linkgraph.algorithms import louvain
 
-    return louvain(_oracle_graph(spark, sf_dir), max_phases=2).select(
-        "vid", F.col("value").cast("long").alias("comm")
-    )
+    return louvain(
+        _oracle_graph(spark, sf_dir), max_phases=1, max_rounds_per_phase=4
+    ).select("vid", F.col("value").cast("long").alias("comm"))
 
 
 def q_betweenness(spark, sf_dir):  # rows-only: recursive sigma not SQL-practical
