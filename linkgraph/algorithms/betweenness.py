@@ -110,6 +110,12 @@ def betweenness_centrality(
 
     bc = acc.groupBy("vid").agg(F.sum("value").alias("value"))
     scale = 1.0 / ((n - 1) * (n - 2)) if (normalized and n > 2) else 1.0
+    if sources is not None:
+        # sampled estimator: raw sums cover only |sources| roots — rescale
+        # by n/k exactly as NetworkX's _rescale does for k-sample BC
+        k = roots.count()
+        if k:
+            scale *= n / k
     out = (
         graph.vertices.select("vid")
         .join(bc, "vid", "left")

@@ -1,15 +1,20 @@
-"""Bipartite weighted label propagation (u2i) — gs::LPAU2I.
+"""Bipartite weighted label propagation (u2i) — dominant-label variant.
 
 Reference: /root/reference/coordinator/gscoordinator/builtin/app/.gs_conf.yaml:144-146
-(apps/lpa/lpa_u2i.h; python sig app/lpa.py:60-83): label propagation over
-a bipartite user→item graph with edge weights, alternating stages each
-round — items adopt the weight-dominant label among adjacent users, then
-users adopt the weight-dominant label among adjacent items. Ties break to
-the smallest label; runs exactly ``max_round`` rounds.
+(apps/lpa/lpa_u2i.h; python sig app/lpa.py:60-83). **Semantics note:** the
+reference app propagates per-vertex property *vectors* via
+degree-normalized weighted averaging (lpa_u2i.h:165-239, returning a
+labeled_vertex_property context); this module implements the companion
+*discrete* dominant-label variant over the same bipartite alternating
+schedule — items adopt the single label with the largest total adjacent
+user edge-weight, then users likewise from items; ties break to the
+smallest label; runs exactly ``max_round`` rounds. One label per vertex,
+not a label-distribution vector.
 
 The weighted per-vertex argmax is the same skew-safe shape as CDLP:
-two-phase salted ``sum(weight)`` by (vertex, label), then an algebraic
-``max(struct(weight, -label))`` — no windows.
+two-phase salted ``sum(weight)`` by (vertex, label) — salted on the
+*varying opposite endpoint* so a hot (vertex, label) group actually
+splits — then an algebraic ``max(struct(weight, -label))``; no windows.
 """
 
 from __future__ import annotations
@@ -20,13 +25,18 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 
 
-def _dominant_label(nbr_labels: DataFrame, key: str, num_salts: int) -> DataFrame:
+def _dominant_label(
+    nbr_labels: DataFrame, key: str, num_salts: int, salt_on: str
+) -> DataFrame:
     """(key, new_label) = label with max total weight, min-label ties.
 
     Two-phase: (key, label, salt) partial sums absorb hub skew before the
-    per-(key, label) merge; the argmax is an algebraic max(struct)."""
+    per-(key, label) merge; the salt hashes the *opposite endpoint*
+    (``salt_on``), which varies per row of a hot (key, label) group —
+    salting on the label itself would be a no-op (same value on every row
+    of the group). The argmax is an algebraic max(struct)."""
     salted = nbr_labels.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col("label")), F.lit(num_salts))
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(num_salts))
     )
     phase1 = salted.groupBy(key, "label", "_salt").agg(F.sum("w").alias("pw"))
     counts = phase1.groupBy(key, "label").agg(F.sum("pw").alias("tw"))
@@ -64,8 +74,8 @@ def lpa_u2i(
         u_labels = labels.join(users, "vid", "left_semi")
         nbr = ue.join(
             u_labels.select(F.col("vid").alias("src"), "label"), "src"
-        ).select(F.col("dst"), "label", "w")
-        best_i = _dominant_label(nbr, "dst", num_salts)
+        ).select(F.col("dst"), F.col("src"), "label", "w")
+        best_i = _dominant_label(nbr, "dst", num_salts, salt_on="src")
         labels = (
             labels.join(best_i, labels["vid"] == best_i["dst"], "left")
             .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))
@@ -75,8 +85,8 @@ def lpa_u2i(
         i_labels = labels.join(users, "vid", "left_anti")
         nbr2 = ue.join(
             i_labels.select(F.col("vid").alias("dst"), "label"), "dst"
-        ).select(F.col("src"), "label", "w")
-        best_u = _dominant_label(nbr2, "src", num_salts)
+        ).select(F.col("src"), F.col("dst"), "label", "w")
+        best_u = _dominant_label(nbr2, "src", num_salts, salt_on="dst")
         labels = (
             labels.join(best_u, labels["vid"] == best_u["src"], "left")
             .select("vid", F.coalesce("new_label", F.col("label")).alias("label"))

@@ -45,8 +45,15 @@ def _pagerank_impl(
     spark = graph.edges.sparkSession
     p = spark.sparkContext.defaultParallelism
     # cache edges partitioned on the per-round join key: the big table
-    # shuffles once here and never again; only the small state moves
-    edges = graph.edges.select("src", "dst").repartition(p, "src").persist()
+    # shuffles once here and never again; only the small state moves. A
+    # graph already partitioned+persisted on src (LinkGraph.partitioned)
+    # is reused as-is — no second shuffle, no second cache.
+    if graph.partition_key == "src":
+        edges = graph.edges.select("src", "dst")
+        owns_edges = False
+    else:
+        edges = graph.edges.select("src", "dst").repartition(p, "src").persist()
+        owns_edges = True
     n = graph.vertices.count()
     if n == 0:
         return spark.createDataFrame([], "vid long, value double")
@@ -106,7 +113,8 @@ def _pagerank_impl(
     LAST_ROUNDS = result.rounds
     LAST_HISTORY = result.history
     out = result.state.select("vid", F.col("rank").alias("value"))
-    edges.unpersist()
+    if owns_edges:
+        edges.unpersist()
     return out
 
 

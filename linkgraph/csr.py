@@ -98,9 +98,13 @@ def _scatter_partials(
     vals = state_pdf[value_col].to_numpy(dtype=np.float64)
     order = np.argsort(vids, kind="stable")
     vids, vals = vids[order], vals[order]
+    # build_graph guarantees edge endpoints ⊆ vertices, but LinkGraph can
+    # be constructed directly — mask sources absent from the co-partitioned
+    # state (contribute 0) instead of reading out of bounds / wrong rows
     pos = np.searchsorted(vids, us)
-    # every block source is a graph vertex co-partitioned with the state
-    src_vals = vals[pos]
+    safe = np.minimum(pos, len(vids) - 1)
+    active = (pos < len(vids)) & (vids[safe] == us)
+    src_vals = np.where(active, vals[safe], 0.0)
 
     per_edge = np.repeat(src_vals, np.diff(indptr))
     partial = np.bincount(dst_idx, weights=per_edge, minlength=len(udst))

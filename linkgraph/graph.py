@@ -84,20 +84,24 @@ class LinkGraph:
     vertices: DataFrame  # (vid long, oid string)
     edges: DataFrame  # (src long, dst long[, weight double])
     directed: bool = True
+    partition_key: str | None = None  # edges pre-hash-partitioned on this col
     _cached: list = field(default_factory=list, repr=False)
 
     # -- construction -------------------------------------------------
-    def partitioned(self, num_partitions: int | None = None) -> "LinkGraph":
-        """Hash-repartition edges by dst and pin them in memory.
+    def partitioned(self, num_partitions: int | None = None, key: str = "src") -> "LinkGraph":
+        """Hash-repartition edges by ``key`` and pin them in memory.
 
         Analog of the reference's per-fragment CSR build during load
         (arrow_fragment_loader.h:398-436): one shuffle up front, every
-        superstep after that reuses the co-located edge blocks.
+        superstep after that reuses the co-located edge blocks. The key is
+        recorded in ``partition_key`` so algorithms that want the same
+        layout (pagerank joins state on ``src``) reuse this cache instead
+        of re-shuffling — one Exchange for the big table, total.
         """
         p = num_partitions or self.edges.sparkSession.sparkContext.defaultParallelism
-        e = self.edges.repartition(p, "dst").sortWithinPartitions("dst").persist()
+        e = self.edges.repartition(p, key).sortWithinPartitions(key).persist()
         e.count()
-        g = replace(self, edges=e)
+        g = replace(self, edges=e, partition_key=key)
         g._cached = self._cached + [e]
         return g
 
