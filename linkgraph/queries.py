@@ -378,7 +378,7 @@ def q_eigenvector_r2(spark, sf_dir):
     ).select("vid", F.round("value", 6).alias("value"))
 
 
-def q_kshell(spark, sf_dir):  # rows-only (iterative peeling is not SQL)
+def q_kshell(spark, sf_dir):
     from linkgraph.algorithms import k_shell
 
     return k_shell(_oracle_graph(spark, sf_dir), k=10).select(
@@ -386,11 +386,82 @@ def q_kshell(spark, sf_dir):  # rows-only (iterative peeling is not SQL)
     )
 
 
-def q_kcore(spark, sf_dir):  # rows-only (iterative peeling is not SQL)
+def q_kcore(spark, sf_dir):
     from linkgraph.algorithms import k_core
 
     return k_core(_oracle_graph(spark, sf_dir), k=20).select(
         "vid", F.col("value").cast("long").alias("in_core")
+    )
+
+
+def q_hits_r2(spark, sf_dir):
+    from linkgraph.algorithms import hits
+
+    # tolerance=0 → never converges early → exactly 2 rounds (SQL-unrollable)
+    return hits(_oracle_graph(spark, sf_dir), tolerance=0.0, max_round=2).select(
+        "vid", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def q_sssp_path_info(spark, sf_dir):
+    """1-row summary of gs::SSSPPath: the found path's endpoints + total
+    weight (path validity — consecutive edges exist — is asserted here;
+    the oracle independently recomputes the true shortest distance)."""
+    from linkgraph.algorithms import sssp_path
+
+    g = _oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src", "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("weight"),
+    )
+    g2 = LinkGraph(vertices=g.vertices, edges=e)
+    lohi = g.vertices.agg(F.min("vid"), F.max("vid")).first()
+    src, dst = lohi[0], lohi[1]
+    path = sssp_path(g2, src=src, dst=dst)
+    if not path:
+        return spark.createDataFrame(
+            [(src, dst, None)], "src_vid long, dst_vid long, dist long"
+        )
+    dist = sum(int((a + b) % 7 + 1) for a, b in zip(path, path[1:]))
+    return spark.createDataFrame(
+        [(src, dst, dist)], "src_vid long, dst_vid long, dist long"
+    )
+
+
+def q_sssp_has_path(spark, sf_dir):
+    from linkgraph.algorithms import sssp_has_path
+
+    g = _oracle_graph(spark, sf_dir)
+    lohi = g.vertices.agg(F.min("vid"), F.max("vid")).first()
+    src, dst = lohi[0], lohi[1]
+    ok = sssp_has_path(g, src=src, dst=dst)
+    return spark.createDataFrame(
+        [(src, dst, bool(ok))], "src_vid long, dst_vid long, has_path boolean"
+    )
+
+
+def q_is_simple_path(spark, sf_dir):
+    from linkgraph.algorithms import is_simple_path
+
+    g = _oracle_graph(spark, sf_dir)
+    nodes = [0, 1, 2]
+    ok = is_simple_path(g, nodes)
+    return spark.createDataFrame([(bool(ok),)], "is_path boolean")
+
+
+def q_kcore_55(spark, sf_dir):
+    from linkgraph.algorithms import k_core
+
+    return k_core(_oracle_graph(spark, sf_dir), k=55).select(
+        "vid", F.col("value").cast("long").alias("in_core")
+    )
+
+
+def q_kshell_55(spark, sf_dir):
+    from linkgraph.algorithms import k_shell
+
+    return k_shell(_oracle_graph(spark, sf_dir), k=55).select(
+        "vid", F.col("value").cast("long").alias("in_shell")
     )
 
 
@@ -561,6 +632,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_sampling_paths": q_sampling_paths,
     "g_kshell_10": q_kshell,
     "g_kcore_20": q_kcore,
+    "g_kcore_55": q_kcore_55,
+    "g_kshell_55": q_kshell_55,
+    "g_hits_r2": q_hits_r2,
+    "g_sssp_path": q_sssp_path_info,
+    "g_sssp_has_path": q_sssp_has_path,
+    "g_is_simple_path": q_is_simple_path,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_wcc": q_corpus_wcc,
     "doc_tokens": q_doc_tokens,
@@ -630,6 +707,94 @@ def _cdlp_sql(rounds: int) -> str:
     return _with_graph(
         pre + "," + ",".join(steps) + f"\n  SELECT vid, label FROM l{rounds}"
     )
+
+
+def _hits_sql(rounds: int) -> str:
+    """Unrolled fixed-round HITS matching linkgraph.algorithms.hits:
+    a_raw from prev hub, h_raw from this round's a_raw, per-round
+    max-normalization, final sum-normalization."""
+    pre = """
+  nv AS (SELECT count(*) AS n FROM v),
+  h0 AS (SELECT vid, 1.0 / (SELECT n FROM nv) AS hub FROM v)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  ar{i} AS (SELECT v.vid, coalesce(s.a, 0) AS a_raw FROM v LEFT JOIN (
+      SELECT e.dst AS vid, sum(h.hub) AS a FROM e JOIN h{p} h ON e.src = h.vid
+      GROUP BY e.dst) s ON v.vid = s.vid),
+  hr{i} AS (SELECT v.vid, coalesce(s.h, 0) AS h_raw FROM v LEFT JOIN (
+      SELECT e.src AS vid, sum(a.a_raw) AS h FROM e JOIN ar{i} a ON e.dst = a.vid
+      GROUP BY e.src) s ON v.vid = s.vid),
+  mx{i} AS (SELECT
+      CASE WHEN max(h_raw) = 0 OR max(h_raw) IS NULL THEN 1.0 ELSE max(h_raw) END AS hm
+      FROM hr{i}),
+  ma{i} AS (SELECT
+      CASE WHEN max(a_raw) = 0 OR max(a_raw) IS NULL THEN 1.0 ELSE max(a_raw) END AS am
+      FROM ar{i}),
+  h{i} AS (SELECT hr.vid,
+      hr.h_raw / (SELECT hm FROM mx{i}) AS hub,
+      ar.a_raw / (SELECT am FROM ma{i}) AS auth
+      FROM hr{i} hr JOIN ar{i} ar ON hr.vid = ar.vid)"""
+        )
+    fin = f"""
+  sums AS (SELECT
+      CASE WHEN sum(hub) = 0 THEN 1.0 ELSE sum(hub) END AS hs,
+      CASE WHEN sum(auth) = 0 THEN 1.0 ELSE sum(auth) END AS "as"
+      FROM h{rounds})
+  SELECT vid, round(hub / (SELECT hs FROM sums), 6) AS hub,
+         round(auth / (SELECT "as" FROM sums), 6) AS auth
+  FROM h{rounds}"""
+    return _with_graph(pre + "," + ",".join(steps) + "," + fin)
+
+
+def _kcore_keep_cte(k: int, rounds: int, tag: str) -> str:
+    """CTE chain for iterative k-core peeling (kcore.h:44-56 semantics);
+    ``keep_{tag}{rounds}`` is the surviving vertex set. ``rounds`` must
+    exceed the peeling fixpoint depth (12 ≫ the ≤7 observed at sf0.01;
+    pytest cross-checks Spark vs this oracle at sf0.001 and sf0.01)."""
+    # MATERIALIZED: DuckDB otherwise inlines each CTE reference, re-opening
+    # the parquet source once per unrolled round and exhausting fds
+    parts = [f"al_{tag}0 AS MATERIALIZED (SELECT lo, hi FROM simple_und)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""dg_{tag}{i} AS MATERIALIZED (SELECT vid, count(*) AS c FROM (
+      SELECT lo AS vid FROM al_{tag}{p} UNION ALL SELECT hi FROM al_{tag}{p}) GROUP BY vid),
+  keep_{tag}{i} AS MATERIALIZED (SELECT vid FROM dg_{tag}{i} WHERE c >= {k}),
+  al_{tag}{i} AS MATERIALIZED (SELECT lo, hi FROM al_{tag}{p}
+      WHERE lo IN (SELECT vid FROM keep_{tag}{i})
+        AND hi IN (SELECT vid FROM keep_{tag}{i}))"""
+        )
+    return ",\n  ".join(parts)
+
+
+_KCORE_ROUNDS = 12
+
+
+def _kcore_sql(k: int, out_col: str) -> str:
+    body = (
+        _kcore_keep_cte(k, _KCORE_ROUNDS, "a")
+        + f"""
+  SELECT v.vid, CASE WHEN v.vid IN (SELECT vid FROM keep_a{_KCORE_ROUNDS}) THEN 1 ELSE 0 END AS {out_col}
+  FROM v"""
+    )
+    return _with_graph(body)
+
+
+def _kshell_sql(k: int) -> str:
+    body = (
+        _kcore_keep_cte(k, _KCORE_ROUNDS, "a")
+        + ",\n  "
+        + _kcore_keep_cte(k + 1, _KCORE_ROUNDS, "b")
+        + f"""
+  SELECT v.vid, CASE WHEN v.vid IN (SELECT vid FROM keep_a{_KCORE_ROUNDS})
+                      AND v.vid NOT IN (SELECT vid FROM keep_b{_KCORE_ROUNDS})
+                     THEN 1 ELSE 0 END AS in_shell
+  FROM v"""
+    )
+    return _with_graph(body)
 
 
 _LANG_MARKER_SQL = {
@@ -794,6 +959,38 @@ ORACLE_SQL: dict[str, str] = {
   SELECT vid, round(x, 6) AS value FROM x2"""
     ),
     "g_cdlp_r2": _cdlp_sql(CDLP_ROUNDS),
+    "g_hits_r2": _hits_sql(2),
+    "g_kcore_20": _kcore_sql(20, "in_core"),
+    "g_kcore_55": _kcore_sql(55, "in_core"),
+    "g_kshell_10": _kshell_sql(10),
+    "g_kshell_55": _kshell_sql(55),
+    "g_sssp_path": _with_graph(
+        """we AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e),
+  walk AS (
+    WITH RECURSIVE x(vid, c) AS (
+      SELECT (SELECT min(vid) FROM v), 0
+      UNION
+      SELECT we.dst, x.c + we.w FROM x JOIN we ON x.vid = we.src WHERE x.c < 60)
+    SELECT * FROM x)
+  SELECT (SELECT min(vid) FROM v) AS src_vid, (SELECT max(vid) FROM v) AS dst_vid,
+         (SELECT min(c) FROM walk WHERE vid = (SELECT max(vid) FROM v)) AS dist"""
+    ),
+    "g_sssp_has_path": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(vid, d) AS (
+      SELECT (SELECT min(vid) FROM v), 0
+      UNION
+      SELECT e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 50)
+    SELECT * FROM w)
+  SELECT (SELECT min(vid) FROM v) AS src_vid, (SELECT max(vid) FROM v) AS dst_vid,
+         EXISTS (SELECT 1 FROM walk WHERE vid = (SELECT max(vid) FROM v)) AS has_path"""
+    ),
+    "g_is_simple_path": _with_graph(
+        """x AS (SELECT 1)
+  SELECT (SELECT count(*) FROM v WHERE vid IN (0, 1, 2)) = 3
+         AND EXISTS (SELECT 1 FROM e WHERE src = 0 AND dst = 1)
+         AND EXISTS (SELECT 1 FROM e WHERE src = 1 AND dst = 2) AS is_path"""
+    ),
     "g_lpa_u2i_r2": """
   WITH be AS (
     SELECT DISTINCT o_custkey % 200 AS src, 1000 + o_orderkey % 300 AS dst

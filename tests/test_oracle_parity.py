@@ -1,0 +1,68 @@
+"""Spark ↔ DuckDB oracle parity at sf0.001 (the driver gate runs sf0.01;
+this exercises the same pairs on the sparser graph where iterative
+behavior differs — k-core peeling cascades 4+ rounds instead of 1)."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+PAIRS = [
+    "g_kcore_20",
+    "g_kcore_55",
+    "g_kshell_10",
+    "g_kshell_55",
+    "g_hits_r2",
+    "g_sssp_has_path",
+    "g_is_simple_path",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.mark.parametrize("name", PAIRS)
+def test_query_matches_oracle_sf0001(spark, duck, name):
+    from linkgraph.queries import ORACLE_SQL, QUERIES
+
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(ORACLE_SQL[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _norm(srows, scols) == _norm(orows, ocols)
