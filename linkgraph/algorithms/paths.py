@@ -282,6 +282,12 @@ def closeness_centrality(graph: LinkGraph, wf_improved: bool = True) -> DataFram
     )
 
 
+def _walk_hash(col, salt: int):
+    """Engine-portable walk hash: md5 over "<value>:<salt>" — identical
+    text in Spark and DuckDB, so the seeded walk is oracle-reproducible."""
+    return F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(salt))))
+
+
 def sampling_path(
     graph: LinkGraph, num_paths: int = 10, length: int = 3, seed: int = 42
 ) -> DataFrame:
@@ -289,13 +295,14 @@ def sampling_path(
 
     Reference: apps/sampling_path/sampling_path.h (random path sampling
     over hops). Determinism: start vertices are the ``num_paths`` smallest
-    ``xxhash64(vid, seed)`` values; each hop follows the out-edge with the
-    smallest ``xxhash64(dst, seed + hop)`` — reproducible at any
-    parallelism. Paths stop early at sinks.
+    ``md5(vid:seed)`` values; each hop follows the out-edge with the
+    smallest ``md5(dst:seed+hop)`` — reproducible at any parallelism and
+    byte-identical to the DuckDB oracle (md5 is engine-portable, unlike
+    xxhash64). Paths stop early at sinks.
     """
     edges = graph.edges.select("src", "dst")
     starts = (
-        graph.vertices.select("vid", F.xxhash64("vid", F.lit(seed)).alias("h"))
+        graph.vertices.select("vid", _walk_hash(F.col("vid"), seed).alias("h"))
         .orderBy("h", "vid")
         .limit(num_paths)
         .select(
@@ -311,7 +318,7 @@ def sampling_path(
             .groupBy("path_id")
             .agg(
                 F.min(
-                    F.struct(F.xxhash64("dst", F.lit(seed + hop)).alias("h"), F.col("dst"))
+                    F.struct(_walk_hash(F.col("dst"), seed + hop).alias("h"), F.col("dst"))
                 ).alias("pick")
             )
             .select("path_id", F.col("pick.dst").alias("nxt"))

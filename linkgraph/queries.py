@@ -286,7 +286,7 @@ def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     ).select("vid", F.col("value").cast("long").alias("comm"))
 
 
-def q_betweenness(spark, sf_dir):  # rows-only: recursive sigma not SQL-practical
+def q_betweenness(spark, sf_dir):
     from linkgraph.algorithms import betweenness_centrality
 
     return betweenness_centrality(_oracle_graph(spark, sf_dir)).select(
@@ -294,7 +294,7 @@ def q_betweenness(spark, sf_dir):  # rows-only: recursive sigma not SQL-practica
     )
 
 
-def q_sampling_paths(spark, sf_dir):  # rows-only: xxhash64 absent in DuckDB
+def q_sampling_paths(spark, sf_dir):
     from linkgraph.algorithms import sampling_path
 
     return sampling_path(_oracle_graph(spark, sf_dir), num_paths=10, length=4).select(
@@ -797,6 +797,87 @@ def _kshell_sql(k: int) -> str:
     return _with_graph(body)
 
 
+def _sampling_paths_sql(num_paths: int, length: int, seed: int) -> str:
+    """Unrolled seeded walk matching linkgraph.algorithms.sampling_path:
+    md5-based start selection and per-hop picks are engine-portable, so
+    the walk replays bit-identically in DuckDB."""
+    parts = [
+        f"""s0 AS MATERIALIZED (
+      SELECT vid AS path_id, vid AS cur, vid::VARCHAR AS path_csv
+      FROM v ORDER BY md5(vid::VARCHAR || ':{seed}'), vid LIMIT {num_paths})"""
+    ]
+    for i in range(1, length + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS MATERIALIZED (SELECT path_id, dst FROM (
+      SELECT s.path_id, e.dst,
+             row_number() OVER (PARTITION BY s.path_id
+                                ORDER BY md5(e.dst::VARCHAR || ':{seed + i}'), e.dst) AS rn
+      FROM s{p} s JOIN e ON s.cur = e.src) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (SELECT s.path_id,
+      coalesce(p.dst, s.cur) AS cur,
+      CASE WHEN p.dst IS NULL THEN s.path_csv
+           ELSE s.path_csv || ',' || p.dst::VARCHAR END AS path_csv
+      FROM s{p} s LEFT JOIN p{i} p USING (path_id))"""
+        )
+    parts.append(f"SELECT path_id, path_csv FROM s{length}")
+    body = ",\n  ".join(parts[:-1]) + "\n  " + parts[-1]
+    return _with_graph(body)
+
+
+def _betweenness_sql(levels: int = 10) -> str:
+    """Unrolled Brandes betweenness (forward multi-source BFS with path
+    counts, backward dependency accumulation per level), matching
+    linkgraph.algorithms.betweenness_centrality on the directed graph with
+    normalized=True. ``levels`` must be ≥ the graph's max eccentricity
+    (3 at sf0.01, 7 at sf0.001; 10 gives headroom — empty levels are
+    no-ops). MATERIALIZED keeps DuckDB from re-expanding each level."""
+    parts = [
+        "lvl0 AS MATERIALIZED (SELECT vid AS root, vid, 1.0 AS sigma FROM v)",
+        "seen0 AS MATERIALIZED (SELECT root, vid FROM lvl0)",
+    ]
+    for d in range(1, levels + 1):
+        p = d - 1
+        parts.append(
+            f"""lvl{d} AS MATERIALIZED (
+      SELECT s.root, e.dst AS vid, sum(s.sigma) AS sigma
+      FROM lvl{p} s JOIN e ON s.vid = e.src
+      WHERE NOT EXISTS (SELECT 1 FROM seen{p} x WHERE x.root = s.root AND x.vid = e.dst)
+      GROUP BY s.root, e.dst)"""
+        )
+        parts.append(
+            f"""seen{d} AS MATERIALIZED (
+      SELECT root, vid FROM seen{p} UNION ALL SELECT root, vid FROM lvl{d})"""
+        )
+    parts.append(
+        f"wd{levels} AS MATERIALIZED (SELECT root, vid, sigma, 0.0 AS delta FROM lvl{levels})"
+    )
+    for d in range(levels - 1, 0, -1):
+        parts.append(
+            f"""wd{d} AS MATERIALIZED (
+      SELECT p.root, p.vid, p.sigma, coalesce(s.dsum, 0) AS delta
+      FROM lvl{d} p LEFT JOIN (
+        SELECT p2.root, p2.vid, sum(p2.sigma * (1.0 + w.delta) / w.sigma) AS dsum
+        FROM lvl{d} p2 JOIN e ON p2.vid = e.src
+        JOIN wd{d + 1} w ON w.root = p2.root AND w.vid = e.dst
+        GROUP BY p2.root, p2.vid) s ON s.root = p.root AND s.vid = p.vid)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT root, vid, delta FROM wd{d}" for d in range(1, levels + 1)
+    )
+    parts.append(
+        f"""acc AS (SELECT vid, sum(delta) AS bc FROM ({unions}) WHERE vid <> root GROUP BY vid),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT v.vid,
+         round(coalesce(acc.bc, 0)
+               / (((SELECT n FROM nv) - 1.0) * ((SELECT n FROM nv) - 2.0)), 6) AS value
+  FROM v LEFT JOIN acc ON v.vid = acc.vid"""
+    )
+    return _with_graph(",\n  ".join(parts))
+
+
 _LANG_MARKER_SQL = {
     "en": ("the", "and", "of", "is"),
     "es": ("el", "la", "los", "que"),
@@ -960,6 +1041,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "g_cdlp_r2": _cdlp_sql(CDLP_ROUNDS),
     "g_hits_r2": _hits_sql(2),
+    "g_betweenness": _betweenness_sql(10),
+    "g_sampling_paths": _sampling_paths_sql(10, 4, 42),
     "g_kcore_20": _kcore_sql(20, "in_core"),
     "g_kcore_55": _kcore_sql(55, "in_core"),
     "g_kshell_10": _kshell_sql(10),

@@ -21,6 +21,8 @@ PAIRS = [
     "g_kshell_10",
     "g_kshell_55",
     "g_hits_r2",
+    "g_betweenness",
+    "g_sampling_paths",
     "g_sssp_has_path",
     "g_is_simple_path",
 ]
