@@ -522,20 +522,25 @@ def q_doc_exact_dedup_count(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).agg(F.count("*").alias("n_unique"))
 
 
-def q_doc_minhash_dups(spark, sf_dir):  # rows-only: xxhash64 not in DuckDB
+def q_doc_minhash_dups(spark, sf_dir):
+    """md5 hash mode → signatures, band hashes and the bucket cap replay
+    bit-identically in the DuckDB oracle (full LSH pipeline checked)."""
     from linkgraph.pipeline import minhash_lsh_duplicates
 
-    return minhash_lsh_duplicates(_docs(spark, sf_dir), threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return minhash_lsh_duplicates(
+        _docs(spark, sf_dir), threshold=0.5, hash_mode="md5", max_bucket_size=100
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_doc_simhash_dups(spark, sf_dir):  # rows-only
+def q_doc_simhash_dups(spark, sf_dir):
+    """Wide-chunk multi-probe banding has 100% recall within the radius,
+    so the oracle is the exact all-pairs Hamming join over DuckDB-
+    recomputed signatures (md5 mode → identical 60-bit signatures)."""
     from linkgraph.pipeline import simhash_duplicates
 
-    return simhash_duplicates(_docs(spark, sf_dir), max_hamming=6).select(
-        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-    )
+    return simhash_duplicates(
+        _docs(spark, sf_dir), max_hamming=6, hash_mode="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_emb_knn(spark, sf_dir):
@@ -1277,6 +1282,67 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY c.id_a, c.id_b, c.na, c.nb)
   SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
   FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.4""",
+    "doc_minhash_dups": """
+  WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words
+    FROM documents),
+  sh AS MATERIALIZED (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(words) >= 3
+             THEN list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(list_slice(words, i, i + 2), ' '))
+             ELSE [array_to_string(words, ' ')] END) AS shingles
+    FROM w),
+  ex AS MATERIALIZED (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+  sigs AS MATERIALIZED (
+    SELECT doc_id, t.i, min(md5(t.i::VARCHAR || ':' || s)) AS mh
+    FROM ex CROSS JOIN (SELECT unnest(range(0, 64)) AS i) t
+    GROUP BY doc_id, t.i),
+  bnd AS MATERIALIZED (
+    SELECT doc_id, (i // 4) AS band,
+           md5((i // 4)::VARCHAR || '|' || string_agg(mh, ',' ORDER BY i)) AS bh
+    FROM sigs GROUP BY doc_id, (i // 4)),
+  ok AS (SELECT band, bh FROM bnd GROUP BY band, bh HAVING count(*) <= 100),
+  bndc AS MATERIALIZED (SELECT bnd.* FROM bnd JOIN ok USING (band, bh)),
+  cand AS MATERIALIZED (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bndc a JOIN bndc b USING (band, bh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+  inter AS (
+    SELECT c.id_a, c.id_b, ea.n AS na, eb.n AS nb, count(*) AS i
+    FROM cand c
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b, ea.n, eb.n)
+  SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+  FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.5""",
+    "doc_simhash_dups": """
+  WITH w AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> x <> '')) AS words
+    FROM documents),
+  wu AS (SELECT doc_id, unnest(words) AS word FROM w),
+  wh AS MATERIALIZED (
+    SELECT doc_id, ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM wu),
+  votes AS MATERIALIZED (
+    SELECT doc_id, t.b, sum((h >> t.b) & 1) AS ones, count(*) AS nw
+    FROM wh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) t
+    GROUP BY doc_id, t.b),
+  sigs AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN 2 * ones > nw THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id),
+  sigall AS MATERIALIZED (
+    SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN sigs s USING (doc_id))
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+  FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
     # -- embeddings --
     "emb_knn": """
   WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

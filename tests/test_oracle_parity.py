@@ -23,6 +23,8 @@ PAIRS = [
     "g_hits_r2",
     "g_betweenness",
     "g_sampling_paths",
+    "doc_minhash_dups",
+    "doc_simhash_dups",
     "g_sssp_has_path",
     "g_is_simple_path",
 ]

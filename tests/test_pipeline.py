@@ -123,8 +123,76 @@ def test_simhash(spark):
     ham01 = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
     ham02 = bin((sigs[0] ^ sigs[2]) & (2**64 - 1)).count("1")
     assert ham01 < ham02
-    pairs = simhash_duplicates(df, max_hamming=ham01).collect()
-    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+    if ham01 <= 7:  # wide-chunk banding serves radii ≤ 7 with full recall
+        pairs = simhash_duplicates(df, max_hamming=ham01).collect()
+        assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_duplicates(df, max_hamming=8)
+
+
+def test_simhash_multiprobe_full_recall(spark):
+    """Radius 4-7 uses 1-bit multi-probe over the same wide chunks; recall
+    within the radius is 100% by pigeonhole — verify against the exact
+    all-pairs Hamming join on a batch of near-identical docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base)]
+    words = base.split()
+    for i in range(1, 12):
+        w = list(words)
+        w[i % len(w)] = f"tok{i}"
+        if i % 3 == 0:
+            w[(2 * i) % len(w)] = f"alt{i}"
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    expected = set()
+    ids = sorted(sigs)
+    for x in ids:
+        for y in ids:
+            if x < y and bin((sigs[x] ^ sigs[y]) & (2**64 - 1)).count("1") <= 6:
+                expected.add((x, y))
+    got = {(r["id_a"], r["id_b"]) for r in simhash_duplicates(df, max_hamming=6).collect()}
+    assert got == expected
+    assert expected  # the fixture must actually produce in-radius pairs
+
+
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    """A corpus with 10% identical boilerplate docs puts them all in one
+    bucket per chunk; the cap drops those buckets (metrics reported) and
+    the remaining join still finds non-boilerplate near-dups."""
+    import linkgraph.pipeline.dedup as dd
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "standard boilerplate header lorem ipsum dolor sit amet"))
+    for i in range(40, 44):
+        rows.append((i, f"unique document number {i} with some distinct words payload"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_duplicates(df, max_hamming=3, max_bucket_size=10).collect()
+    m = dd.LAST_METRICS
+    assert m is not None and m["op"] == "simhash"
+    # the 40-doc boilerplate bucket exceeds the cap in every chunk
+    assert m["dropped_buckets"] >= 4
+    assert m["dropped_entries"] >= 160
+    # boilerplate pairs were dropped with their buckets
+    assert not any(r["id_a"] < 40 and r["id_b"] < 40 for r in pairs)
+
+
+def test_minhash_bucket_cap(spark):
+    import linkgraph.pipeline.dedup as dd
+    from linkgraph.pipeline import minhash_lsh_duplicates
+
+    rows = [(i, "standard boilerplate header lorem ipsum dolor sit amet") for i in range(30)]
+    rows += [(30, "alpha beta gamma delta epsilon zeta"), (31, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_duplicates(df, threshold=0.4, max_bucket_size=8).collect()
+    m = dd.LAST_METRICS
+    assert m is not None and m["op"] == "minhash_lsh" and m["dropped_buckets"] >= 1
+    # the boilerplate mega-buckets are dropped; the small near-dup pair survives
+    assert not any(r["id_a"] < 30 and r["id_b"] < 30 for r in pairs)
+    assert any(r["id_a"] == 30 and r["id_b"] == 31 for r in pairs)
 
 
 def test_ngram_jaccard(spark):
