@@ -149,12 +149,16 @@ def embedding_near_duplicates(
     n_planes: int = 6,
     seed: int = 42,
     exact: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) — pairs with cosine ≥ threshold.
 
     ``exact=True`` does the O(n²) self-join (correctness baseline /
     oracle); default buckets by LSH code first so only same-bucket pairs
-    are compared.
+    are compared. ``max_bucket_size`` drops oversized LSH buckets before
+    the self-join (a hot bucket — e.g. a spike of zero/duplicate vectors
+    — is a quadratic pair generator); drops are recorded in
+    ``linkgraph.pipeline.dedup.LAST_METRICS``.
     """
     e = embeddings.select(F.col(id_col), F.col(vec_col))
     if exact:
@@ -163,6 +167,10 @@ def embedding_near_duplicates(
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         eb = lsh_bucket_codes(e, vec_col, dim, n_planes, seed)
+        if max_bucket_size is not None:
+            from linkgraph.pipeline.dedup import _cap_buckets
+
+            eb = _cap_buckets(eb, ["bucket"], max_bucket_size, op="embedding_lsh")
         a = eb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
         b = eb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
         pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))

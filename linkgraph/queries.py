@@ -566,7 +566,7 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_emb_lsh_ann(spark, sf_dir):  # rows-only: seeded numpy hyperplanes
+def q_emb_lsh_ann(spark, sf_dir):
     from linkgraph.pipeline import lsh_ann_topk
 
     embs = _embs(spark, sf_dir)
@@ -830,6 +830,40 @@ def _sampling_paths_sql(num_paths: int, length: int, seed: int) -> str:
     parts.append(f"SELECT path_id, path_csv FROM s{length}")
     body = ",\n  ".join(parts[:-1]) + "\n  " + parts[-1]
     return _with_graph(body)
+
+
+def _emb_lsh_ann_sql(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 10) -> str:
+    """Replays lsh_ann_topk exactly: the seeded hyperplanes are plan
+    literals in Spark, so the SAME doubles are embedded here (repr
+    round-trips), buckets/probes/re-rank all recomputed by DuckDB."""
+    from linkgraph.pipeline.similarity import _hyperplanes
+
+    H = _hyperplanes(dim, n_planes, seed)
+    bucket_terms = []
+    for i in range(n_planes):
+        plane = ", ".join(repr(float(x)) for x in H[i])
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(bucket_terms)
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)])
+    return f"""
+  WITH eb AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_expr} AS bucket
+    FROM embeddings),
+  qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+  qp AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM qb),
+  cand AS (
+    SELECT qp.query_id, e.vec_id, list_cosine_similarity(e.v, qp.qv) AS cosine
+    FROM eb e JOIN qp ON e.bucket = qp.bucket
+    WHERE e.vec_id <> qp.query_id),
+  ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM cand)
+  SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+  FROM ranked WHERE rank <= {k}"""
 
 
 def _betweenness_sql(levels: int = 10) -> str:
@@ -1360,4 +1394,5 @@ ORACLE_SQL: dict[str, str] = {
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5""",
+    "emb_lsh_ann": _emb_lsh_ann_sql(),
 }

@@ -25,6 +25,7 @@ PAIRS = [
     "g_sampling_paths",
     "doc_minhash_dups",
     "doc_simhash_dups",
+    "emb_lsh_ann",
     "g_sssp_has_path",
     "g_is_simple_path",
 ]
