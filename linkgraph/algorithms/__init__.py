@@ -30,6 +30,8 @@ from linkgraph.algorithms.lpa_u2i import lpa_u2i
 from linkgraph.algorithms.paths import (
     bfs_parents,
     bfs_generic,
+    dfs,
+    all_simple_paths,
     sampling_path,
     sssp_predecessors,
     sssp_path,
@@ -68,6 +70,8 @@ __all__ = [
     "numeric_assortativity_coefficient",
     "bfs_parents",
     "bfs_generic",
+    "dfs",
+    "all_simple_paths",
     "sssp_predecessors",
     "sssp_path",
     "sssp_has_path",

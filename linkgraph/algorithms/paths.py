@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph
 from linkgraph.superstep import run_supersteps
 
+# instrumentation: doubling rounds of the most recent sssp_path extraction
+LAST_SSSP_PATH_ROUNDS: int | None = None
+
 
 def bfs_parents(graph: LinkGraph, src: int, max_depth: int = 10_000) -> DataFrame:
     """(vid, depth, parent) — BFS tree from ``src``; deterministic parent
@@ -152,32 +155,66 @@ def sssp_has_path(graph: LinkGraph, src: int, dst: int) -> bool:
     return tree.where(F.col("vid") == dst).limit(1).count() > 0
 
 
-def sssp_path(graph: LinkGraph, src: int, dst: int, weight_col: str | None = "weight") -> list[int]:
-    """gs::SSSPPath — one shortest path src → dst as a vid list (driver-side
-    backtrack over the collected predecessor map of path vertices only).
+def sssp_path(
+    graph: LinkGraph,
+    src: int,
+    dst: int,
+    weight_col: str | None = "weight",
+    tree: DataFrame | None = None,
+) -> list[int]:
+    """gs::SSSPPath — one shortest path src → dst as a vid list.
+    ``tree`` optionally supplies a precomputed sssp_predecessors result.
 
-    The predecessor *tree* is computed distributed; only the ≤|path| hops
-    are walked on the driver (each hop is one lookup in a broadcast-sized
-    dict of the tree — at 100 TB the tree is still ≤ |V| rows, and the
-    walk touches ≤ diameter entries fetched via targeted filters).
+    The predecessor tree is computed distributed; the path is extracted by
+    **pointer doubling** (O(log |path|) Spark jobs, not one job per hop):
+    each round the ancestor set of ``dst`` absorbs its jump-pointer
+    targets and the jump table composes with itself, so after k rounds
+    the set covers all ancestors within 2^k hops. Only the ≤|path|
+    resulting rows are collected, ordered by distance (strictly
+    increasing along a shortest path for positive weights — the
+    engine's weights are ≥ 1; zero-weight edges would need a hop index).
     """
-    tree = sssp_predecessors(graph, src, weight_col)
-    # fetch only the chain: iterate targeted single-row lookups
-    path: list[int] = []
-    cur = dst
-    seen = set()
-    while cur is not None and cur not in seen:
-        seen.add(cur)
-        row = tree.where(F.col("vid") == cur).select("pred").first()
-        if row is None:
-            return []  # unreachable
-        path.append(cur)
-        if cur == src:
+    if tree is None:
+        tree = sssp_predecessors(graph, src, weight_col)
+    spark = graph.edges.sparkSession
+    if tree.where(F.col("vid") == dst).limit(1).count() == 0:
+        return []  # unreachable
+    if src == dst:
+        return [src]
+    ptr = (
+        tree.where(F.col("pred").isNotNull())
+        .select("vid", F.col("pred").alias("anc"))
+        .localCheckpoint(eager=True)
+    )
+    members = spark.createDataFrame([(int(dst),)], "vid long").localCheckpoint(eager=True)
+    prev = 1
+    rounds = 0
+    while True:
+        grown = members.join(ptr, "vid").select(F.col("anc").alias("vid"))
+        members = members.union(grown).distinct().localCheckpoint(eager=True)
+        rounds += 1
+        cnt = members.count()
+        if cnt == prev:
             break
-        cur = row["pred"]
-    if not path or path[-1] != src:
+        prev = cnt
+        p, q = ptr.alias("p"), ptr.alias("q")
+        ptr = (
+            p.join(q, F.col("p.anc") == F.col("q.vid"))
+            .select(F.col("p.vid").alias("vid"), F.col("q.anc").alias("anc"))
+            .localCheckpoint(eager=True)
+        )
+    global LAST_SSSP_PATH_ROUNDS
+    LAST_SSSP_PATH_ROUNDS = rounds
+    rows = (
+        tree.join(members, "vid", "left_semi")
+        .select("vid", "dist")
+        .orderBy("dist")
+        .collect()
+    )
+    path = [r["vid"] for r in rows]
+    if not path or path[0] != src or path[-1] != dst:
         return []
-    return list(reversed(path))
+    return path
 
 
 def is_simple_path(graph: LinkGraph, nodes: list[int]) -> bool:
@@ -200,6 +237,92 @@ def is_simple_path(graph: LinkGraph, nodes: list[int]) -> bool:
     )
     matched = hops.join(graph.edges.select("src", "dst").distinct(), ["src", "dst"], "left_semi").count()
     return matched == len(nodes) - 1
+
+
+def all_simple_paths(
+    graph: LinkGraph, src: int, dst: int, cutoff: int = 5
+) -> DataFrame:
+    """(path: array<long>) — every simple path src → dst with ≤ ``cutoff``
+    edges.
+
+    Reference: gs::AllSimplePaths
+    (/root/reference/coordinator/gscoordinator/builtin/app/.gs_conf.yaml:230-232,
+    apps/simple_path/all_simple_paths.h). Enumeration is exponential in
+    general — the reference ships it regardless; here the mandatory
+    ``cutoff`` bounds the frontier. Spark shape: the path frontier is a
+    DataFrame of (cur, path) rows expanded one hop per round (join on
+    cur = edges.src, reject revisits with array_contains) — all paths
+    advance level-parallel; completed paths accumulate. A path ending at
+    dst is never extended (a simple path cannot leave and re-enter dst).
+    """
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst")
+    state = spark.createDataFrame(
+        [(int(src), [int(src)])], "cur long, path array<long>"
+    )
+    done = state.where(F.col("cur") == dst).select("path")
+    state = state.where(F.col("cur") != dst).localCheckpoint(eager=True)
+    for _ in range(cutoff):
+        expand = (
+            state.join(edges, state["cur"] == edges["src"])
+            .where(~F.array_contains(F.col("path"), F.col("dst")))
+            .select(F.col("dst").alias("cur"), F.array_append("path", F.col("dst")).alias("path"))
+        )
+        done = done.union(expand.where(F.col("cur") == dst).select("path")).localCheckpoint(
+            eager=True
+        )
+        state = expand.where(F.col("cur") != dst).localCheckpoint(eager=True)
+        if state.limit(1).count() == 0:
+            break
+    return done
+
+
+def dfs(
+    graph: LinkGraph, src: int, max_vertices: int = 1_000_000
+) -> DataFrame:
+    """(vid, rank, parent) — DFS preorder from ``src``, neighbors visited
+    in ascending vid; rank 0 = source; parent = discovering vertex.
+
+    Reference: apps/dfs/dfs.h — the reference's DFS is itself strictly
+    sequential (a single token walks the graph, one message per step,
+    dfs.h:55-120); the distributed part is only adjacency lookup. Here
+    the *reachable* subgraph is pruned distributed (BFS semi-join), then
+    its adjacency is collected and walked on the driver — same O(V)
+    sequential core, bounded by ``max_vertices`` (raise the cap
+    deliberately for big reachable sets; an inherently sequential order
+    cannot be computed distributed any faster than the reference does).
+    """
+    spark = graph.edges.sparkSession
+    reach = bfs_parents(graph, src, max_depth=max_vertices).select("vid")
+    n_reach = reach.count()
+    if n_reach > max_vertices:
+        raise ValueError(
+            f"dfs: reachable set {n_reach} exceeds max_vertices={max_vertices} "
+            "(DFS order is inherently sequential; raise the cap deliberately)"
+        )
+    sub = (
+        graph.edges.select("src", "dst")
+        .join(reach.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(reach.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    )
+    adj = {r["src"]: list(r["nbrs"]) for r in sub.collect()}
+    order: list[tuple[int, int, int | None]] = []
+    visited: set[int] = set()
+    stack: list[tuple[int, int | None]] = [(src, None)]
+    while stack:
+        v, parent = stack.pop()
+        if v in visited:  # re-pushed by an earlier sibling branch
+            continue
+        visited.add(v)
+        order.append((v, len(order), parent))
+        # push reversed so the smallest-vid unvisited neighbor pops first
+        # (visited is checked again at pop — matches recursive preorder)
+        for u in reversed(adj.get(v, [])):
+            if u not in visited:
+                stack.append((u, v))
+    return spark.createDataFrame(order, "vid long, rank long, parent long")
 
 
 # ---------------- multi-source BFS family ----------------

@@ -465,6 +465,28 @@ def q_kshell_55(spark, sf_dir):
     )
 
 
+def q_dfs(spark, sf_dir):  # rows-only: DFS preorder is inherently sequential
+    """gs::DFS — deterministic preorder (ascending-vid neighbor visits)
+    from the min vid; no SQL oracle exists (global visited-set pruning is
+    not expressible relationally) — pytest checks it against a
+    plain-Python recursive-DFS oracle instead (tests/test_paths.py)."""
+    from linkgraph.algorithms import dfs
+
+    g = _oracle_graph(spark, sf_dir)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return dfs(g, src=src).select("vid", "rank", "parent")
+
+
+def q_all_simple_paths(spark, sf_dir):
+    from linkgraph.algorithms import all_simple_paths
+
+    g = _oracle_graph(spark, sf_dir)
+    lohi = g.vertices.agg(F.min("vid"), F.max("vid")).first()
+    return all_simple_paths(g, src=lohi[0], dst=lohi[1], cutoff=3).select(
+        F.concat_ws(",", F.transform("path", lambda x: x.cast("string"))).alias("path_csv")
+    )
+
+
 def q_corpus_pagerank(spark, sf_dir):  # rows-only: corpus is engine-synthesized
     from linkgraph.algorithms import pagerank_nx
 
@@ -643,6 +665,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_sssp_path": q_sssp_path_info,
     "g_sssp_has_path": q_sssp_has_path,
     "g_is_simple_path": q_is_simple_path,
+    "g_dfs": q_dfs,
+    "g_all_simple_paths_c3": q_all_simple_paths,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_wcc": q_corpus_wcc,
     "doc_tokens": q_doc_tokens,
@@ -1082,6 +1106,20 @@ ORACLE_SQL: dict[str, str] = {
     "g_hits_r2": _hits_sql(2),
     "g_betweenness": _betweenness_sql(10),
     "g_sampling_paths": _sampling_paths_sql(10, 4, 42),
+    "g_all_simple_paths_c3": _with_graph(
+        """paths AS (
+    WITH RECURSIVE p(cur, path) AS (
+      SELECT (SELECT min(vid) FROM v), [(SELECT min(vid) FROM v)]
+      UNION ALL
+      SELECT e.dst, list_append(p.path, e.dst)
+      FROM p JOIN e ON p.cur = e.src
+      WHERE p.cur <> (SELECT max(vid) FROM v)
+        AND NOT list_contains(p.path, e.dst)
+        AND len(p.path) <= 3)
+    SELECT * FROM p)
+  SELECT array_to_string(path, ',') AS path_csv
+  FROM paths WHERE cur = (SELECT max(vid) FROM v)"""
+    ),
     "g_kcore_20": _kcore_sql(20, "in_core"),
     "g_kcore_55": _kcore_sql(55, "in_core"),
     "g_kshell_10": _kshell_sql(10),

@@ -89,6 +89,68 @@ def test_sssp_path_and_has_path(spark):
     assert sssp_path(g, 4, 0, weight_col=None) == []
 
 
+def _py_dfs(edges, src):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    order = []
+    visited = set()
+
+    def go(v, parent):
+        visited.add(v)
+        order.append((v, len(order), parent))
+        for u in sorted(adj.get(v, [])):
+            if u not in visited:
+                go(u, v)
+
+    go(src, None)
+    return order
+
+
+def test_dfs_matches_recursive_oracle(spark):
+    from linkgraph.algorithms import dfs
+
+    for edges, src in [(EDGES, 0), (rmat_edges(50, 160), 0)]:
+        g = graph_from_edge_vids(spark, edges)
+        got = sorted(
+            (r["vid"], r["rank"], r["parent"]) for r in dfs(g, src=src).collect()
+        )
+        want = sorted(_py_dfs(edges, src))
+        assert got == want
+
+
+def test_all_simple_paths(spark):
+    from linkgraph.algorithms import all_simple_paths
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (1, 3)]
+    g = graph_from_edge_vids(spark, edges)
+    got3 = {tuple(r["path"]) for r in all_simple_paths(g, 0, 3, cutoff=3).collect()}
+    assert got3 == {(0, 1, 3), (0, 2, 3), (0, 1, 2, 3)}
+    got2 = {tuple(r["path"]) for r in all_simple_paths(g, 0, 3, cutoff=2).collect()}
+    assert got2 == {(0, 1, 3), (0, 2, 3)}
+    assert all_simple_paths(g, 3, 0, cutoff=4).count() == 0
+
+
+def test_sssp_path_extraction_is_log_jobs(spark):
+    """Pointer doubling: extracting a 33-hop path from a precomputed tree
+    must cost O(log path) jobs, not one job per hop (VERDICT r1 fix 9)."""
+    from linkgraph.algorithms import sssp_path
+    from linkgraph.algorithms.paths import sssp_predecessors
+
+    import linkgraph.algorithms.paths as pathmod
+
+    chain = [(i, i + 1) for i in range(33)]
+    g = graph_from_edge_vids(spark, chain)
+    tree = sssp_predecessors(g, 0, weight_col=None).localCheckpoint(eager=True)
+    path = sssp_path(g, 0, 33, weight_col=None, tree=tree)
+    assert path == list(range(34))
+    # doubling covers 2^k ancestors after k rounds; a 33-hop chain must
+    # finish in ≤ ceil(log2(34)) + 1 = 7 driver round-trips (the O(hops)
+    # walk needed 33)
+    assert pathmod.LAST_SSSP_PATH_ROUNDS is not None
+    assert pathmod.LAST_SSSP_PATH_ROUNDS <= 7, pathmod.LAST_SSSP_PATH_ROUNDS
+
+
 def test_bfs_generic_formats(spark):
     g = graph_from_edge_vids(spark, EDGES)
     tree = {(r["src"], r["dst"]) for r in bfs_generic(g, 0, "edges").collect()}
