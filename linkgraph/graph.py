@@ -153,6 +153,76 @@ class LinkGraph:
         )
         return replace(self, vertices=v, edges=e)
 
+    # -- mutation (MODIFY_VERTICES / MODIFY_EDGES,
+    #    grape_instance.cc:267-331; dag_utils.py:289-341) --------------
+    # DataFrames are immutable, so NetworkX-style mutation becomes
+    # union / anti-join rewrites returning a new LinkGraph — the engine
+    # analog of DynamicFragment's add/update/delete paths.
+
+    def add_vertices(self, new_vertices: DataFrame) -> "LinkGraph":
+        """Add vertices (vid[, oid]); existing vids keep their row."""
+        nv = new_vertices.select(
+            F.col(new_vertices.columns[0]).cast("long").alias("vid"),
+            (
+                F.col(new_vertices.columns[1]).cast("string")
+                if len(new_vertices.columns) > 1
+                else F.col(new_vertices.columns[0]).cast("string")
+            ).alias("oid"),
+        ).join(self.vertices.select("vid"), "vid", "left_anti")
+        return replace(
+            self, vertices=self.vertices.select("vid", "oid").unionByName(nv),
+            partition_key=self.partition_key,
+        )
+
+    def remove_vertices(self, vids: DataFrame) -> "LinkGraph":
+        """Delete vertices and every incident edge (NetworkX semantics)."""
+        rm = vids.select(F.col(vids.columns[0]).cast("long").alias("vid")).distinct()
+        v = self.vertices.join(rm, "vid", "left_anti")
+        e = (
+            self.edges.join(rm.withColumnRenamed("vid", "src"), "src", "left_anti")
+            .join(rm.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            .select(self.edges.columns)
+        )
+        return replace(self, vertices=v, edges=e, partition_key=None)
+
+    def add_edges(self, new_edges: DataFrame) -> "LinkGraph":
+        """Add (src, dst[, weight]) edges; endpoints are auto-added as
+        vertices (oid = str(vid)) — DynamicFragment's implicit-vertex
+        behavior. Duplicate edges are not re-added."""
+        has_w = "weight" in self.edges.columns
+        cols = ["src", "dst"] + (["weight"] if has_w else [])
+        in_cols = new_edges.columns
+        sel = [
+            F.col(in_cols[0]).cast("long").alias("src"),
+            F.col(in_cols[1]).cast("long").alias("dst"),
+        ]
+        if has_w:
+            w = F.col(in_cols[2]) if len(in_cols) > 2 else F.lit(1.0)
+            sel.append(w.cast("double").alias("weight"))
+        ne = new_edges.select(*sel)
+        ne = ne.join(self.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        endpoints = (
+            ne.select(F.col("src").alias("vid"))
+            .union(ne.select(F.col("dst").alias("vid")))
+            .distinct()
+            .select("vid", F.col("vid").cast("string").alias("oid"))
+        )
+        g = self.add_vertices(endpoints)
+        return replace(
+            g, edges=self.edges.select(*cols).unionByName(ne), partition_key=None
+        )
+
+    def remove_edges(self, pairs: DataFrame) -> "LinkGraph":
+        """Delete edges by (src, dst); vertices stay (NetworkX semantics)."""
+        rm = pairs.select(
+            F.col(pairs.columns[0]).cast("long").alias("src"),
+            F.col(pairs.columns[1]).cast("long").alias("dst"),
+        ).distinct()
+        return replace(
+            self, edges=self.edges.join(rm, ["src", "dst"], "left_anti"),
+            partition_key=None,
+        )
+
     # -- REPORT_GRAPH scalar queries (types.proto:251-264) ------------
     def node_num(self) -> int:
         return self.vertices.count()

@@ -487,6 +487,43 @@ def q_all_simple_paths(spark, sf_dir):
     )
 
 
+def q_pregel_sssp(spark, sf_dir):
+    """SSSP re-implemented on the user-facing Pregel surface
+    (linkgraph.pregel) — verified against the same recursive-CTE oracle
+    as the built-in sssp, proving the vertex-centric API computes the
+    reference semantics."""
+    from linkgraph.pregel import pregel_sssp
+
+    g = _oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src", "dst", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("weight")
+    )
+    g2 = LinkGraph(vertices=g.vertices, edges=e)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return (
+        pregel_sssp(g2, src=src)
+        .where(F.col("value") != float("inf"))
+        .select("vid", F.col("value").cast("long").alias("dist"))
+    )
+
+
+def q_modify(spark, sf_dir):
+    """MODIFY_VERTICES / MODIFY_EDGES pipeline: delete vertices (with
+    incident edges), delete an edge set, add edges with implicit new
+    vertices — then REPORT_GRAPH the resulting counts."""
+    g = _oracle_graph(spark, sf_dir)
+    g = g.remove_vertices(g.vertices.where(F.col("vid") < 5).select("vid"))
+    g = g.remove_edges(g.edges.where(F.pmod(F.col("src"), F.lit(50)) == 0))
+    g = g.add_edges(
+        spark.createDataFrame([(1000, 1001), (1001, 1002)], "src long, dst long")
+    )
+    return (
+        g.edges.agg(F.count("*").alias("n_edges"))
+        .crossJoin(g.vertices.agg(F.count("*").alias("n_vertices")))
+        .select("n_vertices", "n_edges")
+    )
+
+
 def q_corpus_pagerank(spark, sf_dir):  # rows-only: corpus is engine-synthesized
     from linkgraph.algorithms import pagerank_nx
 
@@ -667,6 +704,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_is_simple_path": q_is_simple_path,
     "g_dfs": q_dfs,
     "g_all_simple_paths_c3": q_all_simple_paths,
+    "g_pregel_sssp": q_pregel_sssp,
+    "g_modify": q_modify,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_wcc": q_corpus_wcc,
     "doc_tokens": q_doc_tokens,
@@ -1106,6 +1145,14 @@ ORACLE_SQL: dict[str, str] = {
     "g_hits_r2": _hits_sql(2),
     "g_betweenness": _betweenness_sql(10),
     "g_sampling_paths": _sampling_paths_sql(10, 4, 42),
+    "g_modify": _with_graph(
+        """e1 AS (SELECT src, dst FROM e WHERE src >= 5 AND dst >= 5),
+  e2 AS (SELECT src, dst FROM e1 WHERE src % 50 <> 0),
+  e3 AS (SELECT src, dst FROM e2
+         UNION ALL SELECT 1000, 1001 UNION ALL SELECT 1001, 1002)
+  SELECT (SELECT count(*) FROM v WHERE vid >= 5) + 3 AS n_vertices,
+         (SELECT count(*) FROM e3) AS n_edges"""
+    ),
     "g_all_simple_paths_c3": _with_graph(
         """paths AS (
     WITH RECURSIVE p(cur, path) AS (
@@ -1434,3 +1481,6 @@ ORACLE_SQL: dict[str, str] = {
   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5""",
     "emb_lsh_ann": _emb_lsh_ann_sql(),
 }
+
+# the Pregel-surface SSSP must produce exactly what the built-in does
+ORACLE_SQL["g_pregel_sssp"] = ORACLE_SQL["g_sssp"]
