@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""One scaling-measurement level: CSR-tier PageRank on the 100M-edge
+synthetic skewed graph at a given core count, with the job pinned to 32
+blocks / 32 shuffle partitions (identical work at every level — a
+cluster keeps its partitioning when executors are added).
+
+Methodology (single-box noise control): fresh JVM per invocation, a
+2-round warmup run (JIT + cache warm, discarded), then a measured
+5-round run; the reported figure is the **median per-round wall time**
+of the measured run. Appends one JSON line to BENCH/scaling_r2.jsonl.
+
+Usage: python BENCH/run_scaling_level.py <cores> [tier]
+"""
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OUT = Path(__file__).parent / "scaling_r2.jsonl"
+EDGES = 100_000_000
+PARTS = 32
+WARMUP_ROUNDS = 2
+ROUNDS = 5
+cores = int(sys.argv[1])
+TIER = sys.argv[2] if len(sys.argv) > 2 else "csr"
+
+from linkgraph.session import get_spark  # noqa: E402
+
+import os  # noqa: E402
+
+os.makedirs("/dev/shm/linkgraph-spark", exist_ok=True)
+spark = get_spark(
+    app_name=f"linkgraph-scaling-{cores}",
+    cores=cores,
+    shuffle_partitions=PARTS,
+    extra_conf={
+        "spark.local.dir": "/dev/shm/linkgraph-spark",
+        "spark.default.parallelism": str(PARTS),
+    },
+)
+from pyspark.sql import functions as F  # noqa: E402
+
+from linkgraph.corpus import synth_edge_graph  # noqa: E402
+
+t0 = time.time()
+g = synth_edge_graph(spark, EDGES // 8, avg_out_degree=8, seed=42, partitions=PARTS)
+n_edges = g.edges.count()
+build_sec = time.time() - t0
+
+
+def run(max_iter):
+    import linkgraph.csr as csr
+    from linkgraph.algorithms.pagerank import _pagerank_impl
+    import linkgraph.algorithms.pagerank as prmod
+
+    t1 = time.time()
+    if TIER == "csr":
+        ranks = csr.pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=None, num_blocks=PARTS)
+        hist = csr.LAST_HISTORY
+    else:
+        ranks = _pagerank_impl(g, alpha=0.85, max_iter=max_iter, tol=None, checkpoint_dir=None)
+        hist = prmod.LAST_HISTORY
+    checksum = ranks.agg(F.sum("value")).first()[0]
+    return time.time() - t1, [h["wall_sec"] for h in hist], checksum
+
+
+warm_sec, _, _ = run(WARMUP_ROUNDS)
+pr_sec, round_secs, checksum = run(ROUNDS)
+med = statistics.median(round_secs)
+rec = {
+    "tier": TIER,
+    "cores": cores,
+    "blocks": PARTS,
+    "n_edges": n_edges,
+    "build_sec": round(build_sec, 1),
+    "warmup_sec": round(warm_sec, 1),
+    "pr_sec": round(pr_sec, 1),
+    "rounds": ROUNDS,
+    "round_secs": [round(x, 2) for x in round_secs],
+    "median_sec_per_round": round(med, 2),
+    "iters_per_sec": round(1.0 / med, 4),
+    "checksum": checksum,
+}
+with OUT.open("a") as f:
+    f.write(json.dumps(rec) + "\n")
+print(json.dumps(rec), flush=True)
+spark.stop()

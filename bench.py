@@ -62,7 +62,8 @@ def _mk_spark(cores: int):
                      extra_conf={"spark.local.dir": "/dev/shm/linkgraph-spark"})
 
 
-def _run_pagerank_tier(spark, g, tier: str, tol: float | None, max_iter: int):
+def _run_pagerank_tier(spark, g, tier: str, tol: float | None, max_iter: int,
+                       num_blocks: int | None = None):
     """Run one PageRank on an already-built graph; returns (sec, rounds,
     checksum)."""
     import importlib
@@ -73,7 +74,8 @@ def _run_pagerank_tier(spark, g, tier: str, tol: float | None, max_iter: int):
     if tier == "csr":
         from linkgraph.csr import pagerank_csr
 
-        ranks = pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=tol)
+        ranks = pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=tol,
+                             num_blocks=num_blocks)
         mod = importlib.import_module("linkgraph.csr")
     else:
         from linkgraph.algorithms.pagerank import _pagerank_impl
@@ -196,11 +198,23 @@ def run_scaling(
     Default workload: the CSR fast tier over a ``--edges``-sized synthetic
     skewed graph (large enough that compute dominates per-round fixed
     cost). ``--n-files`` switches to the corpus-derived graph instead.
+
+    The JOB is identical at both levels — ``hi`` shuffle partitions and
+    ``hi`` CSR blocks regardless of core count (a cluster keeps its
+    partitioning when executors are added); only worker threads vary.
     """
     sf = _sf_from_dir(SF_DIR)
     results = {}
     for cores in (lo, hi):
-        spark = _mk_spark(cores)
+        from linkgraph.session import get_spark
+
+        os.makedirs("/dev/shm/linkgraph-spark", exist_ok=True)
+        spark = get_spark(
+            app_name=f"linkgraph-bench-{cores}", cores=cores,
+            shuffle_partitions=hi,
+            extra_conf={"spark.local.dir": "/dev/shm/linkgraph-spark",
+                        "spark.default.parallelism": str(hi)},
+        )
         if n_files:
             g, n_edges, build_sec = build_corpus_graph(spark, n_files)
         else:
@@ -208,7 +222,7 @@ def run_scaling(
                 spark, n_edges_target or 100_000_000
             )
         pr_sec, rounds, checksum = _run_pagerank_tier(
-            spark, g, tier, tol=None, max_iter=rounds_fixed
+            spark, g, tier, tol=None, max_iter=rounds_fixed, num_blocks=hi
         )
         g.unpersist()
         spark.stop()

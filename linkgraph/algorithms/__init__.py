@@ -26,7 +26,7 @@ from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.louvain import louvain
-from linkgraph.algorithms.lpa_u2i import lpa_u2i
+from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
 from linkgraph.algorithms.paths import (
     bfs_parents,
     bfs_generic,
@@ -82,6 +82,7 @@ __all__ = [
     "average_shortest_path_length",
     "betweenness_centrality",
     "lpa_u2i",
+    "lpa_u2i_vector",
     "sampling_path",
     "louvain",
 ]

@@ -9,7 +9,8 @@ labeled_vertex_property context); this module implements the companion
 schedule — items adopt the single label with the largest total adjacent
 user edge-weight, then users likewise from items; ties break to the
 smallest label; runs exactly ``max_round`` rounds. One label per vertex,
-not a label-distribution vector.
+not a label-distribution vector. The *faithful* reference semantics are
+implemented by :func:`lpa_u2i_vector` below.
 
 The weighted per-vertex argmax is the same skew-safe shape as CDLP:
 two-phase salted ``sum(weight)`` by (vertex, label) — salted on the
@@ -95,3 +96,97 @@ def lpa_u2i(
 
     ue.unpersist()
     return labels.select("vid", F.col("label").alias("value"))
+
+
+def lpa_u2i_vector(
+    graph: LinkGraph,
+    user_set: DataFrame,
+    features: DataFrame,
+    max_round: int = 10,
+    weight_col: str | None = "weight",
+) -> DataFrame:
+    """Faithful gs::LPAU2I semantics — weighted property-*vector*
+    propagation (apps/lpa/lpa_u2i.h:120-239):
+
+    - u2i stage: item vector ← Σ over incoming user edges of
+      ``user_vec · w`` (items are fully recomputed each stage,
+      lpa_u2i.h:172-183);
+    - i2u stage: ``tmp(u) = Σ over out edges of item_vec · w``; per prop,
+      a user value of exactly 0 or 1 is a **clamped seed** and is kept;
+      otherwise ``new = (tmp − out_deg(u)·x) / (nbr_indeg_sum(u) −
+      out_deg(u))`` where ``out_deg`` is u's out-edge *count* and
+      ``nbr_indeg_sum`` the sum of u's item-neighbors' in-degree counts
+      (lpa_u2i.h:188-232; degrees from PEval :70-105). Kept unchanged
+      when the denominator is zero.
+
+    ``features``: (vid, props array<double>) seed vectors for users.
+    ``max_round`` counts (u2i, i2u) stage *pairs* (the reference's raw
+    ``max_round`` steps = 1 init step + 2·pairs stages). Returns the
+    final user vectors exploded as (vid, pid, value) — one row per
+    vertex×property, the labeled_vertex_property context analog.
+
+    Spark shape: props are exploded once to (vid, pid, x) and every stage
+    is a join + ``groupBy(vertex, pid).sum`` — algebraic, map-side
+    combined, no windows, no per-row Python.
+    """
+    users = user_set.select(F.col(user_set.columns[0]).alias("vid")).distinct()
+    e = graph.edges
+    if weight_col and weight_col in e.columns:
+        ue = e.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    else:
+        ue = e.select("src", "dst", F.lit(1.0).alias("w"))
+    ue = ue.join(users.withColumnRenamed("vid", "src"), "src", "left_semi").persist()
+
+    out_deg = ue.groupBy("src").agg(F.count("*").alias("d"))
+    in_deg = ue.groupBy("dst").agg(F.count("*").alias("ind"))
+    nbr_sum = (
+        ue.join(in_deg, "dst")
+        .groupBy("src")
+        .agg(F.sum("ind").alias("s"))
+    )
+    denom = out_deg.join(nbr_sum, "src").select(
+        F.col("src").alias("vid"), "d", "s"
+    ).persist()
+
+    uf = (
+        features.select(
+            F.col(features.columns[0]).alias("vid"),
+            F.posexplode(F.col(features.columns[1])).alias("pid", "x"),
+        )
+        .join(users, "vid", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_round):
+        # u2i: item vectors recomputed from scratch
+        item = (
+            ue.join(uf.withColumnRenamed("vid", "src"), "src")
+            .groupBy("dst", "pid")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("x"))
+        )
+        # i2u part 1: pull item vectors back
+        tmp = (
+            ue.join(item, ["dst"])
+            .select("src", "pid", (F.col("x") * F.col("w")).alias("xw"))
+            .groupBy("src", "pid")
+            .agg(F.sum("xw").alias("tmp"))
+            .withColumnRenamed("src", "vid")
+        )
+        # i2u part 2: clamped-seed update with degree normalization
+        joined = uf.join(tmp, ["vid", "pid"], "left").join(denom, "vid", "left")
+        keep = (
+            (F.col("x") == 0.0)
+            | (F.col("x") == 1.0)
+            | F.col("d").isNull()
+            | (F.col("s") == F.col("d"))
+        )
+        new_x = F.when(keep, F.col("x")).otherwise(
+            (F.coalesce("tmp", F.lit(0.0)) - F.col("d") * F.col("x"))
+            / (F.col("s") - F.col("d"))
+        )
+        uf = joined.select("vid", "pid", new_x.alias("x")).localCheckpoint(eager=True)
+
+    out = uf.select("vid", "pid", F.col("x").alias("value"))
+    ue.unpersist()
+    denom.unpersist()
+    return out

@@ -278,6 +278,26 @@ def q_lpa_u2i_r2(spark, sf_dir):
     )
 
 
+def q_lpa_u2i_vector_r2(spark, sf_dir):
+    """Faithful gs::LPAU2I vector-averaging semantics (2 stage pairs);
+    seeds: per-user 2-prop vectors with exact-0/1 clamped entries."""
+    from linkgraph.algorithms import lpa_u2i_vector
+
+    g, users = _bipartite_graph(spark, sf_dir)
+    p0 = (
+        F.when(F.pmod(F.col("vid"), F.lit(7)) == 0, F.lit(1.0))
+        .when(F.pmod(F.col("vid"), F.lit(7)) == 1, F.lit(0.0))
+        .otherwise(F.pmod(F.col("vid"), F.lit(100)) / F.lit(100.0))
+    )
+    p1 = F.when(F.pmod(F.col("vid"), F.lit(5)) == 0, F.lit(1.0)).otherwise(
+        F.pmod(F.col("vid") * 3, F.lit(100)) / F.lit(100.0)
+    )
+    feats = users.select("vid", F.array(p0, p1).alias("props"))
+    return lpa_u2i_vector(g, users, feats, max_round=2).select(
+        "vid", F.col("pid").cast("long").alias("pid"), F.round("value", 6).alias("value")
+    )
+
+
 def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     from linkgraph.algorithms import louvain
 
@@ -691,6 +711,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_katz_r3": q_katz_r3,
     "g_eigenvector_r2": q_eigenvector_r2,
     "g_lpa_u2i_r2": q_lpa_u2i_r2,
+    "g_lpa_u2i_vec_r2": q_lpa_u2i_vector_r2,
     "g_louvain": q_louvain,
     "g_betweenness": q_betweenness,
     "g_sampling_paths": q_sampling_paths,
@@ -893,6 +914,55 @@ def _sampling_paths_sql(num_paths: int, length: int, seed: int) -> str:
     parts.append(f"SELECT path_id, path_csv FROM s{length}")
     body = ",\n  ".join(parts[:-1]) + "\n  " + parts[-1]
     return _with_graph(body)
+
+
+def _lpa_u2i_vec_sql(rounds: int) -> str:
+    """Unrolled gs::LPAU2I vector propagation (u2i weighted sum; i2u
+    degree-normalized update with exact-0/1 seed clamping) on the same
+    bipartite orders graph as g_lpa_u2i_r2."""
+    pre = """
+  WITH be AS (
+    SELECT DISTINCT o_custkey % 200 AS src, 1000 + o_orderkey % 300 AS dst
+    FROM orders),
+  bew AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM be),
+  us AS (SELECT DISTINCT src AS vid FROM bew),
+  dg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM bew GROUP BY src),
+  ig AS (SELECT dst, count(*) AS ind FROM bew GROUP BY dst),
+  ns AS MATERIALIZED (SELECT bew.src AS vid, sum(ig.ind) AS s
+                      FROM bew JOIN ig USING (dst) GROUP BY bew.src),
+  u0 AS MATERIALIZED (
+    SELECT vid, 0 AS pid,
+           CASE WHEN vid % 7 = 0 THEN 1.0 WHEN vid % 7 = 1 THEN 0.0
+                ELSE (vid % 100) / 100.0 END AS x
+    FROM us
+    UNION ALL
+    SELECT vid, 1 AS pid,
+           CASE WHEN vid % 5 = 0 THEN 1.0 ELSE ((vid * 3) % 100) / 100.0 END AS x
+    FROM us)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(
+            f"""
+  it{r} AS MATERIALIZED (
+    SELECT bew.dst, u.pid, sum(u.x * bew.w) AS x
+    FROM bew JOIN u{p} u ON bew.src = u.vid GROUP BY bew.dst, u.pid),
+  tmp{r} AS MATERIALIZED (
+    SELECT bew.src AS vid, i.pid, sum(i.x * bew.w) AS tmp
+    FROM bew JOIN it{r} i ON bew.dst = i.dst GROUP BY bew.src, i.pid),
+  u{r} AS MATERIALIZED (
+    SELECT u.vid, u.pid,
+           CASE WHEN u.x = 0.0 OR u.x = 1.0 OR dg.d IS NULL OR ns.s = dg.d THEN u.x
+                ELSE (coalesce(t.tmp, 0) - dg.d * u.x) / (ns.s - dg.d) END AS x
+    FROM u{p} u
+    LEFT JOIN tmp{r} t ON t.vid = u.vid AND t.pid = u.pid
+    LEFT JOIN dg ON dg.vid = u.vid
+    LEFT JOIN ns ON ns.vid = u.vid)"""
+        )
+    return (
+        pre + "," + ",".join(steps)
+        + f"\n  SELECT vid, pid::BIGINT AS pid, round(x, 6) AS value FROM u{rounds}"
+    )
 
 
 def _emb_lsh_ann_sql(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 10) -> str:
@@ -1238,6 +1308,7 @@ ORACLE_SQL: dict[str, str] = {
   l4 AS (SELECT l3.vid, coalesce(b4.label, l3.label) AS label
          FROM l3 LEFT JOIN b4 ON l3.vid = b4.vid)
   SELECT vid, label FROM l4""",
+    "g_lpa_u2i_vec_r2": _lpa_u2i_vec_sql(2),
     "g_pagerank_r3": _pagerank_sql(PR_ROUNDS),
     "g_bfs": _with_graph(
         """walk AS (

@@ -94,3 +94,64 @@ def test_sampling_path_deterministic(spark):
     edge_set = set(edges)
     for path in a.values():
         assert all((x, y) in edge_set for x, y in zip(path, path[1:]))
+
+
+def test_lpa_u2i_vector_matches_python_oracle(spark):
+    """Faithful gs::LPAU2I vector semantics vs a plain-Python replay of
+    apps/lpa/lpa_u2i.h:120-239 (u2i weighted sum; i2u clamped
+    degree-normalized update)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms import lpa_u2i_vector
+    from linkgraph.graph import LinkGraph
+
+    edges = [(0, 100), (0, 101), (1, 100), (1, 102), (2, 101), (2, 102), (3, 102)]
+    w = {e: float((e[0] + e[1]) % 4 + 1) for e in edges}
+    seeds = {0: [1.0, 0.3], 1: [0.0, 0.7], 2: [0.5, 1.0], 3: [0.25, 0.6]}
+
+    e_df = spark.createDataFrame(
+        [(s, d, w[(s, d)]) for s, d in edges], "src long, dst long, weight double"
+    )
+    v_df = (
+        e_df.select(F.col("src").alias("vid"))
+        .union(e_df.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    g = LinkGraph(vertices=v_df, edges=e_df)
+    users = spark.createDataFrame([(u,) for u in seeds], "vid long")
+    feats = spark.createDataFrame(
+        [(u, v) for u, v in seeds.items()], "vid long, props array<double>"
+    )
+
+    # plain-python oracle
+    out_deg = {u: sum(1 for s, d in edges if s == u) for u in seeds}
+    in_deg = {}
+    for s, d in edges:
+        in_deg[d] = in_deg.get(d, 0) + 1
+    nbr_sum = {u: sum(in_deg[d] for s, d in edges if s == u) for u in seeds}
+    x = {u: list(v) for u, v in seeds.items()}
+    for _ in range(2):
+        item = {}
+        for (s, d), wt in w.items():
+            acc = item.setdefault(d, [0.0, 0.0])
+            for p in range(2):
+                acc[p] += x[s][p] * wt
+        tmp = {u: [0.0, 0.0] for u in seeds}
+        for (s, d), wt in w.items():
+            for p in range(2):
+                tmp[s][p] += item[d][p] * wt
+        for u in seeds:
+            for p in range(2):
+                xi = x[u][p]
+                if xi in (0.0, 1.0) or nbr_sum[u] == out_deg[u]:
+                    continue
+                x[u][p] = (tmp[u][p] - out_deg[u] * xi) / (nbr_sum[u] - out_deg[u])
+
+    got = {(r["vid"], r["pid"]): r["value"]
+           for r in lpa_u2i_vector(g, users, feats, max_round=2).collect()}
+    for u in seeds:
+        for p in range(2):
+            assert math.isclose(got[(u, p)], x[u][p], abs_tol=1e-9), (u, p, got[(u, p)], x[u][p])
