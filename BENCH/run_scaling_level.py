@@ -20,11 +20,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os  # noqa: E402
+
 OUT = Path(__file__).parent / "scaling_r2.jsonl"
-EDGES = 100_000_000
+EDGES = int(os.environ.get("SCALING_EDGES", 100_000_000))
 PARTS = 32
-WARMUP_ROUNDS = 2
-ROUNDS = 5
+WARMUP_ROUNDS = int(os.environ.get("SCALING_WARMUP", 2))
+ROUNDS = int(os.environ.get("SCALING_ROUNDS", 5))
 cores = int(sys.argv[1])
 TIER = sys.argv[2] if len(sys.argv) > 2 else "csr"
 
@@ -40,6 +42,16 @@ spark = get_spark(
     extra_conf={
         "spark.local.dir": "/dev/shm/linkgraph-spark",
         "spark.default.parallelism": str(PARTS),
+        # local-mode driver == executor JVM; size it like a real executor
+        # fleet would be (box has 128 GiB): 1e8-edge CSR cache + state +
+        # shuffle pages need far more than the 8g interactive default
+        "spark.driver.memory": "64g",
+        # CSR block rows are ~50 MB byte arrays — humongous objects under
+        # G1 (max region 32 MB on Java 17), which fragments the heap and
+        # drives GCLocker retries + kernel page churn that grows round
+        # over round. ParallelGC has no region limit and handles the
+        # few-huge-objects allocation profile cleanly.
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     },
 )
 from pyspark.sql import functions as F  # noqa: E402

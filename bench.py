@@ -161,6 +161,8 @@ def run_default() -> dict:
         "doc_fingerprint",
         "doc_minhash_dups",
         "emb_knn",
+        "g_prop_degree",
+        "gie_twohop_parts",
     ):
         t = time.time()
         QUERIES[name](spark, SF_DIR).count()

@@ -23,18 +23,27 @@ Layout
 - :mod:`linkgraph.pipeline`   — training-data ops: dedup (exact/MinHash-LSH/
   SimHash/n-gram Jaccard/embedding), ANN similarity search, text analysis,
   multimodal column plumbing
+- :mod:`linkgraph.property`   — multi-label property graph (ArrowFragment
+  analog): add_vertices/add_edges/project builder, to_simple() flattening
+- :mod:`linkgraph.gie`        — Gremlin traversal subset compiled to one
+  Catalyst plan (V/E, out/in/both, has, values, groupCount, repeat, ...)
+- :mod:`linkgraph.pregel`     — vertex-centric Pregel user API with aggregators
 """
 
 from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph
 from linkgraph.corpus import synth_corpus, derive_edges, synth_edge_graph
+from linkgraph.property import PropertyGraph
+from linkgraph.gie import traversal
 
 __all__ = [
     "LinkGraph",
+    "PropertyGraph",
     "assign_dense_ids",
     "build_graph",
     "synth_corpus",
     "derive_edges",
     "synth_edge_graph",
+    "traversal",
 ]
 
 __version__ = "0.1.0"

@@ -44,6 +44,20 @@ LANGS = ("py", "java", "cpp")
 _REF_RE = r'"([^"]+)"'
 
 
+def _h(fid: Column, k: int, mode: str) -> Column:
+    """Non-negative pseudo-random 60/64-bit hash of ``(fid, k)``.
+
+    ``xxhash64`` (default) is the fastest JVM-side hash; ``md5`` is
+    engine-portable — DuckDB reproduces it verbatim as
+    ``('0x' || substring(md5('corpus:<k>:' || fid), 1, 15))::BIGINT``,
+    which is what the ``corpus_edges`` correctness oracle replays.
+    """
+    if mode == "md5":
+        hx = F.md5(F.concat(F.lit(f"corpus:{k}:"), fid.cast("string")))
+        return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    return F.xxhash64(fid, F.lit(k))
+
+
 def _repo(fid: Column) -> Column:
     return F.concat(
         F.lit("repo-"),
@@ -51,10 +65,10 @@ def _repo(fid: Column) -> Column:
     )
 
 
-def _lang(fid: Column, seed: int) -> Column:
+def _lang(fid: Column, seed: int, mode: str = "xxhash64") -> Column:
     return F.element_at(
         F.array(*[F.lit(x) for x in LANGS]),
-        (F.pmod(F.xxhash64(fid, F.lit(seed)), F.lit(len(LANGS))) + 1).cast("int"),
+        (F.pmod(_h(fid, seed, mode), F.lit(len(LANGS))) + 1).cast("int"),
     )
 
 
@@ -62,11 +76,11 @@ def _ext(lang: Column) -> Column:
     return F.when(lang == "py", "py").when(lang == "java", "java").otherwise("cc")
 
 
-def _path(fid: Column, seed: int) -> Column:
-    lang = _lang(fid, seed)
+def _path(fid: Column, seed: int, mode: str = "xxhash64") -> Column:
+    lang = _lang(fid, seed, mode)
     return F.concat(
         F.lit("src/pkg_"),
-        F.pmod(F.xxhash64(fid, F.lit(seed + 1)), F.lit(5)).cast("string"),
+        F.pmod(_h(fid, seed + 1, mode), F.lit(5)).cast("string"),
         F.lit("/mod_"),
         F.pmod(fid, F.lit(FILES_PER_REPO)).cast("string"),
         F.lit("."),
@@ -74,54 +88,61 @@ def _path(fid: Column, seed: int) -> Column:
     )
 
 
-def _oid(fid: Column, seed: int) -> Column:
+def _oid(fid: Column, seed: int, mode: str = "xxhash64") -> Column:
     """Canonical vertex oid = ``repo + ':' + path`` (FIXTURES.md §2)."""
-    return F.concat(_repo(fid), F.lit(":"), _path(fid, seed))
+    return F.concat(_repo(fid), F.lit(":"), _path(fid, seed, mode))
 
 
-def synth_corpus(spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def synth_corpus(
+    spark: SparkSession,
+    n_files: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """Deterministic corpus table ``(repo, path, commit, lang, content)``."""
     rng = spark.range(0, n_files, 1, partitions) if partitions else spark.range(n_files)
     fid = F.col("id")
-    lang = _lang(fid, seed)
+    mode = hash_mode
+    lang = _lang(fid, seed, mode)
 
     # Per-slot import target: ~HUB_PCT% of slots hit one of N_HUBS hub files
     # (heavy in-degree hitters), the rest a uniform file. Self-imports are
     # nulled out; slot j exists iff j < n_imports.
-    n_imports = F.pmod(F.xxhash64(fid, F.lit(seed + 2)), F.lit(MAX_IMPORTS + 1))
+    n_imports = F.pmod(_h(fid, seed + 2, mode), F.lit(MAX_IMPORTS + 1))
     import_lines = []
     for j in range(MAX_IMPORTS):
-        is_hub = F.pmod(F.xxhash64(fid, F.lit(seed + 10 + j)), F.lit(100)) < HUB_PCT
+        is_hub = F.pmod(_h(fid, seed + 10 + j, mode), F.lit(100)) < HUB_PCT
         tgt = F.when(
             is_hub,
-            F.pmod(F.xxhash64(fid, F.lit(seed + 20 + j)), F.lit(min(N_HUBS, n_files))),
-        ).otherwise(F.pmod(F.xxhash64(fid, F.lit(seed + 30 + j)), F.lit(n_files)))
+            F.pmod(_h(fid, seed + 20 + j, mode), F.lit(min(N_HUBS, n_files))),
+        ).otherwise(F.pmod(_h(fid, seed + 30 + j, mode), F.lit(n_files)))
         stmt = (
-            F.when(lang == "py", F.concat(F.lit('import "'), _oid(tgt, seed), F.lit('"')))
-            .when(lang == "java", F.concat(F.lit('import "'), _oid(tgt, seed), F.lit('";')))
-            .otherwise(F.concat(F.lit('#include "'), _oid(tgt, seed), F.lit('"')))
+            F.when(lang == "py", F.concat(F.lit('import "'), _oid(tgt, seed, mode), F.lit('"')))
+            .when(lang == "java", F.concat(F.lit('import "'), _oid(tgt, seed, mode), F.lit('";')))
+            .otherwise(F.concat(F.lit('#include "'), _oid(tgt, seed, mode), F.lit('"')))
         )
         import_lines.append(F.when((F.lit(j) < n_imports) & (tgt != fid), stmt))
 
-    header = F.format_string("// file %s of %s", _path(fid, seed), _repo(fid))
+    header = F.format_string("// file %s of %s", _path(fid, seed, mode), _repo(fid))
     body = F.concat(
         F.lit("def main():\n    return "),
-        F.pmod(F.xxhash64(fid, F.lit(seed + 3)), F.lit(1000)).cast("string"),
+        F.pmod(_h(fid, seed + 3, mode), F.lit(1000)).cast("string"),
         F.lit("\n"),
         F.repeat(
             F.lit("# filler line of deterministic source text\n"),
-            (F.pmod(F.xxhash64(fid, F.lit(seed + 4)), F.lit(5)) + 1).cast("int"),
+            (F.pmod(_h(fid, seed + 4, mode), F.lit(5)) + 1).cast("int"),
         ),
     )
     content = F.concat_ws("\n", header, *import_lines, body)
 
     return rng.select(
         _repo(fid).alias("repo"),
-        _path(fid, seed).alias("path"),
+        _path(fid, seed, mode).alias("path"),
         # 40-hex deterministic commit id from (repo, path)
         F.concat(
-            F.md5(F.concat(_repo(fid), F.lit("@"), _path(fid, seed))),
-            F.substring(F.md5(_path(fid, seed)), 1, 8),
+            F.md5(F.concat(_repo(fid), F.lit("@"), _path(fid, seed, mode))),
+            F.substring(F.md5(_path(fid, seed, mode)), 1, 8),
         ).alias("commit"),
         lang.alias("lang"),
         content.alias("content"),

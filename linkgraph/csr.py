@@ -119,7 +119,14 @@ def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
                 }
             )
 
-    return e.mapInArrow(_build, schema=BLOCK_SCHEMA)
+    # Re-hash the P block rows onto their final layout BEFORE persisting:
+    # mapInArrow does not carry the pre-build hash partitioning through the
+    # schema change, so without this the per-round cogroup would push the
+    # entire cached CSR payload (~GBs at 10^8 edges) through a shuffle
+    # Exchange EVERY round. Cached with HashPartitioning(bid, P) matching
+    # the cogroup's required distribution, the blocks side is read
+    # shuffle-free each superstep (asserted in tests/test_plan_shape.py).
+    return e.mapInArrow(_build, schema=BLOCK_SCHEMA).repartition(num_blocks, "bid")
 
 
 def _gather(vids: np.ndarray, vals: np.ndarray, us: np.ndarray, fill) -> np.ndarray:

@@ -44,13 +44,29 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _md5_mod(col, tag: str, seed: int, m: int):
+    """Engine-portable pseudo-random in [0, m): md5 of ``tag:seed:id``.
+
+    Same value in DuckDB via
+    ``('0x' || substring(md5('<tag>:<seed>:' || id), 1, 15))::BIGINT % m``
+    (15 hex chars = 60 bits, fits a signed 64-bit int in both engines).
+    """
+    h = F.md5(F.concat(F.lit(f"{tag}:{seed}:"), col.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m))
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary payload = seeded bytes)."""
+    """Deterministic fake media table (binary payload = seeded bytes).
+
+    All pseudo-randomness is md5-based (:func:`_md5_mod`) so the table —
+    and everything derived from it — replays bit-identically in the
+    DuckDB correctness oracles.
+    """
     base = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+            (_md5_mod(F.col("id"), "modality", seed, 3) + 1).cast("int"),
         ).alias("modality"),
         F.sha2(F.concat(F.lit("payload"), F.col("id").cast("string")), 256).cast("binary").alias("data"),
     )
@@ -62,9 +78,7 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
             F.lit(64).alias("width"),
             F.lit(64).alias("height"),
             F.lit(16000).alias("sample_rate"),
-            (F.pmod(F.xxhash64("media_id", F.lit(seed + 1)), F.lit(240)) + 1).cast("int").alias(
-                "n_frames"
-            ),
+            (_md5_mod(F.col("media_id"), "frames", seed, 240) + 1).cast("int").alias("n_frames"),
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )

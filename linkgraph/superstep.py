@@ -42,6 +42,23 @@ from linkgraph.checkpoint import CheckpointStore
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a round's localCheckpoint blocks immediately.
+
+    Old rounds' checkpoint RDDs otherwise linger until a *driver* GC lets
+    the ContextCleaner find them — at 10^7-row states that lag accumulates
+    GBs of dead blocks and measurably degrades later rounds (observed as
+    round times drifting 15 s → 43 s at 10^8 edges). The analyzed plan of
+    a localCheckpoint-ed Dataset is a LogicalRDD; unpersisting its RDD
+    drops the blocks deterministically. Safe because the *new* state was
+    checkpointed eagerly first (its blocks are independent).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # plan shape changed or blocks already gone — GC will catch it
+
+
 @dataclass
 class SuperstepResult:
     state: DataFrame
@@ -85,6 +102,7 @@ def run_supersteps(
         stats["round"] = rnd
         stats["wall_sec"] = time.time() - t0
         history.append(stats)
+        _free_local_checkpoint(state)
         state = new_state
         if store and rnd % checkpoint_every == 0:
             store.save(state, rnd, metrics=stats)

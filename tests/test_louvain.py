@@ -23,6 +23,30 @@ def test_louvain_separates_cliques(spark):
     assert left != right
 
 
+def test_louvain_modularity_bound(spark):
+    """The partition's modularity must be near the known optimum for the
+    two-clique fixture (Q_opt = 2·(6/13 − (13/26)²) ≈ 0.423) — this is the
+    quantitative oracle backing g_louvain's rows-only driver entry."""
+    edges = _cliques_plus_bridge()
+    g = graph_from_edge_vids(spark, edges)
+    comm = {r["vid"]: r["value"] for r in louvain(g).collect()}
+    und = set()
+    for a, b in edges:
+        und.add((min(a, b), max(a, b)))
+    m = len(und)
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    q = 0.0
+    for c in set(comm.values()):
+        members = {v for v in comm if comm[v] == c}
+        e_c = sum(1 for a, b in und if a in members and b in members)
+        d_c = sum(deg[v] for v in members)
+        q += e_c / m - (d_c / (2 * m)) ** 2
+    assert q >= 0.4, (q, comm)
+
+
 def test_louvain_three_components(spark):
     # three disjoint triangles must land in three distinct communities
     edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (20, 21), (21, 22), (22, 20)]

@@ -28,6 +28,17 @@ PAIRS = [
     "emb_lsh_ann",
     "g_sssp_has_path",
     "g_is_simple_path",
+    "corpus_edges",
+    "media_features",
+    "media_frames",
+    "g_prop_label_counts",
+    "g_prop_degree",
+    "g_prop_wdegree_building",
+    "gie_status_groupcount",
+    "gie_building_values",
+    "gie_twohop_parts",
+    "gie_top_edges",
+    "gie_paths",
 ]
 
 

@@ -59,6 +59,46 @@ def test_prepartitioned_edges_single_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_csr_blocks_cached_copartitioned_no_per_round_exchange(spark):
+    """The persisted CSR blocks must enter the per-round cogroup straight
+    from the cache (Sort → InMemoryTableScan), never through a per-round
+    Exchange — at 10^8 edges that Exchange re-shuffles the entire ~GB CSR
+    payload every superstep."""
+    import pyarrow as pa
+
+    from linkgraph import csr
+    from linkgraph.graph import graph_from_edge_vids
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = graph_from_edge_vids(spark, LANGVILLE_MEYER)
+    blocks = csr.build_csr_blocks(g.edges, p).persist()
+    blocks.count()
+    try:
+        state = g.vertices.select("vid", F.lit(1.0).alias("rank"))
+        st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
+
+        def _noop(s, b):
+            return pa.table({"dst": pa.array([], pa.int64())})
+
+        out = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+            _noop, schema="dst long"
+        )
+        import re
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        cogroup_part = plan.split("InMemoryRelation")[0]  # per-round plan only
+        assert "InMemoryTableScan" in cogroup_part, plan
+        # the blocks branch must read the cache DIRECTLY: a Sort over the
+        # InMemoryTableScan with no Exchange between them (the state side
+        # may exchange as much as it likes — it changes every round)
+        assert re.search(
+            r"\+- Sort \[bid#\d+ ASC NULLS FIRST\], false, 0\n\s*\+- InMemoryTableScan",
+            cogroup_part,
+        ), cogroup_part
+    finally:
+        blocks.unpersist()
+
+
 def test_pagerank_reuses_prepartitioned_graph(spark):
     from linkgraph.algorithms import pagerank_nx
 
