@@ -69,6 +69,15 @@ def _iter_blocks(block_tbl: pa.Table):
 
 
 def _one_row_list(a: np.ndarray, typ) -> pa.ListArray:
+    # Spark's ArrayType interchanges as arrow list (int32 offsets), so one
+    # block row is capped at 2^31 elements. Fail loudly instead of letting
+    # pyarrow overflow at build time: the fix is more blocks, not a bigger
+    # list (num_blocks >= n_edges / 2e9 keeps every block under the cap).
+    if len(a) >= 2**31:
+        raise ValueError(
+            f"CSR block row would hold {len(a)} elements (>= 2^31, the arrow "
+            "list-offset cap) — raise num_blocks so each block stays smaller"
+        )
     return pa.ListArray.from_arrays(
         pa.array([0, len(a)], type=pa.int32()), pa.array(a, type=typ)
     )

@@ -199,7 +199,7 @@ class LinkGraph:
         if has_w:
             w = F.col(in_cols[2]) if len(in_cols) > 2 else F.lit(1.0)
             sel.append(w.cast("double").alias("weight"))
-        ne = new_edges.select(*sel)
+        ne = new_edges.select(*sel).dropDuplicates(["src", "dst"])
         ne = ne.join(self.edges.select("src", "dst"), ["src", "dst"], "left_anti")
         endpoints = (
             ne.select(F.col("src").alias("vid"))

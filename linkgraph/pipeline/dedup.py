@@ -42,6 +42,25 @@ from pyspark.sql import functions as F
 # {"op": ..., "dropped_buckets": n, "dropped_entries": n}
 LAST_METRICS: dict | None = None
 
+# Cache ownership: the near-dup operators persist an intermediate
+# (shingles / signatures) that the *returned lazy plan* still references,
+# so it cannot be unpersisted inside the function. Each new invocation
+# releases the previous invocation's blocks (bounding residency to one
+# pipeline run); ``release_cached()`` frees the rest explicitly.
+_CACHED: list[DataFrame] = []
+
+
+def _own_cache(df: DataFrame) -> DataFrame:
+    release_cached()
+    _CACHED.append(df.persist())
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist intermediates cached by the most recent near-dup call."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 # ---------------- exact ----------------
 
 
@@ -167,7 +186,7 @@ def minhash_lsh_duplicates(
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sh = word_shingles(df, id_col, text_col, k).persist()
+    sh = _own_cache(word_shingles(df, id_col, text_col, k))
     sig = minhash_signatures(sh, id_col, num_perm, hash_mode=hash_mode)
 
     def _band_hash(b: Column) -> Column:
@@ -316,7 +335,7 @@ def simhash_duplicates(
             f"got {max_hamming}"
         )
     n_bits = SIMHASH_BITS[hash_mode]
-    sig = simhash_signatures(df, id_col, text_col, hash_mode=hash_mode).persist()
+    sig = _own_cache(simhash_signatures(df, id_col, text_col, hash_mode=hash_mode))
     n_chunks = 4
     width = n_bits // n_chunks
     mask = (1 << width) - 1
@@ -394,7 +413,7 @@ def ngram_jaccard_pairs(
     creates a quadratic candidate blowup at scale). Jaccard is computed
     on the *full* shingle sets of surviving candidate pairs.
     """
-    sh = word_shingles(df, id_col, text_col, k).persist()
+    sh = _own_cache(word_shingles(df, id_col, text_col, k))
     ex = sh.select(F.col(id_col), F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     rare = ex.groupBy("s").agg(F.count("*").alias("freq")).where(F.col("freq") <= max_shingle_freq)
     exr = ex.join(rare.select("s"), "s", "left_semi")

@@ -29,6 +29,7 @@ Iteration-specific machinery Catalyst does not provide (SURVEY.md §4.2):
 
 from __future__ import annotations
 
+import logging
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -40,6 +41,9 @@ from linkgraph.checkpoint import CheckpointStore
 # A step takes (state, round) and returns (new_state, stats) where stats is
 # a dict of scalars the loop hands to `converged`.
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
+
+# warn once (not per round) if the deterministic block-free path breaks
+_FREE_WARNED = False
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
@@ -53,10 +57,18 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     drops the blocks deterministically. Safe because the *new* state was
     checkpointed eagerly first (its blocks are independent).
     """
+    global _FREE_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # plan shape changed or blocks already gone — GC will catch it
+    except Exception as exc:  # plan shape changed — GC will catch it, slowly
+        if not _FREE_WARNED:
+            _FREE_WARNED = True
+            logging.getLogger(__name__).warning(
+                "localCheckpoint block freeing unavailable (%s: %s) — old "
+                "superstep states will linger until driver GC; expect round "
+                "times to drift at large state sizes",
+                type(exc).__name__, exc,
+            )
 
 
 @dataclass

@@ -70,3 +70,43 @@ def test_torn_manifest_line_ignored(spark, tmp_path):
     with open(store.manifest_path, "a") as f:
         f.write('{"round": 999, "path": "/nonexistent"')  # torn write
     assert CheckpointStore(ck).latest()["round"] == before
+
+
+def test_old_round_checkpoint_blocks_freed(spark):
+    """_free_local_checkpoint must actually drop old rounds' RDD blocks.
+
+    It reaches into py4j internals (queryExecution().analyzed().rdd()), so a
+    Spark upgrade could silently break it and reinstate the block-
+    accumulation regression (round times drifting 15s -> 43s at 1e8 edges).
+    Run a multi-round superstep job and assert cached-RDD count stays O(1),
+    not O(rounds).
+    """
+    from pyspark.sql import functions as F
+
+    from linkgraph.superstep import run_supersteps
+
+    def n_cached() -> int:
+        return sum(
+            1
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if info.numCachedPartitions() > 0
+        )
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    init = spark.range(1000).select(F.col("id").alias("vid"), F.lit(0.0).alias("value"))
+
+    def step(state, rnd):
+        new = state.select("vid", (F.col("value") + 1.0).alias("value"))
+        stats = {"sum": new.agg(F.sum("value")).first()[0]}
+        return new, stats
+
+    res = run_supersteps(init, step, converged=lambda s: False, max_rounds=8)
+    assert res.rounds == 8
+    # only the final state's localCheckpoint (and possibly the in-flight
+    # one) may hold blocks; 8 rounds must not leave 8 checkpoint RDDs
+    assert n_cached() - base <= 2, (
+        f"{n_cached() - base} cached RDDs after 8 rounds — old localCheckpoint "
+        "blocks are not being freed (superstep._free_local_checkpoint broke)"
+    )
+    res.state.unpersist()
