@@ -10,12 +10,19 @@ module implements that mapping as a fluent traversal over
 
 - V/E source scans           → per-label DataFrame unions   (proto :66-67)
 - out/in/both (+E/V forms)   → equi hash joins on the edge tables (:68-76)
+- bothE/otherV               → union + came-from column     (:75,:114)
 - has/hasLabel               → Catalyst filters             (:86,:93)
 - values/select              → projections                  (:77,:91)
+- as_/select_/select         → tag columns carried on the frontier (:77,:89)
+- where                      → cross-step Catalyst filter   (:90)
+- union(...)                 → branch traversals + unionByName (:83)
 - count/groupCount           → aggregations                 (:111,:85)
+- group().by(k).by(agg)      → group_by keyed aggregation   (:107,:115-123)
+- sample                     → deterministic hash top-n     (:141)
 - dedup/order/limit          → dropDuplicates/orderBy/limit (:84,:80,:81)
 - repeat(...).times(n)       → driver-side loop             (:87-88)
 - withPath/path/simplePath   → array column + guards        (:95,:98)
+- subgraph()                 → LinkGraph sink (GIE→GAE pipeline, :146-147)
 
 Traversals carry **bag semantics** (duplicates preserved, as Gremlin
 does) until an explicit ``dedup()``; joins preserve multiplicity, so no
@@ -32,7 +39,15 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.graph import LinkGraph, assign_dense_ids
 from linkgraph.property import PropertyGraph
+
+
+def tag(name: str) -> Column:
+    """Column reference to an ``as_(name)`` step label, for ``where``:
+    ``t.where(F.col('oid') != tag('a'))`` — the WHERE cross-step
+    predicate (query_flow.proto:90)."""
+    return F.col(f"__as_{name}")
 
 
 def _union_all(parts: list[DataFrame]) -> DataFrame:
@@ -107,13 +122,18 @@ class Traversal:
         names = labels or tuple(self.pg.e_tables)
         return [(n, self.pg.e_tables[n]) for n in names]
 
+    def _tag_cols(self) -> list:
+        """``as_()`` tag columns carried through every expansion."""
+        return [F.col(c) for c in self.df.columns if c.startswith("__as_")]
+
     def _path_cols(self) -> list:
-        return [F.col("__path")] if self.tracked else []
+        cols = [F.col("__path")] if self.tracked else []
+        return cols + self._tag_cols()
 
     def _append_path(self, new_oid) -> list:
         if not self.tracked:
-            return []
-        return [F.concat(F.col("__path"), F.array(new_oid)).alias("__path")]
+            return self._tag_cols()
+        return [F.concat(F.col("__path"), F.array(new_oid)).alias("__path")] + self._tag_cols()
 
     def out(self, *labels: str) -> "Traversal":
         self._require_v("out")
@@ -218,12 +238,167 @@ class Traversal:
             key = self._join_vprop(by).select(F.col(by).alias("key"))
         return key.groupBy("key").agg(F.count("*").alias("n"))
 
+    # -- step labels: as_/select (SELECT :77 / SELECT_ONE :89) ---------
+    def as_(self, name: str) -> "Traversal":
+        """Tag the current vertex frontier; later steps can jump back with
+        ``select_`` or reference it in ``where`` via :func:`tag`."""
+        self._require_v("as_")
+        df = self.df.withColumn(f"__as_{name}", F.col("oid")).withColumn(
+            f"__as_{name}_lbl", F.col("label")
+        )
+        return self._next(df)
+
+    def select_(self, name: str) -> "Traversal":
+        """SELECT_ONE: continue the traversal from the tagged vertex
+        (multiplicity of the current frontier is preserved — each
+        traverser jumps back to *its* tagged element)."""
+        col = f"__as_{name}"
+        if col not in self.df.columns:
+            raise ValueError(f"select_({name!r}): no as_({name!r}) upstream")
+        keep = [c for c in self.df.columns if c.startswith("__as_") or c == "__path"]
+        df = self.df.select(
+            F.col(col).alias("oid"), F.col(f"{col}_lbl").alias("label"),
+            *[F.col(c) for c in keep],
+        )
+        return self._next(df, "v")
+
+    def select(self, *names: str) -> DataFrame:
+        """SELECT: one output column per step label (tagged oids)."""
+        cols = []
+        for n in names:
+            c = f"__as_{n}"
+            if c not in self.df.columns:
+                raise ValueError(f"select({n!r}): no as_({n!r}) upstream")
+            cols.append(F.col(c).alias(n))
+        return self.df.select(*cols)
+
+    def where(self, cond) -> "Traversal":
+        """WHERE (:90): cross-step predicate. ``cond`` is a Column (use
+        :func:`tag` to reference as_ labels) or a callable df → Column."""
+        c = cond(self.df) if callable(cond) else cond
+        return self._next(self.df.where(c))
+
+    # -- union (:83) ---------------------------------------------------
+    def union(self, *branches) -> "Traversal":
+        """UNION: apply each branch traversal to this frontier and merge
+        the results (bag semantics). All branches must end in the same
+        frontier kind."""
+        outs = [b(self) for b in branches]
+        kinds = {t.kind for t in outs}
+        if len(kinds) != 1:
+            raise ValueError(f"union(): branches end in mixed kinds {kinds}")
+        dfs = [t.df for t in outs]
+        merged = dfs[0]
+        for d in dfs[1:]:
+            merged = merged.unionByName(d, allowMissingColumns=True)
+        out = self._next(merged, outs[0].kind)
+        out.tracked = all(t.tracked for t in outs)
+        return out
+
+    # -- keyed aggregation (GROUP :107, SUM/MAX/MIN/COUNT by key :115-123)
+    def group_by(self, key: str, agg: str = "count", value: str | None = None) -> DataFrame:
+        """group().by(key).by(agg(value)) → (key, value) DataFrame.
+
+        ``agg`` ∈ {count, sum, min, max, avg}; ``value`` names the
+        aggregated property (unused for count). Properties resolve like
+        has()/values(): edge columns on an edge frontier, per-label
+        vertex property joins on a vertex frontier.
+        """
+        aggs = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}
+        if agg not in aggs:
+            raise ValueError(f"group_by: unknown agg {agg!r} (use {sorted(aggs)})")
+        if agg != "count" and value is None:
+            raise ValueError(f"group_by: agg {agg!r} needs a value property")
+        need = [key] + ([value] if value and value != key else [])
+        if self.kind == "e":
+            df = self.df
+        else:
+            df = self.df
+            for prop in need:
+                if prop not in df.columns:
+                    t = Traversal(self.pg, df, "v", self.tracked)
+                    df = t._join_vprop(prop)
+        expr = F.count("*") if agg == "count" else aggs[agg](F.col(value))
+        return df.groupBy(F.col(key).alias("key")).agg(expr.alias("value"))
+
+    # -- sample (:141) -------------------------------------------------
+    def sample(self, n: int, seed: int = 42) -> "Traversal":
+        """Deterministic hash-sample of ``n`` traversers: order by
+        md5(seed ‖ element identity), take n. Engine-portable (the
+        DuckDB oracle replays the same ranking) and scale-safe (TakeOrdered
+        keeps n rows per partition, never a global sort)."""
+        ident = (
+            [F.col("oid")] if self.kind == "v" else [F.col("src_oid"), F.col("dst_oid"), F.col("label")]
+        )
+        rank = F.md5(F.concat_ws("|", F.lit(str(seed)), *ident))
+        return self._next(
+            self.df.withColumn("__rk", rank).orderBy("__rk").limit(n).drop("__rk")
+        )
+
+    # -- bothE / otherV (:75, :114) ------------------------------------
+    def bothE(self, *labels: str) -> "Traversal":
+        """Incident edges in either direction; remembers the visited
+        endpoint so ``otherV`` can leave through the opposite one."""
+        self._require_v("bothE")
+        o = self.outE(*labels)
+        i = self.inE(*labels)
+        odf = o.df.withColumn("__from", F.col("src_oid"))
+        idf = i.df.withColumn("__from", F.col("dst_oid"))
+        return self._next(odf.unionByName(idf, allowMissingColumns=True), "e")
+
+    def otherV(self) -> "Traversal":
+        """OTHER_V: the endpoint the traverser did *not* arrive from."""
+        self._require_e("otherV")
+        if "__from" not in self.df.columns:
+            raise ValueError("otherV(): use after bothE() (direction is known "
+                             "after outE/inE — use inV()/outV() there)")
+        src_lbl = {n: el.src_label for n, el in self.pg.e_tables.items()}
+        dst_lbl = {n: el.dst_label for n, el in self.pg.e_tables.items()}
+
+        def _lblmap(m):
+            return F.element_at(
+                F.create_map(*[x for k, v in m.items() for x in (F.lit(k), F.lit(v))]),
+                F.col("label"),
+            )
+
+        came_from_src = F.col("__from") == F.col("src_oid")
+        oid = F.when(came_from_src, F.col("dst_oid")).otherwise(F.col("src_oid"))
+        lbl = F.when(came_from_src, _lblmap(dst_lbl)).otherwise(_lblmap(src_lbl))
+        return self._next(
+            self.df.select(oid.alias("oid"), lbl.alias("label"), *self._append_path(oid)),
+            "v",
+        )
+
+    # -- subgraph sink (:146-147) — the GIE→GAE pipeline ---------------
+    def subgraph(self, partitions: int | None = None) -> LinkGraph:
+        """Materialize the traversed edges as a :class:`LinkGraph` so GAE
+        analytics (pagerank/kcore/triangles/...) run on the traversal
+        result — the reference's flagship gremlin → subgraph → analytics
+        story (/root/reference/README.md:93-100; minitest
+        test/test_min.py:76-110). Call on an edge frontier; duplicate
+        traversed edges collapse (a subgraph is a set of edges)."""
+        self._require_e("subgraph")
+        e_oid = self.df.select("src_oid", "dst_oid").distinct()
+        oids = (
+            e_oid.select(F.col("src_oid").alias("oid"))
+            .union(e_oid.select(F.col("dst_oid").alias("oid")))
+            .distinct()
+        )
+        vmap = assign_dense_ids(oids, partitions=partitions)
+        e = (
+            e_oid.join(vmap.select(F.col("oid").alias("src_oid"), F.col("vid").alias("src")), "src_oid")
+            .join(vmap.select(F.col("oid").alias("dst_oid"), F.col("vid").alias("dst")), "dst_oid")
+            .select("src", "dst")
+        )
+        return LinkGraph(vertices=vmap, edges=e)
+
     # -- dedup / order / limit ----------------------------------------
     def dedup(self) -> "Traversal":
-        """DEDUP by element identity (oid/endpoints), not by path —
-        Gremlin's dedup() compares the current element only."""
-        if self.tracked:
-            subset = [c for c in self.df.columns if c != "__path"]
+        """DEDUP by element identity (oid/endpoints), not by path or step
+        tags — Gremlin's dedup() compares the current element only (an
+        arbitrary surviving traverser keeps its history, as in Gremlin)."""
+        subset = [c for c in self.df.columns if not c.startswith("__")]
+        if len(subset) < len(self.df.columns):
             return self._next(self.df.dropDuplicates(subset))
         return self._next(self.df.dropDuplicates())
 

@@ -710,6 +710,99 @@ def q_gie_paths(spark, sf_dir):
     return t.path().select(F.concat_ws("/", "path").alias("path"))
 
 
+def q_gie_select_one(spark, sf_dir):
+    """as_('c').out('placed').has('o_orderstatus','F').select_('c').dedup()
+    .count() — SELECT_ONE (query_flow.proto:89): customers with ≥1 'F'
+    order, found by jumping back to the tagged step."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return (
+        g.V("customer").as_("c").out("placed").has("o_orderstatus", "F")
+        .select_("c").dedup().count()
+    )
+
+
+def q_gie_union(spark, sf_dir):
+    """union(out('placed'), out('placed').out('contains')).count() — UNION
+    (:83) with bag semantics: BUILDING customers' orders plus those
+    orders' lineitem fan-out, counted together."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return (
+        g.V("customer").has("c_mktsegment", "BUILDING")
+        .union(
+            lambda t: t.out("placed"),
+            lambda t: t.out("placed").out("contains"),
+        )
+        .count()
+    )
+
+
+def q_gie_group_sum(spark, sf_dir):
+    """group().by('o_orderstatus').by(sum('o_totalprice')) — keyed
+    aggregation (:107,:115-123) over a vertex frontier."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    grp = g.V("customer").out("placed").group_by("o_orderstatus", "sum", "o_totalprice")
+    return grp.select("key", F.round("value", 2).alias("value"))
+
+
+def q_gie_sample(spark, sf_dir):
+    """sample(20) — SAMPLE (:141) as a deterministic md5 hash-rank top-n,
+    so the DuckDB oracle replays the identical sample."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return g.V("customer").sample(20, seed=7).df.select("oid")
+
+
+def q_gie_otherv(spark, sf_dir):
+    """bothE('contains').otherV() — OTHER_V (:114): orders reached from
+    Brand#13 parts through their incident edges, whichever direction."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return (
+        g.V("part").has("p_brand", "Brand#13")
+        .bothE("contains").otherV().dedup().count()
+    )
+
+
+def _gie_subgraph(spark, sf_dir):
+    """BUILDING customers' 'placed' edges materialized as a LinkGraph —
+    the GIE→GAE pipeline sink (query_flow.proto:146-147)."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return (
+        g.V("customer").has("c_mktsegment", "BUILDING").outE("placed").subgraph()
+    )
+
+
+def q_gie_subgraph_degree(spark, sf_dir):
+    """subgraph() sink: traversal result → LinkGraph → out-degrees (checks
+    the materialized vertex set, edge set and dense-id mapping)."""
+    sub = _gie_subgraph(spark, sf_dir)
+    return sub.degrees("out").join(sub.vertices, "vid").select(
+        "oid", F.col("degree").cast("long").alias("degree")
+    )
+
+
+def q_gie_subgraph_wcc(spark, sf_dir):
+    """GIE→GAE end-to-end: traversal → subgraph() → wcc. Component ids are
+    translated back to oids (dense vids are rank-in-sorted-oid-order, so
+    min-vid == lexicographically-min oid, which DuckDB replays)."""
+    from linkgraph.algorithms import wcc
+
+    sub = _gie_subgraph(spark, sf_dir)
+    comp = wcc(sub)
+    rep = sub.vertices.select(F.col("vid").alias("value"), F.col("oid").alias("comp_oid"))
+    return comp.join(sub.vertices, "vid").join(rep, "value").select("oid", "comp_oid")
+
+
 def q_corpus_edges(spark, sf_dir):
     """End-to-end corpus derivation: synth (repo,path,commit,lang,content)
     table → regex import extraction → resolved (src_oid, dst_oid) edges.
@@ -902,6 +995,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     # --- new in r3 (slots inserted as operators land)
+    "gie_select_one": q_gie_select_one,
+    "gie_union": q_gie_union,
+    "gie_group_sum": q_gie_group_sum,
+    "gie_sample": q_gie_sample,
+    "gie_otherv": q_gie_otherv,
+    "gie_subgraph_degree": q_gie_subgraph_degree,
+    "gie_subgraph_wcc": q_gie_subgraph_wcc,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -1827,6 +1927,53 @@ ORACLE_SQL: dict[str, str] = {
   JOIN orders o ON o.o_custkey = c.c_custkey
     AND c.c_mktsegment = 'BUILDING' AND c.c_nationkey = 1
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey""",
+    "gie_select_one": """
+  SELECT count(DISTINCT o_custkey)::BIGINT AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderstatus = 'F'""",
+    "gie_union": """
+  SELECT (
+    (SELECT count(*) FROM orders o
+     JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+    + (SELECT count(*) FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+  )::BIGINT AS n""",
+    "gie_group_sum": """
+  SELECT o_orderstatus AS key, round(sum(o_totalprice), 2) AS value
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY o_orderstatus""",
+    "gie_sample": """
+  SELECT oid FROM (SELECT 'c' || c_custkey AS oid FROM customer)
+  ORDER BY md5('7|' || oid) LIMIT 20""",
+    "gie_otherv": """
+  SELECT count(DISTINCT l_orderkey)::BIGINT AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#13'""",
+    "gie_subgraph_degree": """
+  WITH ce AS (
+    SELECT DISTINCT 'c' || o_custkey AS src_oid, 'o' || o_orderkey AS dst_oid
+    FROM orders o JOIN customer c
+      ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'),
+  sv AS (SELECT src_oid AS oid FROM ce UNION SELECT dst_oid FROM ce),
+  deg AS (SELECT src_oid AS oid, count(*) AS degree FROM ce GROUP BY 1)
+  SELECT sv.oid, coalesce(deg.degree, 0)::BIGINT AS degree
+  FROM sv LEFT JOIN deg USING (oid)""",
+    "gie_subgraph_wcc": """
+  WITH ce AS (
+    SELECT DISTINCT 'c' || o_custkey AS src_oid, 'o' || o_orderkey AS dst_oid
+    FROM orders o JOIN customer c
+      ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'),
+  sv AS (SELECT src_oid AS oid FROM ce UNION SELECT dst_oid FROM ce),
+  su AS (SELECT src_oid AS a, dst_oid AS b FROM ce
+         UNION SELECT dst_oid, src_oid FROM ce),
+  reach AS (
+    WITH RECURSIVE r(oid, t) AS (
+      SELECT oid, oid FROM sv
+      UNION
+      SELECT r.oid, su.b FROM r JOIN su ON r.t = su.a)
+    SELECT * FROM r)
+  SELECT oid, min(t) AS comp_oid FROM reach GROUP BY oid""",
     # -- property graph (customer/order labels, 'placed' edges) --
     "g_prop_label_counts": """
   SELECT 'vertex' AS kind, 'customer' AS label, count(*)::BIGINT AS n FROM customer

@@ -118,3 +118,103 @@ def test_kind_guards(g):
         g.E().out()
     with pytest.raises(ValueError):
         g.V().values("nope")
+
+
+# ---------------- phase 2: select/where/union/group/sample/otherV/subgraph
+
+
+def test_as_select_and_select_one(g):
+    # person -> created software, then back to the tagged person
+    t = g.V("person").as_("a").out("created").hasLabel("software")
+    back = t.select_("a")
+    assert back.kind == "v"
+    assert _oids(back) == ["p1", "p3", "p3", "p4"]  # bag: one per traverser
+    # select() projects tagged oids as named columns
+    pairs = {(r["a"]) for r in t.select("a").collect()}
+    assert pairs == {"p1", "p3", "p4"}
+
+
+def test_as_tags_survive_edge_hops_and_repeat(g):
+    t = g.V("person").has("age", 35).as_("root").repeat(lambda x: x.out("knows"), times=2)
+    rows = t.select("root").collect()
+    assert {r["root"] for r in rows} == {"p4"}
+
+
+def test_where_cross_step(g):
+    from linkgraph.gie import tag
+
+    # people who know someone older than themselves: need age of both ends
+    t = (
+        g.V("person").has("age", lambda c: c.isNotNull()).as_("a")
+        .out("knows")
+    )
+    # where: target oid differs from source (trivially true here) — cross-step col
+    kept = t.where(F.col("oid") != tag("a"))
+    assert kept.df.count() == t.df.count()
+    none = t.where(F.col("oid") == tag("a"))
+    assert none.df.count() == 0
+
+
+def test_union_branches(g):
+    t = g.V("person").has("age", 29).union(
+        lambda x: x.out("knows"),
+        lambda x: x.out("created"),
+    )
+    assert _oids(t) == ["p2", "p3", "s1"]
+    with pytest.raises(ValueError):
+        g.V("person").union(lambda x: x.outE("knows"), lambda x: x.out("knows"))
+
+
+def test_group_by_agg(g):
+    # group().by('lang').by(count) over created targets
+    got = {
+        r["key"]: r["value"]
+        for r in g.V("person").out("created").group_by("lang", "count").collect()
+    }
+    assert got == {"java": 2, "py": 2}
+    # sum of shares per software language on the edge frontier
+    got = {
+        r["key"]: round(r["value"], 3)
+        for r in g.V("person").outE("created").group_by("label", "sum", "share").collect()
+    }
+    assert got == {"created": 2.1}
+    with pytest.raises(ValueError):
+        g.V().group_by("age", "median")
+    with pytest.raises(ValueError):
+        g.V().group_by("age", "sum")  # needs value
+
+
+def test_sample_deterministic(g):
+    s1 = _oids(g.V("person").sample(2, seed=7))
+    s2 = _oids(g.V("person").sample(2, seed=7))
+    assert s1 == s2 and len(s1) == 2
+    all4 = _oids(g.V("person").sample(10, seed=7))
+    assert all4 == ["p1", "p2", "p3", "p4"]  # n > frontier: keep all
+
+
+def test_bothe_otherv(g):
+    # p1's incident knows edges: out to p2,p3; in from p4 → otherV = p2,p3,p4
+    t = g.V("person").has("age", 29).bothE("knows").otherV()
+    assert _oids(t) == ["p2", "p3", "p4"]
+    labels = {r["label"] for r in t.df.collect()}
+    assert labels == {"person"}
+    with pytest.raises(ValueError):
+        g.V("person").outE("knows").otherV()  # no bothE upstream
+
+
+def test_subgraph_sink_to_analytics(g):
+    """The reference's GIE→GAE story (README.md:93-100): traversal →
+    subgraph → run an analytics kernel on the materialized LinkGraph."""
+    from linkgraph.algorithms import wcc
+
+    sub = g.V("person").outE("created").subgraph()
+    assert sub.vertices.count() == 5  # p1, p3, p4, s1, s2
+    assert sub.edges.count() == 4
+    # analytics on the traversal result: one weak component
+    comp = wcc(sub)
+    assert comp.select("value").distinct().count() == 1
+    # duplicate traversed edges collapse
+    sub2 = g.V("person").outE("created").union(
+        lambda x: x, lambda x: x
+    ).subgraph()
+    assert sub2.edges.count() == 4
