@@ -41,6 +41,7 @@ def _pagerank_impl(
     max_iter: int,
     tol: float | None,
     checkpoint_dir: str | None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     spark = graph.edges.sparkSession
     p = spark.sparkContext.defaultParallelism
@@ -59,13 +60,25 @@ def _pagerank_impl(
         return spark.createDataFrame([], "vid long, value double")
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    verts = graph.vertices.select("vid")
+    if init_ranks is not None:
+        # warm start (incremental append / nstart): previous values where
+        # known, 1/N for vertices added since, renormalized to mass 1 —
+        # the unique fixed point makes the converged result identical
+        ir = init_ranks.select(
+            "vid", F.col(init_ranks.columns[1]).cast("double").alias("r0")
+        )
+        filled = verts.join(ir, "vid", "left").select(
+            "vid", F.coalesce("r0", F.lit(1.0 / n)).alias("r0")
+        )
+        total = filled.agg(F.sum("r0")).first()[0] or 1.0
+        verts = filled.select("vid", (F.col("r0") / F.lit(total)).alias("r0"))
     state0 = (
-        graph.vertices.select("vid")
-        .join(out_deg.withColumnRenamed("src", "vid"), "vid", "left")
+        verts.join(out_deg.withColumnRenamed("src", "vid"), "vid", "left")
         .select(
             "vid",
             F.coalesce("deg", F.lit(0)).alias("deg"),
-            F.lit(1.0 / n).alias("rank"),
+            (F.col("r0") if init_ranks is not None else F.lit(1.0 / n)).alias("rank"),
         )
     )
 

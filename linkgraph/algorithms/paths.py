@@ -378,28 +378,47 @@ def multi_source_bfs(
     return out
 
 
-def all_pairs_shortest_path_length(graph: LinkGraph) -> DataFrame:
-    """gs::AllPairsShortestPathLength — (root, vid, dist), unweighted."""
-    return multi_source_bfs(graph)
+def all_pairs_shortest_path_length(
+    graph: LinkGraph, sources: DataFrame | None = None
+) -> DataFrame:
+    """gs::AllPairsShortestPathLength — (root, vid, dist), unweighted.
+
+    ``sources`` restricts the roots (the scale escape hatch: all-roots
+    state is O(V²), sampled roots O(k·V))."""
+    return multi_source_bfs(graph, sources=sources)
 
 
-def closeness_centrality(graph: LinkGraph, wf_improved: bool = True) -> DataFrame:
+def closeness_centrality(
+    graph: LinkGraph, wf_improved: bool = True, sources: DataFrame | None = None
+) -> DataFrame:
     """(vid, value) — closeness over incoming distances (NetworkX /
     gs::ClosenessCentrality semantics): for vertex v with r vertices
     that can reach v (incl. v) at total distance S,
-    value = (r-1)/S · [(r-1)/(n-1) if wf_improved]; 0 when S == 0."""
+    value = (r-1)/S · [(r-1)/(n-1) if wf_improved]; 0 when S == 0.
+
+    ``sources`` computes closeness for a vertex subset only — the 100×-
+    scale knob (all-vertices state is O(V²); k sampled vertices O(k·V)).
+    Unlike sampled betweenness there is NO estimator rescale: each
+    vertex's closeness depends only on distances *to it*, so the values
+    returned for the sampled vertices are exact, just fewer rows.
+    """
     n = graph.vertices.count()
     if n == 0:
         return graph.vertices.sparkSession.createDataFrame([], "vid long, value double")
-    d = multi_source_bfs(graph, reverse=True)  # root = target v; dist from v backwards = dist to v
+    # root = target v; dist from v over reversed edges = dist to v
+    d = multi_source_bfs(graph, sources=sources, reverse=True)
     agg = d.groupBy("root").agg(
         (F.count("*") - 1).alias("r_minus_1"), F.sum("dist").alias("s")
     )
     base = F.when(F.col("s") > 0, F.col("r_minus_1") / F.col("s")).otherwise(F.lit(0.0))
     if wf_improved and n > 1:
         base = base * F.col("r_minus_1") / F.lit(float(n - 1))
+    if sources is None:
+        out_vids = graph.vertices.select("vid")
+    else:
+        out_vids = sources.select(F.col(sources.columns[0]).alias("vid")).distinct()
     return (
-        graph.vertices.select("vid")
+        out_vids
         .join(agg.withColumnRenamed("root", "vid"), "vid", "left")
         .select("vid", F.coalesce(base, F.lit(0.0)).cast("double").alias("value"))
     )

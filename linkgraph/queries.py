@@ -183,6 +183,29 @@ def q_pagerank_rounds(spark, sf_dir):
     )
 
 
+def q_append_pagerank(spark, sf_dir):
+    """Incremental append (append_only_arrow_fragment.h analog): build the
+    graph from half the oracle edges, append the other half as a delta
+    batch with stable vids, run fixed-round PageRank on the grown graph.
+    The oracle is the full-graph g_pagerank_r3 SQL — a hash match proves
+    the appended graph is bit-identical to the all-at-once build."""
+    from linkgraph import build_graph
+    from linkgraph.algorithms import pagerank
+    from linkgraph.incremental import extend_graph
+
+    full = _oracle_graph(spark, sf_dir).edges.select(
+        F.col("src").cast("string").alias("src_oid"),
+        F.col("dst").cast("string").alias("dst_oid"),
+    )
+    batch1 = full.where(F.pmod(F.col("src_oid").cast("long") + F.col("dst_oid").cast("long"), F.lit(2)) == 0)
+    delta = full.where(F.pmod(F.col("src_oid").cast("long") + F.col("dst_oid").cast("long"), F.lit(2)) == 1)
+    g = extend_graph(build_graph(batch1), delta)
+    pr = pagerank(g, delta=ALPHA, max_round=PR_ROUNDS)
+    return pr.join(g.vertices, "vid").select(
+        F.col("oid").cast("long").alias("vid"), F.round("value", 6).alias("value")
+    )
+
+
 def q_bfs(spark, sf_dir):
     from linkgraph.algorithms import bfs
 
@@ -216,6 +239,52 @@ def q_closeness(spark, sf_dir):
 
     return closeness_centrality(_oracle_graph(spark, sf_dir)).select(
         "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_closeness_sampled(spark, sf_dir):
+    """Sampled-sources closeness — the O(k·V) scale knob (r2 ask #5):
+    exact values for the sampled vertices (no estimator rescale needed;
+    closeness of v depends only on distances to v)."""
+    from linkgraph.algorithms import closeness_centrality
+
+    g = _oracle_graph(spark, sf_dir)
+    sample = g.vertices.where(F.pmod(F.col("vid"), F.lit(5)) == 0).select("vid")
+    return closeness_centrality(g, sources=sample).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_csv_load(spark, sf_dir):
+    """Loader-surface parity (reference loader.py:44-132): the oracle
+    graph's edges round-trip through a pipe-delimited CSV e-file with a
+    header row, reload through load_graph_csv, and come back as oid pairs
+    — hash-identical to g_edges (checks delimiter/header options, the
+    string-oid path, and dense-id join resolution)."""
+    import os
+    import tempfile
+
+    from linkgraph.loader import load_graph_csv
+
+    g0 = _oracle_graph(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="lg_csv_")
+    epath = os.path.join(d, "edges")
+    (
+        g0.edges.select(F.col("src").cast("string").alias("from_id"),
+                        F.col("dst").cast("string").alias("to_id"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").option("sep", "|")
+        .csv(epath)
+    )
+    g = load_graph_csv(spark, epath, delimiter="|", header_row=True,
+                       src_field="from_id", dst_field="to_id")
+    oid = g.vertices
+    return (
+        g.edges
+        .join(oid.select(F.col("vid").alias("src"), F.col("oid").alias("src_oid")), "src")
+        .join(oid.select(F.col("vid").alias("dst"), F.col("oid").alias("dst_oid")), "dst")
+        .select(F.col("src_oid").cast("long").alias("src"),
+                F.col("dst_oid").cast("long").alias("dst"))
     )
 
 
@@ -1002,6 +1071,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_otherv": q_gie_otherv,
     "gie_subgraph_degree": q_gie_subgraph_degree,
     "gie_subgraph_wcc": q_gie_subgraph_wcc,
+    "g_closeness_sampled": q_closeness_sampled,
+    "g_csv_load": q_csv_load,
+    "g_append_pagerank": q_append_pagerank,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -1018,15 +1090,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_kshell_10": q_kshell,
     "g_betweenness": q_betweenness,
     "g_closeness": q_closeness,
-    "g_apsp": q_apsp,
     "g_clustering": q_clustering,
     "g_eigenvector_r2": q_eigenvector_r2,
     "g_katz_r3": q_katz_r3,
     "g_lpa_u2i_r2": q_lpa_u2i_r2,
     "g_lpa_u2i_vec_r2": q_lpa_u2i_vector_r2,
     "g_pregel_sssp": q_pregel_sssp,
-    "g_modify": q_modify,
     # --- tail: driver-green in r1/r2 (pytest keeps them verified)
+    "g_modify": q_modify,
+    "g_apsp": q_apsp,
     "g_out_degree": q_out_degree,
     "g_in_degree": q_in_degree,
     "g_degree_centrality": q_degree_centrality,
@@ -1663,6 +1735,7 @@ ORACLE_SQL: dict[str, str] = {
   SELECT vid, label FROM l4""",
     "g_lpa_u2i_vec_r2": _lpa_u2i_vec_sql(2),
     "g_pagerank_r3": _pagerank_sql(PR_ROUNDS),
+    "g_append_pagerank": _pagerank_sql(PR_ROUNDS),
     "g_bfs": _with_graph(
         """walk AS (
     WITH RECURSIVE w(vid, d) AS (
@@ -1697,6 +1770,23 @@ ORACLE_SQL: dict[str, str] = {
                THEN (agg.rm1 * 1.0 / agg.s) * (agg.rm1 * 1.0 / ((SELECT n FROM nv) - 1))
                ELSE 0.0 END, 6) AS value
   FROM v LEFT JOIN agg ON v.vid = agg.root"""
+    ),
+    "g_closeness_sampled": _with_graph(
+        """samp AS (SELECT vid FROM v WHERE vid % 5 = 0),
+  walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM samp
+      UNION
+      SELECT w.root, e.src, w.d + 1 FROM w JOIN e ON w.vid = e.dst WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  agg AS (SELECT root, count(*) - 1 AS rm1, sum(dist) AS s FROM sp GROUP BY root),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT samp.vid,
+         round(CASE WHEN coalesce(agg.s, 0) > 0
+               THEN (agg.rm1 * 1.0 / agg.s) * (agg.rm1 * 1.0 / ((SELECT n FROM nv) - 1))
+               ELSE 0.0 END, 6) AS value
+  FROM samp LEFT JOIN agg ON samp.vid = agg.root"""
     ),
     "g_apsp": _with_graph(
         """walk AS (
@@ -1927,6 +2017,7 @@ ORACLE_SQL: dict[str, str] = {
   JOIN orders o ON o.o_custkey = c.c_custkey
     AND c.c_mktsegment = 'BUILDING' AND c.c_nationkey = 1
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey""",
+    "g_csv_load": f"WITH e AS ({_EDGES_SQL}) SELECT src, dst FROM e",
     "gie_select_one": """
   SELECT count(DISTINCT o_custkey)::BIGINT AS n
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey

@@ -98,3 +98,28 @@ def test_skew_metrics(spark):
     assert m["max_in_degree"] == 19
     assert m["distinct_dst"] == 2
     assert sum(m["partition_edge_counts"].values()) == 20
+
+
+def test_csv_loader_roundtrip(spark, tmp_path):
+    """e-file + v-file loading with delimiter/header options (reference
+    Loader parity); v-file defines the universe incl. isolated vertices,
+    dangling edges are dropped."""
+    from linkgraph.loader import load_graph_csv
+
+    ef = tmp_path / "e.csv"
+    ef.write_text("s;d;w\na;b;1.5\nb;c;2.0\nx;zz;9.0\n")  # zz not in v-file
+    vf = tmp_path / "v.csv"
+    vf.write_text("id;name\na;A\nb;B\nc;C\nx;X\niso;I\n")
+    g = load_graph_csv(
+        spark, str(ef), vfile=str(vf), delimiter=";", header_row=True,
+        weight_field="w",
+    )
+    assert g.vertices.count() == 5  # iso kept
+    edges = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    oid = {r["oid"]: r["vid"] for r in g.vertices.collect()}
+    assert edges == {(oid["a"], oid["b"], 1.5), (oid["b"], oid["c"], 2.0)}
+    # no v-file: implicit vertices from endpoints, positional fields
+    ef2 = tmp_path / "e2.csv"
+    ef2.write_text("a,b\nb,c\n")
+    g2 = load_graph_csv(spark, str(ef2), header_row=False)
+    assert g2.vertices.count() == 3 and g2.edges.count() == 2

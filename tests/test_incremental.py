@@ -1,0 +1,85 @@
+"""Incremental append (append-only fragment analog): stable vids, delta
+union, warm-start PageRank resume on the grown graph."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from linkgraph import build_graph
+from linkgraph.algorithms import pagerank_nx
+from linkgraph.incremental import extend_dense_ids, extend_graph, pagerank_resume
+from tests.conftest import rmat_edges
+
+
+def _oid_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src_oid string, dst_oid string"
+    )
+
+
+def test_extend_dense_ids_stable(spark):
+    vmap = build_graph(_oid_edges(spark, [(1, 2), (2, 3)])).vertices
+    before = {r["oid"]: r["vid"] for r in vmap.collect()}
+    grown = extend_dense_ids(vmap, spark.createDataFrame([("9",), ("2",), ("05",)], "oid string"))
+    after = {r["oid"]: r["vid"] for r in grown.collect()}
+    for oid, vid in before.items():
+        assert after[oid] == vid  # old ids untouched
+    new = {o: v for o, v in after.items() if o not in before}
+    assert set(new) == {"9", "05"}
+    assert min(new.values()) == max(before.values()) + 1
+    # deterministic order among fresh oids (sorted)
+    assert new["05"] < new["9"]
+
+
+def test_extend_graph_dedups_and_grows(spark):
+    g1 = build_graph(_oid_edges(spark, [(1, 2), (2, 3)]))
+    delta = _oid_edges(spark, [(2, 3), (3, 4), (3, 4), (4, 1)])  # 1 existing + 1 batch-dup
+    g2 = extend_graph(g1, delta)
+    assert g2.edges.count() == 4
+    assert g2.vertices.count() == 4
+    # old vids stable
+    v1 = {r["oid"]: r["vid"] for r in g1.vertices.collect()}
+    v2 = {r["oid"]: r["vid"] for r in g2.vertices.collect()}
+    assert all(v2[o] == v for o, v in v1.items())
+
+
+def test_pagerank_warm_resume_after_append(spark, tmp_path):
+    """North-rule resumability: converge on batch 1, append a delta, warm
+    resume -> identical converged result to a cold run on the full graph."""
+    all_edges = rmat_edges(200, 700, seed=31)
+    cut = 550
+    g1 = build_graph(_oid_edges(spark, all_edges[:cut]))
+    ranks1 = pagerank_nx(g1, tol=1e-10, max_iter=80)
+
+    g2 = extend_graph(g1, _oid_edges(spark, all_edges[cut:]))
+    warm = pagerank_resume(g2, ranks1, tol=1e-10, max_iter=80)
+    cold = pagerank_nx(g2, tol=1e-10, max_iter=80)
+
+    w = {r["vid"]: r["value"] for r in warm.collect()}
+    c = {r["vid"]: r["value"] for r in cold.collect()}
+    assert set(w) == set(c)
+    ks = sorted(c)
+    assert np.allclose([w[k] for k in ks], [c[k] for k in ks], atol=1e-8, rtol=0)
+
+
+def test_pagerank_resume_from_checkpoint_snapshot(spark, tmp_path):
+    """Mid-iteration snapshot of the OLD graph feeds the warm start on the
+    grown graph (checkpoint -> append -> resume)."""
+    from linkgraph.checkpoint import CheckpointStore
+
+    all_edges = rmat_edges(150, 500, seed=33)
+    g1 = build_graph(_oid_edges(spark, all_edges[:400]))
+    ck = str(tmp_path / "pr")
+    pagerank_nx(g1, tol=1e-12, max_iter=6, checkpoint_dir=ck)  # interrupted
+    snap, rnd = CheckpointStore(ck).load_latest(spark)[:2]
+    assert rnd >= 5
+
+    g2 = extend_graph(g1, _oid_edges(spark, all_edges[400:]))
+    warm = pagerank_resume(g2, snap.select("vid", F.col("rank").alias("value")),
+                           tol=1e-10, max_iter=80)
+    cold = pagerank_nx(g2, tol=1e-10, max_iter=80)
+    w = {r["vid"]: r["value"] for r in warm.collect()}
+    c = {r["vid"]: r["value"] for r in cold.collect()}
+    ks = sorted(c)
+    assert np.allclose([w[k] for k in ks], [c[k] for k in ks], atol=1e-8, rtol=0)

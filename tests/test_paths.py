@@ -200,3 +200,19 @@ def test_attribute_and_numeric_assortativity(spark):
     assert math.isclose(
         numeric_assortativity_coefficient(g, attrs), want_num, abs_tol=1e-9
     )
+
+
+def test_closeness_sampled_matches_full(spark):
+    """sources= computes exact closeness for the sampled subset."""
+    from linkgraph.algorithms import closeness_centrality
+    from linkgraph.graph import graph_from_edge_vids
+    from tests.conftest import rmat_edges
+    from pyspark.sql import functions as F
+
+    g = graph_from_edge_vids(spark, rmat_edges(80, 200, seed=21))
+    full = {r["vid"]: r["value"] for r in closeness_centrality(g).collect()}
+    samp = g.vertices.where(F.col("vid") % 3 == 0).select("vid")
+    got = {r["vid"]: r["value"] for r in closeness_centrality(g, sources=samp).collect()}
+    assert set(got) == {v for v in full if v % 3 == 0}
+    for v, val in got.items():
+        assert abs(val - full[v]) < 1e-12
