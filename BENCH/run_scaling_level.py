@@ -22,11 +22,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import os  # noqa: E402
 
-OUT = Path(__file__).parent / "scaling_r2.jsonl"
+OUT = Path(os.environ.get("SCALING_OUT", Path(__file__).parent / "scaling_r2.jsonl"))
 EDGES = int(os.environ.get("SCALING_EDGES", 100_000_000))
 PARTS = 32
 WARMUP_ROUNDS = int(os.environ.get("SCALING_WARMUP", 2))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", 5))
+DTYPE = os.environ.get("SCALING_DTYPE", "float64")
 cores = int(sys.argv[1])
 TIER = sys.argv[2] if len(sys.argv) > 2 else "csr"
 
@@ -71,7 +72,8 @@ def run(max_iter):
 
     t1 = time.time()
     if TIER == "csr":
-        ranks = csr.pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=None, num_blocks=PARTS)
+        ranks = csr.pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=None, num_blocks=PARTS,
+                                 rank_dtype=DTYPE)
         hist = csr.LAST_HISTORY
     else:
         ranks = _pagerank_impl(g, alpha=0.85, max_iter=max_iter, tol=None, checkpoint_dir=None)
@@ -83,8 +85,20 @@ def run(max_iter):
 warm_sec, _, _ = run(WARMUP_ROUNDS)
 pr_sec, round_secs, checksum = run(ROUNDS)
 med = statistics.median(round_secs)
+import linkgraph.csr as _csr  # noqa: E402
+
+prows = _csr.LAST_PARTIAL_ROWS or 0
+n_vertices = EDGES // 8
+val_b = 4 if DTYPE == "float32" else 8
+dst_b = 4 if n_vertices < 2**31 - 1 else 8
 rec = {
     "tier": TIER,
+    "dtype": DTYPE,
+    "partial_rows": prows,
+    "logical_shuffle_bytes_per_round": (
+        n_vertices * (8 + 4 + val_b) + prows * (dst_b + val_b)
+        + min(prows, n_vertices) * (dst_b + 8)
+    ),
     "cores": cores,
     "blocks": PARTS,
     "n_edges": n_edges,

@@ -63,7 +63,7 @@ def _mk_spark(cores: int):
 
 
 def _run_pagerank_tier(spark, g, tier: str, tol: float | None, max_iter: int,
-                       num_blocks: int | None = None):
+                       num_blocks: int | None = None, rank_dtype: str = "float64"):
     """Run one PageRank on an already-built graph; returns (sec, rounds,
     checksum)."""
     import importlib
@@ -75,7 +75,7 @@ def _run_pagerank_tier(spark, g, tier: str, tol: float | None, max_iter: int,
         from linkgraph.csr import pagerank_csr
 
         ranks = pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=tol,
-                             num_blocks=num_blocks)
+                             num_blocks=num_blocks, rank_dtype=rank_dtype)
         mod = importlib.import_module("linkgraph.csr")
     else:
         from linkgraph.algorithms.pagerank import _pagerank_impl
@@ -206,6 +206,7 @@ def run_scaling(
     tier: str = "csr",
     n_edges_target: int | None = None,
     rounds_fixed: int = 10,
+    rank_dtype: str = "float32",
 ) -> dict:
     """Same job at two parallelism levels; scaling efficiency per the
     north rule: eff = (throughput_hi / throughput_lo) / (hi / lo),
@@ -237,10 +238,27 @@ def run_scaling(
             g, n_edges, build_sec = build_synth_graph(
                 spark, n_edges_target or 100_000_000
             )
+        n_vertices = g.vertices.count()
         pr_sec, rounds, checksum = _run_pagerank_tier(
-            spark, g, tier, tol=None, max_iter=rounds_fixed, num_blocks=hi
+            spark, g, tier, tol=None, max_iter=rounds_fixed, num_blocks=hi,
+            rank_dtype=rank_dtype,
         )
         g.unpersist()
+        # logical shuffle bytes per superstep (CSR tier): the state shuffles
+        # to its block (vid 8B + deg 4B + rank), partials shuffle to their
+        # dst-hash reducer (dst + psum), the aggregated messages join back
+        # (dst + double msum). Row counts are exact (LAST_PARTIAL_ROWS is
+        # the summed compacted-dst dictionary size).
+        val_b = 4 if rank_dtype == "float32" else 8
+        dst_b = 4 if n_vertices < 2**31 - 1 else 8
+        from linkgraph import csr as _csr
+
+        prows = _csr.LAST_PARTIAL_ROWS or 0
+        bytes_per_round = (
+            n_vertices * (8 + 4 + val_b)      # state -> cogroup shuffle
+            + prows * (dst_b + val_b)          # partials -> groupBy(dst)
+            + min(prows, n_vertices) * (dst_b + 8)  # msgs -> join
+        ) if tier == "csr" else None
         spark.stop()
         results[cores] = {
             "build_sec": round(build_sec, 3),
@@ -249,6 +267,9 @@ def run_scaling(
             "iters_per_sec": round((rounds or 0) / pr_sec, 4),
             "checksum": checksum,
             "n_edges": n_edges,
+            "n_vertices": n_vertices,
+            "partial_rows": prows if tier == "csr" else None,
+            "logical_shuffle_bytes_per_round": bytes_per_round,
         }
     thr_lo, thr_hi = results[lo]["iters_per_sec"], results[hi]["iters_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else 0.0
@@ -259,6 +280,7 @@ def run_scaling(
         "tier": tier,
         "cores_lo": lo,
         "cores_hi": hi,
+        "rank_dtype": rank_dtype,
         "per_level": {str(k): v for k, v in results.items()},
         "sf": sf,
         "n_corpus_files": n_files,
@@ -274,11 +296,13 @@ def main() -> None:
     ap.add_argument("--tier", choices=["reference", "csr"], default="csr")
     ap.add_argument("--edges", type=int, default=100_000_000)
     ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     args = ap.parse_args()
     if args.scaling:
         out = run_scaling(
             args.lo, args.hi, args.n_files, tier=args.tier,
             n_edges_target=args.edges, rounds_fixed=args.rounds,
+            rank_dtype=args.dtype,
         )
     else:
         out = run_default()

@@ -48,6 +48,9 @@ BLOCK_SCHEMA = (
 # bench instrumentation: rounds/history of the most recent pagerank_csr run
 LAST_ROUNDS: int | None = None
 LAST_HISTORY: list[dict] | None = None
+# Σ over blocks of |compacted dst dictionary| — the exact partial-row count
+# every round emits (BENCH bytes-per-round accounting)
+LAST_PARTIAL_ROWS: int | None = None
 
 
 def _np_col(tbl: pa.Table, name: str, dtype) -> np.ndarray:
@@ -150,9 +153,6 @@ def _gather(vids: np.ndarray, vals: np.ndarray, us: np.ndarray, fill) -> np.ndar
     return np.where(active, vals[safe], fill)
 
 
-_PR_PARTIAL_SCHEMA = pa.schema([("dst", pa.int64()), ("psum", pa.float64())])
-
-
 def pagerank_csr(
     graph: LinkGraph,
     alpha: float = 0.85,
@@ -160,6 +160,7 @@ def pagerank_csr(
     tol: float | None = 1e-06,
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
+    rank_dtype: str = "float64",
 ) -> DataFrame:
     """PageRank (NetworkX semantics, §2.4) on the CSR fast tier.
 
@@ -167,6 +168,18 @@ def pagerank_csr(
     validated against it in tests — but the scatter runs inside the
     cogrouped Arrow UDF and only per-block partials shuffle.
     ``tol=None`` gives the fixed-round LDBC flavor.
+
+    Bytes-per-round levers (the kernel is memory-bandwidth-bound at
+    10^8+ edges — BENCH/BASELINE.md):
+
+    - partial ``dst`` keys are int32 whenever the dense vid space fits
+      (exact — ids are just narrower on the wire/in the shuffle);
+    - ``rank_dtype="float32"`` halves state + partial value bytes. The
+      per-block scatter still accumulates in float64 (np.bincount) and
+      the global sum/L1 aggregate in double, so only the stored state
+      rounds to float32 (~1e-7 relative) — the documented precision
+      trade of the scale tier, NOT the default (float64 matches the
+      join tier to 1e-12; tests pin both).
     """
     spark = graph.edges.sparkSession
     p = num_blocks or spark.sparkContext.defaultParallelism
@@ -174,8 +187,20 @@ def pagerank_csr(
     if n == 0:
         return spark.createDataFrame([], "vid long, value double")
 
+    use_f32 = rank_dtype == "float32"
+    np_val = np.float32 if use_f32 else np.float64
+    sql_val = "float" if use_f32 else "double"
+    compact_dst = n < 2**31 - 1  # dense vids fit int32 partial keys
+    np_dst = np.int32 if compact_dst else np.int64
+    pa_dst = pa.int32() if compact_dst else pa.int64()
+    sql_dst = "int" if compact_dst else "long"
+    partial_schema = pa.schema([("dst", pa_dst), ("psum", pa.from_numpy_dtype(np_val))])
+
     blocks = build_csr_blocks(graph.edges, p).persist()
-    blocks.count()
+    global LAST_PARTIAL_ROWS
+    LAST_PARTIAL_ROWS = int(
+        blocks.select(F.size("udst").alias("k")).agg(F.sum("k")).first()[0] or 0
+    )
 
     out_deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
     state0 = (
@@ -183,8 +208,8 @@ def pagerank_csr(
         .join(out_deg.withColumnRenamed("src", "vid"), "vid", "left")
         .select(
             "vid",
-            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
-            F.lit(1.0 / n).alias("rank"),
+            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+            F.lit(1.0 / n).cast(sql_val).alias("rank"),
         )
     )
 
@@ -192,7 +217,7 @@ def pagerank_csr(
 
     def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
         if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
-            return _PR_PARTIAL_SCHEMA.empty_table()
+            return partial_schema.empty_table()
         vids = _np_col(state_tbl, "vid", np.int64)
         deg = _np_col(state_tbl, "deg", np.float64)
         rank = _np_col(state_tbl, "rank", np.float64)
@@ -201,11 +226,16 @@ def pagerank_csr(
         for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
             src_vals = _gather(vids, contrib, us, 0.0)
             per_edge = np.repeat(src_vals, np.diff(indptr))
-            outs_d.append(udst)
-            outs_p.append(np.bincount(dst_idx, weights=per_edge, minlength=len(udst)))
+            outs_d.append(udst.astype(np_dst, copy=False))
+            # bincount accumulates in float64; round once on emit
+            outs_p.append(
+                np.bincount(dst_idx, weights=per_edge, minlength=len(udst)).astype(
+                    np_val, copy=False
+                )
+            )
         return pa.table(
             {
-                "dst": pa.array(np.concatenate(outs_d), pa.int64()),
+                "dst": pa.array(np.concatenate(outs_d), pa_dst),
                 "psum": pa.array(np.concatenate(outs_p)),
             }
         )
@@ -219,7 +249,7 @@ def pagerank_csr(
 
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
         partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
-            _partials, schema="dst long, psum double"
+            _partials, schema=f"dst {sql_dst}, psum {sql_val}"
         )
         msgs = partials.groupBy("dst").agg(F.sum("psum").alias("msum"))
         new_state = (
@@ -227,13 +257,15 @@ def pagerank_csr(
             .select(
                 state["vid"],
                 state["deg"],
-                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(base)).alias("rank"),
+                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(base))
+                .cast(sql_val)
+                .alias("rank"),
                 state["rank"].alias("prev_rank"),
             )
             .persist()
         )
         row = new_state.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1"),
+            F.sum(F.abs(F.col("rank").cast("double") - F.col("prev_rank"))).alias("l1"),
             F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dg"),
         ).first()
         dangling["mass"] = (row["dg"] or 0.0) * alpha
@@ -246,7 +278,7 @@ def pagerank_csr(
     global LAST_ROUNDS, LAST_HISTORY
     LAST_ROUNDS = result.rounds
     LAST_HISTORY = result.history
-    out = result.state.select("vid", F.col("rank").alias("value"))
+    out = result.state.select("vid", F.col("rank").cast("double").alias("value"))
     blocks.unpersist()
     return out
 

@@ -50,3 +50,17 @@ def test_wcc_csr_matches_reference_tier(spark):
     edges = TWO_COMPONENTS + [(10, 11)]
     g = graph_from_edge_vids(spark, edges)
     assert _d(wcc_csr(g, num_blocks=3)) == _d(wcc(g))
+
+
+def test_pagerank_csr_float32_scale_tier(spark):
+    """rank_dtype='float32' (the bytes-halving scale knob) stays within
+    float32 rounding of the float64 tier and converges."""
+    g = graph_from_edge_vids(spark, rmat_edges(150, 700, seed=17))
+    ref = _d(pagerank_csr(g, alpha=0.85, max_iter=60, tol=1e-8, num_blocks=4))
+    f32 = _d(pagerank_csr(g, alpha=0.85, max_iter=60, tol=1e-8, num_blocks=4,
+                          rank_dtype="float32"))
+    assert set(ref) == set(f32)
+    ks = sorted(ref)
+    a, b = np.array([ref[k] for k in ks]), np.array([f32[k] for k in ks])
+    assert np.allclose(a, b, rtol=5e-6, atol=1e-9)
+    assert abs(b.sum() - 1.0) < 1e-5  # mass conserved
