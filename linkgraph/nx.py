@@ -1,0 +1,390 @@
+"""NetworkX-compatible API surface (SURVEY.md §2.6).
+
+Parity target: the reference's ``graphscope.nx`` package — a NetworkX-
+style ``Graph``/``DiGraph`` whose builtin algorithms transparently run on
+the analytical engine
+(/root/reference/python/graphscope/nx/algorithms/builtin.py:91-1000:
+``@project_to_simple`` projects the nx graph to a simple fragment,
+``@context_to_dict`` collects the result context into a python dict).
+
+Here the same two halves map onto Spark:
+
+- :class:`DiGraph`/:class:`Graph` accumulate nodes/edges driver-side
+  (the nx mutation surface is inherently driver-side in the reference
+  too — every ``add_edge`` is an RPC) and lazily **project** to a cached
+  :class:`linkgraph.graph.LinkGraph` on first algorithm call;
+- the module-level functions mirror builtin.py signatures and return
+  plain python objects (dicts keyed by the caller's node objects, floats,
+  lists) — the ``context_to_dict`` analog.
+
+This surface is for NetworkX-style interactive use on graphs whose
+*results* fit on the driver (exactly the reference's nx contract); the
+scale path remains the DataFrame API in :mod:`linkgraph.algorithms`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Hashable, Iterable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph import algorithms as A
+from linkgraph.graph import LinkGraph, build_graph
+
+
+class DiGraph:
+    """Directed nx-style graph; nodes are arbitrary hashables."""
+
+    directed = True
+
+    def __init__(self, spark: SparkSession | None = None):
+        self._spark = spark
+        self._nodes: dict[Hashable, dict] = {}
+        self._edges: dict[tuple[Hashable, Hashable], dict] = {}
+        self._lg: LinkGraph | None = None
+        self._vid_of: dict[Hashable, int] | None = None
+        self._node_of: dict[int, Hashable] | None = None
+
+    # -- mutation (invalidates the projection) -------------------------
+    def add_node(self, n: Hashable, **attrs) -> None:
+        self._nodes.setdefault(n, {}).update(attrs)
+        self._lg = None
+
+    def add_nodes_from(self, ns: Iterable, **attrs) -> None:
+        for n in ns:
+            if isinstance(n, tuple) and len(n) == 2 and isinstance(n[1], dict):
+                self.add_node(n[0], **{**attrs, **n[1]})
+            else:
+                self.add_node(n, **attrs)
+
+    def add_edge(self, u: Hashable, v: Hashable, **attrs) -> None:
+        self.add_node(u)
+        self.add_node(v)
+        self._edges.setdefault((u, v), {}).update(attrs)
+        self._lg = None
+
+    def add_edges_from(self, es: Iterable, **attrs) -> None:
+        for e in es:
+            if len(e) == 3:
+                u, v, d = e
+                self.add_edge(u, v, **{**attrs, **d})
+            else:
+                self.add_edge(e[0], e[1], **attrs)
+
+    def remove_node(self, n: Hashable) -> None:
+        self._nodes.pop(n, None)
+        self._edges = {k: d for k, d in self._edges.items() if n not in k}
+        self._lg = None
+
+    def remove_edge(self, u: Hashable, v: Hashable) -> None:
+        self._edges.pop((u, v), None)
+        self._lg = None
+
+    # -- nx read surface ----------------------------------------------
+    def number_of_nodes(self) -> int:
+        return len(self._nodes)
+
+    def number_of_edges(self) -> int:
+        return len(self._edges)
+
+    def nodes(self):
+        return list(self._nodes)
+
+    def edges(self):
+        return list(self._edges)
+
+    def __contains__(self, n) -> bool:
+        return n in self._nodes
+
+    def __len__(self) -> int:
+        return len(self._nodes)
+
+    # -- projection (the @project_to_simple analog) --------------------
+    def _directed_pairs(self) -> list[tuple[Hashable, Hashable, float]]:
+        return [(u, v, float(d.get("weight", 1.0))) for (u, v), d in self._edges.items()]
+
+    def _project(self) -> LinkGraph:
+        if self._lg is not None:
+            return self._lg
+        spark = self._spark or SparkSession.active()
+        nodes = sorted(self._nodes, key=repr)
+        self._vid_of = {n: i for i, n in enumerate(nodes)}
+        self._node_of = {i: n for n, i in self._vid_of.items()}
+        v = spark.createDataFrame(
+            [(i, repr(n)) for n, i in self._vid_of.items()] or [(0, "∅")],
+            "vid long, oid string",
+        )
+        pairs = self._directed_pairs()
+        if not self.directed:
+            # undirected: both arcs materialized (kBothOutIn load strategy)
+            pairs = pairs + [(v2, u2, w) for (u2, v2, w) in pairs if u2 != v2]
+        e = spark.createDataFrame(
+            [(self._vid_of[u], self._vid_of[v2], w) for u, v2, w in pairs]
+            or [(0, 0, 1.0)],
+            "src long, dst long, weight double",
+        )
+        if not pairs:
+            e = e.limit(0)
+        if not self._nodes:
+            v = v.limit(0)
+        self._lg = LinkGraph(vertices=v, edges=e, directed=self.directed)
+        return self._lg
+
+    def _to_dict(self, df, key="vid", val="value") -> dict:
+        self._project()
+        return {self._node_of[r[key]]: r[val] for r in df.collect()}
+
+    def _attr_df(self, attribute: str):
+        spark = self._spark or SparkSession.active()
+        self._project()
+        rows = [
+            (self._vid_of[n], d[attribute])
+            for n, d in self._nodes.items()
+            if attribute in d
+        ]
+        return spark.createDataFrame(rows, ["vid", "attr"])
+
+
+class Graph(DiGraph):
+    """Undirected nx-style graph (edges materialize in both directions)."""
+
+    directed = False
+
+    def _dedup_key(self, u, v):
+        return (u, v) if repr(u) <= repr(v) else (v, u)
+
+    def add_edge(self, u: Hashable, v: Hashable, **attrs) -> None:
+        super().add_edge(*self._dedup_key(u, v), **attrs)
+
+    def remove_edge(self, u: Hashable, v: Hashable) -> None:
+        super().remove_edge(*self._dedup_key(u, v))
+
+
+# ---------------------------------------------------------------- builtins
+# Signatures mirror graphscope.nx.algorithms.builtin (file:line cited).
+
+
+def pagerank(G: DiGraph, alpha: float = 0.85, max_iter: int = 100, tol: float = 1e-06) -> dict:
+    """builtin.py:94 — dict node → score."""
+    return G._to_dict(A.pagerank_nx(G._project(), alpha=alpha, max_iter=max_iter, tol=tol))
+
+
+def hits(G: DiGraph, max_iter: int = 100, tol: float = 1e-08, normalized: bool = True) -> tuple[dict, dict]:
+    """builtin.py:151 — (hubs, authorities) dicts."""
+    res = A.hits(G._project(), tolerance=tol, max_round=max_iter, normalized=normalized)
+    hubs = G._to_dict(res, val="hub")
+    auth = G._to_dict(res, val="auth")
+    return hubs, auth
+
+
+def degree_centrality(G: DiGraph) -> dict:
+    """builtin.py:182."""
+    return G._to_dict(A.degree_centrality(G._project(), centrality_type="both"))
+
+
+def in_degree_centrality(G: DiGraph) -> dict:
+    """builtin.py:190."""
+    return G._to_dict(A.degree_centrality(G._project(), centrality_type="in"))
+
+
+def out_degree_centrality(G: DiGraph) -> dict:
+    """builtin.py:198."""
+    return G._to_dict(A.degree_centrality(G._project(), centrality_type="out"))
+
+
+def eigenvector_centrality(G: DiGraph, max_iter: int = 100, tol: float = 1e-06) -> dict:
+    """builtin.py:204."""
+    return G._to_dict(A.eigenvector_centrality(G._project(), tolerance=tol, max_round=max_iter))
+
+
+def katz_centrality(G: DiGraph, alpha: float = 0.1, beta: float = 1.0,
+                    max_iter: int = 100, tol: float = 1e-06) -> dict:
+    """builtin.py:228."""
+    return G._to_dict(
+        A.katz_centrality(G._project(), alpha=alpha, beta=beta, tolerance=tol, max_round=max_iter)
+    )
+
+
+def has_path(G: DiGraph, source, target) -> bool:
+    """builtin.py:284."""
+    G._project()
+    return A.sssp_has_path(G._lg, G._vid_of[source], G._vid_of[target])
+
+
+def shortest_path(G: DiGraph, source, target) -> list:
+    """builtin.py:291 — one shortest path as a node list."""
+    G._project()
+    vids = A.sssp_path(G._lg, G._vid_of[source], G._vid_of[target], weight_col=None)
+    return [G._node_of[v] for v in vids]
+
+
+def single_source_dijkstra_path_length(G: DiGraph, source, weight: str = "weight") -> dict:
+    """builtin.py:297 — dict node → distance (unreachable omitted)."""
+    d = A.sssp(G._project(), G._vid_of[source], weight_col="weight")
+    return {
+        n: v for n, v in G._to_dict(d).items() if v >= 0
+    }
+
+
+def average_shortest_path_length(G: DiGraph) -> float:
+    """builtin.py:335."""
+    return A.average_shortest_path_length(G._project())
+
+
+def bfs_edges(G: DiGraph, source) -> list[tuple]:
+    """builtin.py:359 — BFS tree edges."""
+    G._project()
+    rows = A.bfs_generic(G._lg, G._vid_of[source], format="edges").collect()
+    return [(G._node_of[r["src"]], G._node_of[r["dst"]]) for r in rows]
+
+
+def bfs_predecessors(G: DiGraph, source) -> list[tuple]:
+    """builtin.py:399."""
+    G._project()
+    rows = A.bfs_generic(G._lg, G._vid_of[source], format="predecessors").collect()
+    return [(G._node_of[r["vid"]], G._node_of[r["predecessor"]]) for r in rows]
+
+
+def bfs_successors(G: DiGraph, source) -> list[tuple]:
+    """builtin.py:407 — (node, [successors])."""
+    G._project()
+    rows = A.bfs_generic(G._lg, G._vid_of[source], format="successors").collect()
+    return [
+        (G._node_of[r["vid"]], [G._node_of[s] for s in r["successors"]]) for r in rows
+    ]
+
+
+def bfs_tree(G: DiGraph, source) -> "DiGraph":
+    """builtin.py:472 — the BFS tree as a new DiGraph."""
+    t = DiGraph(G._spark)
+    t.add_node(source)
+    t.add_edges_from(bfs_edges(G, source))
+    return t
+
+
+def all_pairs_shortest_path_length(G: DiGraph) -> dict:
+    """builtin.py:414 — dict source → {node: dist}."""
+    G._project()
+    out: dict[Any, dict] = {}
+    for r in A.all_pairs_shortest_path_length(G._lg).collect():
+        out.setdefault(G._node_of[r["root"]], {})[G._node_of[r["vid"]]] = r["dist"]
+    return out
+
+
+def closeness_centrality(G: DiGraph, wf_improved: bool = True) -> dict:
+    """builtin.py:457."""
+    return G._to_dict(A.closeness_centrality(G._project(), wf_improved=wf_improved))
+
+
+def k_core(G: DiGraph, k: int) -> list:
+    """builtin.py:509 — nodes of the k-core (membership flag collected)."""
+    res = A.k_core(G._project(), k=k)
+    return sorted(
+        (n for n, v in G._to_dict(res).items() if v), key=repr
+    )
+
+
+def clustering(G: DiGraph) -> dict:
+    """builtin.py:538."""
+    return G._to_dict(A.clustering(G._project()))
+
+
+def triangles(G: Graph) -> dict:
+    """builtin.py:558 (undirected only, as the reference)."""
+    if G.directed:
+        raise ValueError("triangles() is not defined for directed graphs")
+    return G._to_dict(A.triangles(G._project()))
+
+
+def transitivity(G: DiGraph) -> float:
+    """builtin.py:575."""
+    return A.transitivity(G._project())
+
+
+def average_clustering(G: DiGraph) -> float:
+    """builtin.py:581."""
+    return A.average_clustering(G._project())
+
+
+def weakly_connected_components(G: DiGraph):
+    """builtin.py:600 — yields node sets, as NetworkX does."""
+    comp = G._to_dict(A.wcc(G._project()))
+    groups: dict[int, set] = {}
+    for n, c in comp.items():
+        groups.setdefault(c, set()).add(n)
+    yield from groups.values()
+
+
+def degree_assortativity_coefficient(G: DiGraph, x: str = "out", y: str = "in") -> float:
+    """builtin.py:618."""
+    return A.degree_assortativity_coefficient(G._project(), x=x, y=y)
+
+
+def attribute_assortativity_coefficient(G: DiGraph, attribute: str) -> float:
+    """builtin.py:771."""
+    return A.attribute_assortativity_coefficient(G._project(), G._attr_df(attribute))
+
+
+def numeric_assortativity_coefficient(G: DiGraph, attribute: str) -> float:
+    """builtin.py:813."""
+    return A.numeric_assortativity_coefficient(G._project(), G._attr_df(attribute))
+
+
+def average_degree_connectivity(G: DiGraph) -> dict:
+    """builtin.py:709 — dict degree → mean neighbor degree."""
+    return {
+        r["degree"]: r["avg_nbr_degree"]
+        for r in A.average_degree_connectivity(G._project()).collect()
+    }
+
+
+def node_boundary(G: DiGraph, nbunch1, nbunch2=None) -> set:
+    """builtin.py:671."""
+    spark = G._spark or SparkSession.active()
+    G._project()
+    s = spark.createDataFrame([(G._vid_of[n],) for n in nbunch1], "vid long")
+    t = (
+        spark.createDataFrame([(G._vid_of[n],) for n in nbunch2], "vid long")
+        if nbunch2 is not None
+        else None
+    )
+    return {G._node_of[r["vid"]] for r in A.node_boundary(G._lg, s, t).collect()}
+
+
+def edge_boundary(G: DiGraph, nbunch1, nbunch2=None) -> list[tuple]:
+    """builtin.py:689."""
+    spark = G._spark or SparkSession.active()
+    G._project()
+    s = spark.createDataFrame([(G._vid_of[n],) for n in nbunch1], "vid long")
+    t = (
+        spark.createDataFrame([(G._vid_of[n],) for n in nbunch2], "vid long")
+        if nbunch2 is not None
+        else None
+    )
+    return [
+        (G._node_of[r["src"]], G._node_of[r["dst"]])
+        for r in A.edge_boundary(G._lg, s, t).collect()
+    ]
+
+
+def is_simple_path(G: DiGraph, nodes: list) -> bool:
+    """builtin.py:854."""
+    G._project()
+    try:
+        vids = [G._vid_of[n] for n in nodes]
+    except KeyError:
+        return False
+    return A.is_simple_path(G._lg, vids)
+
+
+def all_simple_paths(G: DiGraph, source, target, cutoff: int = 5) -> list[list]:
+    """builtin.py:889 — list of node-list paths (depth-capped)."""
+    G._project()
+    rows = A.all_simple_paths(G._lg, G._vid_of[source], G._vid_of[target], cutoff=cutoff).collect()
+    return [[G._node_of[v] for v in r["path"]] for r in rows]
+
+
+def betweenness_centrality(G: DiGraph, normalized: bool = True) -> dict:
+    """builtin.py:974."""
+    return G._to_dict(A.betweenness_centrality(G._project(), normalized=normalized))

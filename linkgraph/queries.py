@@ -255,6 +255,23 @@ def q_closeness_sampled(spark, sf_dir):
     )
 
 
+def q_nx_degree_centrality(spark, sf_dir):
+    """NetworkX-compat surface (SURVEY.md §2.6, reference graphscope.nx):
+    the oracle graph rebuilt through the nx-style DiGraph mutation API,
+    degree_centrality returned as the builtin dict, re-emitted as a
+    DataFrame — hash-identical to g_degree_centrality."""
+    from linkgraph import nx as lnx
+
+    g0 = _oracle_graph(spark, sf_dir)
+    G = lnx.DiGraph(spark)
+    G.add_nodes_from(r["vid"] for r in g0.vertices.collect())
+    G.add_edges_from((r["src"], r["dst"]) for r in g0.edges.collect())
+    dc = lnx.degree_centrality(G)
+    return spark.createDataFrame(
+        [(int(k), v) for k, v in dc.items()], "vid long, value double"
+    ).select("vid", F.round("value", 6).alias("value"))
+
+
 def q_csv_load(spark, sf_dir):
     """Loader-surface parity (reference loader.py:44-132): the oracle
     graph's edges round-trip through a pipe-delimited CSV e-file with a
@@ -1074,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_closeness_sampled": q_closeness_sampled,
     "g_csv_load": q_csv_load,
     "g_append_pagerank": q_append_pagerank,
+    "nx_degree_centrality": q_nx_degree_centrality,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -1091,7 +1109,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_betweenness": q_betweenness,
     "g_closeness": q_closeness,
     "g_clustering": q_clustering,
-    "g_eigenvector_r2": q_eigenvector_r2,
     "g_katz_r3": q_katz_r3,
     "g_lpa_u2i_r2": q_lpa_u2i_r2,
     "g_lpa_u2i_vec_r2": q_lpa_u2i_vector_r2,
@@ -1099,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tail: driver-green in r1/r2 (pytest keeps them verified)
     "g_modify": q_modify,
     "g_apsp": q_apsp,
+    "g_eigenvector_r2": q_eigenvector_r2,
     "g_out_degree": q_out_degree,
     "g_in_degree": q_in_degree,
     "g_degree_centrality": q_degree_centrality,
@@ -1523,6 +1541,14 @@ ORACLE_SQL: dict[str, str] = {
     "g_in_degree": _with_graph(
         """idg AS (SELECT dst AS vid, count(*) AS degree FROM e GROUP BY dst)
   SELECT v.vid, coalesce(idg.degree, 0) AS degree FROM v LEFT JOIN idg ON v.vid = idg.vid"""
+    ),
+    "nx_degree_centrality": _with_graph(
+        """alldeg AS (
+    SELECT vid, count(*) AS d FROM (
+      SELECT src AS vid FROM e UNION ALL SELECT dst AS vid FROM e) GROUP BY vid),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT v.vid, round(coalesce(alldeg.d, 0) * 1.0 / ((SELECT n FROM nv) - 1), 6) AS value
+  FROM v LEFT JOIN alldeg ON v.vid = alldeg.vid"""
     ),
     "g_degree_centrality": _with_graph(
         """alldeg AS (

@@ -1,0 +1,120 @@
+"""NetworkX-compat surface (§2.6): Graph/DiGraph projection + builtin
+wrappers return plain-python results keyed by the caller's node objects."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from linkgraph import nx as lnx
+
+
+@pytest.fixture()
+def G(spark):
+    g = lnx.DiGraph(spark)
+    g.add_edges_from([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    g.add_node("e")  # isolated
+    return g
+
+
+def test_graph_surface(G):
+    assert len(G) == 5 and G.number_of_edges() == 4
+    assert "a" in G and "z" not in G
+    G.remove_node("e")
+    assert len(G) == 4
+
+
+def test_pagerank_dict(G):
+    pr = lnx.pagerank(G, tol=1e-10)
+    assert set(pr) == {"a", "b", "c", "d", "e"}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr["c"] > pr["d"]  # c has two in-edges... b->c and ... rank flows a->b->c
+
+
+def test_degree_centrality_variants(G):
+    dc = lnx.degree_centrality(G)
+    assert abs(dc["c"] - 3 / 4) < 1e-12  # in b->c, out c->a, c->d over n-1=4
+    assert lnx.in_degree_centrality(G)["d"] == 1 / 4
+    assert lnx.out_degree_centrality(G)["d"] == 0.0
+
+
+def test_paths_and_bfs(G):
+    assert lnx.has_path(G, "a", "d")
+    assert not lnx.has_path(G, "d", "a")
+    assert lnx.shortest_path(G, "a", "d") == ["a", "b", "c", "d"]
+    sp = lnx.single_source_dijkstra_path_length(G, "a")
+    assert sp == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}  # e unreachable omitted
+    assert set(lnx.bfs_edges(G, "a")) == {("a", "b"), ("b", "c"), ("c", "d")}
+    succ = dict(lnx.bfs_successors(G, "a"))
+    assert succ["c"] == ["d"]
+    tree = lnx.bfs_tree(G, "a")
+    assert tree.number_of_edges() == 3
+
+
+def test_apsp_and_closeness(G):
+    apsp = lnx.all_pairs_shortest_path_length(G)
+    assert apsp["a"]["d"] == 3
+    cc = lnx.closeness_centrality(G)
+    # reach-to sets: b,c each reached by 2 others at total dist 3; d by 3
+    # at total dist 6 with the wf factor 3/4 -> d ranks highest
+    assert cc["e"] == 0.0
+    assert cc["b"] == pytest.approx(cc["c"])
+    assert cc["d"] > cc["c"]
+
+
+def test_wcc_components(G):
+    comps = sorted(lnx.weakly_connected_components(G), key=len)
+    assert [set(c) for c in comps] == [{"e"}, {"a", "b", "c", "d"}]
+
+
+def test_undirected_triangles_clustering(spark):
+    g = lnx.Graph(spark)
+    g.add_edges_from([(1, 2), (2, 3), (1, 3), (3, 4)])
+    tri = lnx.triangles(g)
+    assert tri == {1: 1, 2: 1, 3: 1, 4: 0}
+    assert lnx.transitivity(g) == pytest.approx(3 * 1 / 5)  # 3 closed / 5 wedges... computed below
+    cl = lnx.clustering(g)
+    assert cl[1] == pytest.approx(1.0) and cl[4] == 0.0
+    with pytest.raises(ValueError):
+        lnx.triangles(lnx.DiGraph(spark))
+
+
+def test_k_core_and_boundary(spark):
+    g = lnx.Graph(spark)
+    # K4 plus a pendant
+    g.add_edges_from([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)])
+    assert lnx.k_core(g, k=3) == [1, 2, 3, 4]
+    nb = lnx.node_boundary(g, [1, 2])
+    assert nb == {3, 4}
+    eb = lnx.edge_boundary(g, [1, 2])
+    assert set(eb) <= {(1, 3), (1, 4), (2, 3), (2, 4), (3, 1), (4, 1), (3, 2), (4, 2)}
+    assert len(eb) == 4
+
+
+def test_assortativity_attrs(spark):
+    g = lnx.DiGraph(spark)
+    g.add_node("a", color="r", size=1)
+    g.add_node("b", color="r", size=2)
+    g.add_node("c", color="g", size=9)
+    g.add_edges_from([("a", "b"), ("c", "c2")])
+    g.add_node("c2", color="g", size=10)
+    r = lnx.attribute_assortativity_coefficient(g, "color")
+    assert r == pytest.approx(1.0)  # perfectly assortative
+    rn = lnx.numeric_assortativity_coefficient(g, "size")
+    assert rn == pytest.approx(1.0, abs=1e-6)
+
+
+def test_simple_paths(G):
+    assert lnx.is_simple_path(G, ["a", "b", "c"])
+    assert not lnx.is_simple_path(G, ["a", "c"])
+    assert not lnx.is_simple_path(G, ["a", "zz"])
+    paths = lnx.all_simple_paths(G, "a", "d", cutoff=5)
+    assert paths == [["a", "b", "c", "d"]]
+
+
+def test_hits_and_betweenness(G):
+    hubs, auth = lnx.hits(G, tol=1e-10)
+    assert set(hubs) == set(auth) == {"a", "b", "c", "d", "e"}
+    bc = lnx.betweenness_centrality(G)
+    assert bc["c"] >= bc["d"]
