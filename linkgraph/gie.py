@@ -19,6 +19,8 @@ module implements that mapping as a fluent traversal over
 - count/groupCount           → aggregations                 (:111,:85)
 - group().by(k).by(agg)      → group_by keyed aggregation   (:107,:115-123)
 - sample                     → deterministic hash top-n     (:141)
+- choose(P, t, f)            → predicate-routed branches    (:82,:143)
+- withSack/sackBy/sack       → per-traverser scratch column (:106)
 - dedup/order/limit          → dropDuplicates/orderBy/limit (:84,:80,:81)
 - repeat(...).times(n)       → driver-side loop             (:87-88)
 - withPath/path/simplePath   → array column + guards        (:95,:98)
@@ -123,8 +125,12 @@ class Traversal:
         return [(n, self.pg.e_tables[n]) for n in names]
 
     def _tag_cols(self) -> list:
-        """``as_()`` tag columns carried through every expansion."""
-        return [F.col(c) for c in self.df.columns if c.startswith("__as_")]
+        """``as_()`` tag + sack columns carried through every expansion."""
+        return [
+            F.col(c)
+            for c in self.df.columns
+            if c.startswith("__as_") or c == "__sack"
+        ]
 
     def _path_cols(self) -> list:
         cols = [F.col("__path")] if self.tracked else []
@@ -255,7 +261,11 @@ class Traversal:
         col = f"__as_{name}"
         if col not in self.df.columns:
             raise ValueError(f"select_({name!r}): no as_({name!r}) upstream")
-        keep = [c for c in self.df.columns if c.startswith("__as_") or c == "__path"]
+        keep = [
+            c
+            for c in self.df.columns
+            if c.startswith("__as_") or c in ("__path", "__sack")
+        ]
         df = self.df.select(
             F.col(col).alias("oid"), F.col(f"{col}_lbl").alias("label"),
             *[F.col(c) for c in keep],
@@ -294,6 +304,84 @@ class Traversal:
         out = self._next(merged, outs[0].kind)
         out.tracked = all(t.tracked for t in outs)
         return out
+
+    # -- branch (BRANCH :82 / BRANCH_OPTION :143) ----------------------
+    def choose(self, predicate, true_branch, false_branch=None) -> "Traversal":
+        """choose(): route each traverser into exactly one branch by a
+        per-traverser predicate (Gremlin's choose(P, t, f); the runtime's
+        BRANCH operator with two BRANCH_OPTIONs). ``predicate`` is a
+        Column or a callable df → Column; a NULL predicate (e.g. a
+        missing property) routes to the false branch, as Gremlin's
+        filter-failure does. ``false_branch=None`` passes non-matching
+        traversers through unchanged. Both branch outputs must end in the
+        same frontier kind; the result is their bag union — still one
+        Catalyst plan (two filters over a shared subplan + unionByName).
+        """
+        c = predicate(self.df) if callable(predicate) else predicate
+        c = F.coalesce(c, F.lit(False))
+        t_out = true_branch(self._next(self.df.where(c)))
+        f_in = self._next(self.df.where(~c))
+        f_out = false_branch(f_in) if false_branch is not None else f_in
+        if t_out.kind != f_out.kind:
+            raise ValueError(
+                f"choose(): branches end in mixed kinds ({t_out.kind!r} vs {f_out.kind!r})"
+            )
+        merged = t_out.df.unionByName(f_out.df, allowMissingColumns=True)
+        out = self._next(merged, t_out.kind)
+        out.tracked = t_out.tracked and f_out.tracked
+        return out
+
+    # -- sack (per-traverser scratch value; SACK_OUT :106) -------------
+    def withSack(self, init) -> "Traversal":
+        """Attach a per-traverser sack (Gremlin withSack): ``init`` is a
+        literal or a Column over the current frontier. The sack rides the
+        frontier as a plain Catalyst column through every expansion —
+        zero extra shuffles."""
+        col = init if isinstance(init, Column) else F.lit(init)
+        return self._next(self.df.withColumn("__sack", col))
+
+    def sackBy(self, prop: str, op: str = "sum") -> "Traversal":
+        """Merge a property of the current element into the sack
+        (sack(Operator.X).by(prop)): ``op`` ∈ {sum, mult, min, max,
+        assign}. Properties resolve as in has(): edge columns on an edge
+        frontier, per-label vertex property joins on a vertex frontier —
+        e.g. ``withSack(0.0).outE().sackBy('weight').inV()`` accumulates
+        path cost."""
+        if "__sack" not in self.df.columns:
+            raise ValueError("sackBy(): call withSack() first")
+        ops = {
+            "sum": lambda s, v: s + v,
+            "mult": lambda s, v: s * v,
+            "min": F.least,
+            "max": F.greatest,
+            "assign": lambda s, v: v,
+        }
+        if op not in ops:
+            raise ValueError(f"sackBy: unknown op {op!r} (use {sorted(ops)})")
+        if self.kind == "e":
+            if prop not in self.df.columns:
+                raise ValueError(f"sackBy({prop!r}): not an edge property")
+            df = self.df
+        else:
+            df = self._join_vprop(prop).select(
+                "oid", "label", F.col(prop), *self._path_cols()
+            )
+        merged = ops[op](F.col("__sack"), F.col(prop))
+        out = df.withColumn("__sack", merged)
+        if self.kind == "v":
+            out = out.drop(prop)
+        return self._next(out)
+
+    def sack(self, by: str | None = None, agg: str = "sum") -> DataFrame:
+        """SACK_OUT: emit the sack value. ``by=None`` gives one row per
+        traverser (column ``value``); ``by=key`` gives the Gremlin
+        ``group().by(key).by(sack().agg())`` form — a keyed (key, value)
+        DataFrame, with the key resolving like group_by()."""
+        if "__sack" not in self.df.columns:
+            raise ValueError("sack(): call withSack() first")
+        if by is None:
+            return self.df.select(F.col("__sack").alias("value"))
+        return self.group_by(by, agg, "__sack")
 
     # -- keyed aggregation (GROUP :107, SUM/MAX/MIN/COUNT by key :115-123)
     def group_by(self, key: str, agg: str = "count", value: str | None = None) -> DataFrame:

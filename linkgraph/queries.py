@@ -857,6 +857,33 @@ def q_gie_otherv(spark, sf_dir):
     )
 
 
+def q_gie_choose_sack(spark, sf_dir):
+    """choose() (BRANCH/BRANCH_OPTION, query_flow.proto:82,:143) +
+    withSack/sackBy/sack (SACK_OUT :106): per-traverser cost accumulation
+    routed by a predicate. High-value orders (> 150k) add their price to
+    the sack; every contains-hop adds its quantity; emission is the
+    Gremlin group().by(part).by(sack().sum()) form."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    t = (
+        g.V("customer")
+        .withSack(0.0)
+        .outE("placed")
+        .choose(
+            F.col("o_totalprice") > 150000.0,
+            lambda e: e.sackBy("o_totalprice", "sum"),
+        )
+        .inV()
+        .outE("contains")
+        .sackBy("l_quantity", "sum")
+        .inV()
+    )
+    return t.sack(by="oid").select(
+        "key", F.round("value", 2).alias("value")
+    )
+
+
 def _gie_subgraph(spark, sf_dir):
     """BUILDING customers' 'placed' edges materialized as a LinkGraph —
     the GIE→GAE pipeline sink (query_flow.proto:146-147)."""
@@ -1086,6 +1113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_group_sum": q_gie_group_sum,
     "gie_sample": q_gie_sample,
     "gie_otherv": q_gie_otherv,
+    "gie_choose_sack": q_gie_choose_sack,
     "gie_subgraph_degree": q_gie_subgraph_degree,
     "gie_subgraph_wcc": q_gie_subgraph_wcc,
     "g_closeness_sampled": q_closeness_sampled,
@@ -2067,6 +2095,14 @@ ORACLE_SQL: dict[str, str] = {
   SELECT count(DISTINCT l_orderkey)::BIGINT AS n
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   WHERE p.p_brand = 'Brand#13'""",
+    "gie_choose_sack": """
+  SELECT 'p' || l.l_partkey AS key,
+         round(sum(CASE WHEN o.o_totalprice > 150000.0 THEN o.o_totalprice ELSE 0.0 END
+                   + l.l_quantity), 2) AS value
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY l.l_partkey""",
     "gie_subgraph_degree": """
   WITH ce AS (
     SELECT DISTINCT 'c' || o_custkey AS src_oid, 'o' || o_orderkey AS dst_oid

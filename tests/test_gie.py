@@ -218,3 +218,80 @@ def test_subgraph_sink_to_analytics(g):
         lambda x: x, lambda x: x
     ).subgraph()
     assert sub2.edges.count() == 4
+
+
+def test_choose_predicate_routing(g):
+    # age > 30 → follow created; else stay put (false branch pass-through)
+    t = g.V("person").choose(
+        lambda df: F.col("oid").isin("p3", "p4"),
+        lambda b: b.out("created"),
+    )
+    assert _oids(t) == ["p1", "p2", "s1", "s2", "s2"]
+    # explicit false branch; both routes expand
+    t2 = g.V("person").choose(
+        lambda df: F.col("oid") == "p1",
+        lambda b: b.out("knows"),
+        lambda b: b.out("created"),
+    )
+    assert _oids(t2) == ["p2", "p3", "s1", "s2", "s2"]
+    with pytest.raises(ValueError):
+        g.V("person").choose(
+            F.lit(True), lambda b: b.outE("knows"), lambda b: b.out("knows")
+        )
+
+
+def test_sack_accumulates_edge_props(g):
+    # two knows-hops exist only via p4 → p1 → {p2, p3}
+    t = (
+        g.V("person")
+        .withSack(0.0)
+        .outE("knows")
+        .sackBy("w")
+        .inV()
+        .outE("knows")
+        .sackBy("w")
+        .inV()
+    )
+    vals = sorted(round(r["value"], 6) for r in t.sack().collect())
+    assert vals == [0.7, 1.2]  # 0.2+0.5, 0.2+1.0
+    # grouped emission: group().by(oid).by(sack().sum())
+    grouped = {r["key"]: round(r["value"], 6) for r in t.sack(by="oid").collect()}
+    assert grouped == {"p2": 0.7, "p3": 1.2}
+
+
+def test_sack_ops_and_vertex_props(g):
+    # assign from a vertex property
+    t = g.V("person").withSack(0).sackBy("age", "assign")
+    assert sorted(r["value"] for r in t.sack().collect()) == [27, 29, 32, 35]
+    # mult keeps zero sack at zero through the false route of choose
+    t2 = (
+        g.V("person")
+        .withSack(0.0)
+        .outE("placed" if False else "knows")
+        .choose(
+            F.col("w") >= 0.5,
+            lambda e: e.sackBy("w", "sum"),
+        )
+        .inV()
+    )
+    vals = sorted(round(r["value"], 2) for r in t2.sack().collect())
+    assert vals == [0.0, 0.5, 1.0]  # p4->p1 (0.2) routed false, sack stays 0
+    with pytest.raises(ValueError):
+        g.V("person").sackBy("age")
+    with pytest.raises(ValueError):
+        g.V("person").withSack(1).sackBy("age", "xor")
+
+
+def test_sack_survives_tags_and_select(g):
+    t = (
+        g.V("person")
+        .as_("root")
+        .withSack(0.0)
+        .outE("knows")
+        .sackBy("w")
+        .inV()
+        .select_("root")
+    )
+    # sack accumulated on the hop survives the jump back to the tag
+    grouped = {r["key"]: round(r["value"], 2) for r in t.sack(by="oid").collect()}
+    assert grouped == {"p1": 1.5, "p4": 0.2}
