@@ -75,6 +75,10 @@ def run(max_iter):
         ranks = csr.pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=None, num_blocks=PARTS,
                                  rank_dtype=DTYPE)
         hist = csr.LAST_HISTORY
+    elif TIER == "dense":
+        ranks = csr.pagerank_csr_dense(g, alpha=0.85, max_iter=max_iter, tol=None,
+                                       num_blocks=PARTS, rank_dtype=DTYPE)
+        hist = csr.LAST_HISTORY
     else:
         ranks = _pagerank_impl(g, alpha=0.85, max_iter=max_iter, tol=None, checkpoint_dir=None)
         hist = prmod.LAST_HISTORY
@@ -96,7 +100,11 @@ rec = {
     "dtype": DTYPE,
     "partial_rows": prows,
     "logical_shuffle_bytes_per_round": (
-        n_vertices * (8 + 4 + val_b) + prows * (dst_b + val_b)
+        # dense tier: packed (pos,val) partials + chunked state arrays;
+        # sparse tier: partial rows in, combined msg rows out, state join
+        n_vertices * (4 + val_b) + prows * (4 + val_b)
+        if TIER == "dense"
+        else n_vertices * (8 + 4 + val_b) + prows * (dst_b + val_b)
         + min(prows, n_vertices) * (dst_b + 8)
     ),
     "cores": cores,

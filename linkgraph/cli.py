@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=10, help="CDLP rounds")
-    ap.add_argument("--tier", choices=["reference", "csr"], default="csr")
+    ap.add_argument("--tier", choices=["reference", "csr", "dense"], default="csr")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--out", default=None, help="parquet output path")
     args = ap.parse_args(argv)
@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None) -> int:
             from linkgraph.csr import pagerank_csr
 
             res = pagerank_csr(
+                g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
+                checkpoint_dir=args.checkpoint_dir,
+            )
+        elif args.tier == "dense":
+            from linkgraph.csr import pagerank_csr_dense
+
+            res = pagerank_csr_dense(
                 g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
                 checkpoint_dir=args.checkpoint_dir,
             )

@@ -64,3 +64,42 @@ def test_pagerank_csr_float32_scale_tier(spark):
     a, b = np.array([ref[k] for k in ks]), np.array([f32[k] for k in ks])
     assert np.allclose(a, b, rtol=5e-6, atol=1e-9)
     assert abs(b.sum() - 1.0) < 1e-5  # mass conserved
+
+
+def test_pagerank_dense_matches_reference_tier(spark):
+    """Dense-chunk tier (array-packed partials + chunked state) is exact
+    vs the join tier on the dense vid space synth graphs provide."""
+    from linkgraph.corpus import synth_edge_graph
+    from linkgraph.csr import pagerank_csr_dense
+
+    g = synth_edge_graph(spark, 400, partitions=4)
+    ref = _d(pagerank_nx(g, alpha=0.85, max_iter=40, tol=1e-8))
+    for p in (4, 3):  # even and ragged chunking (n % p != 0)
+        fast = _d(pagerank_csr_dense(g, alpha=0.85, max_iter=40, tol=1e-8, num_blocks=p))
+        assert set(ref) == set(fast)
+        ks = sorted(ref)
+        assert np.allclose([fast[k] for k in ks], [ref[k] for k in ks], atol=1e-12, rtol=0)
+
+
+def test_pagerank_dense_float32(spark):
+    from linkgraph.corpus import synth_edge_graph
+    from linkgraph.csr import pagerank_csr_dense
+
+    g = synth_edge_graph(spark, 300, partitions=4)
+    ref = _d(pagerank_csr_dense(g, alpha=0.85, max_iter=60, tol=1e-8, num_blocks=4))
+    f32 = _d(pagerank_csr_dense(g, alpha=0.85, max_iter=60, tol=1e-8, num_blocks=4,
+                                rank_dtype="float32"))
+    ks = sorted(ref)
+    a, b = np.array([ref[k] for k in ks]), np.array([f32[k] for k in ks])
+    assert np.allclose(a, b, rtol=5e-6, atol=1e-9)
+    assert abs(b.sum() - 1.0) < 1e-5
+
+
+def test_pagerank_dense_requires_dense_ids(spark):
+    """Non-dense vid spaces (LANGVILLE_MEYER uses 1..6) must fail loudly,
+    pointing at assign_dense_ids — not silently mis-place state."""
+    from linkgraph.csr import pagerank_csr_dense
+
+    g = graph_from_edge_vids(spark, LANGVILLE_MEYER)
+    with pytest.raises(Exception, match="dense"):
+        pagerank_csr_dense(g, max_iter=3, num_blocks=4).collect()
