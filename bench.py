@@ -77,6 +77,12 @@ def _run_pagerank_tier(spark, g, tier: str, tol: float | None, max_iter: int,
         ranks = pagerank_csr(g, alpha=0.85, max_iter=max_iter, tol=tol,
                              num_blocks=num_blocks, rank_dtype=rank_dtype)
         mod = importlib.import_module("linkgraph.csr")
+    elif tier == "dense":
+        from linkgraph.csr import pagerank_csr_dense
+
+        ranks = pagerank_csr_dense(g, alpha=0.85, max_iter=max_iter, tol=tol,
+                                   num_blocks=num_blocks, rank_dtype=rank_dtype)
+        mod = importlib.import_module("linkgraph.csr")
     else:
         from linkgraph.algorithms.pagerank import _pagerank_impl
 
@@ -148,6 +154,10 @@ def run_default() -> dict:
     queries["pagerank_csr_convergence"] = round(csr_sec, 3)
     if csr_rounds:
         queries["pagerank_csr_iters_per_sec"] = round(csr_rounds / csr_sec, 3)
+    dn_sec, dn_rounds, _ = _run_pagerank_tier(spark, g, "dense", 1e-6, 100)
+    queries["pagerank_dense_convergence"] = round(dn_sec, 3)
+    if dn_rounds:
+        queries["pagerank_dense_iters_per_sec"] = round(dn_rounds / dn_sec, 3)
     g.unpersist()
 
     # secondary headline queries on the sf parquet tables
