@@ -29,6 +29,9 @@ from linkgraph.pipeline.similarity import (
     with_cosine,
     cosine_topk,
     lsh_ann_topk,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_lloyd_refine,
     embedding_near_duplicates,
 )
 
@@ -48,5 +51,8 @@ __all__ = [
     "with_cosine",
     "cosine_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ivf_assign",
+    "ivf_lloyd_refine",
     "embedding_near_duplicates",
 ]

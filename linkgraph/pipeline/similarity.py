@@ -140,6 +140,144 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_seed_ids(n_centroids: int, stride: int = 17) -> list[int]:
+    """Deterministic coarse-quantizer seed ids: every ``stride``-th vector.
+
+    IVF trains its coarse quantizer on a bounded sample of the corpus; the
+    deterministic stand-in here (fixed ids) makes the quantizer replayable
+    by a SQL oracle. Production would sample ids and optionally refine
+    with :func:`ivf_lloyd_refine` — the index structure and the probed
+    search are identical either way.
+    """
+    return [i * stride for i in range(n_centroids)]
+
+
+def ivf_centroids_from_ids(
+    embeddings: DataFrame,
+    ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Collect the seed vectors (one bounded driver fetch of n_centroids
+    rows — the coarse quantizer is always tiny relative to the corpus)."""
+    rows = (
+        embeddings.where(F.col(id_col).isin(ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    missing = [i for i in ids if i not in by_id]
+    if missing:
+        raise ValueError(f"ivf seed ids missing from corpus: {missing}")
+    return np.stack([by_id[i] for i in ids])
+
+
+def ivf_lloyd_refine(
+    train: np.ndarray, centroids: np.ndarray, n_iter: int = 5
+) -> np.ndarray:
+    """Spherical k-means refinement of the coarse quantizer on a training
+    sample (driver-side numpy — the standard IVF pattern: train on a
+    bounded sample, assign the full corpus distributed). Empty clusters
+    keep their previous centroid."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    t = train / np.linalg.norm(train, axis=1, keepdims=True)
+    for _ in range(n_iter):
+        assign = np.argmax(t @ c.T, axis=1)
+        for j in range(c.shape[0]):
+            members = t[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    c[j] = m / nrm
+    return c
+
+
+def _centroid_scores(vec_col: Column, centroids: np.ndarray) -> list[Column]:
+    """cosine(vec, centroid_j) for each centroid, all JVM-side; the
+    centroid matrix rides in the plan as literals (n_centroids×dim
+    doubles — broadcast with the plan at any corpus scale)."""
+    vnorm = _norm(vec_col)
+    out = []
+    for j in range(centroids.shape[0]):
+        c_lit = F.array(*[F.lit(float(x)) for x in centroids[j]])
+        c_nrm = float(np.linalg.norm(centroids[j]))
+        out.append(_dot(vec_col, c_lit) / (vnorm * F.lit(c_nrm)))
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "list_id",
+) -> DataFrame:
+    """Append the IVF list id = argmax_j cosine(vec, centroid_j).
+
+    Pure projection (array-struct max, no shuffle): ties break to the
+    lowest centroid id deterministically via the (score, -j) struct order.
+    """
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    packed = F.array(
+        *[F.struct(s.alias("s"), F.lit(-j).alias("negj")) for j, s in enumerate(scores)]
+    )
+    return df.withColumn(out, (-F.array_max(packed)["negj"]).cast("int"))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    stride: int = 17,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: assign every
+    corpus vector to its nearest coarse centroid, probe each query's
+    ``nprobe`` nearest lists, exact cosine re-rank within the probed
+    lists only.
+
+    The scale shape: assignment is a shuffle-free projection; the search
+    is an equi-join on ``list_id`` with ~nprobe/n_centroids selectivity
+    instead of a full scan; the quantizer (n_centroids×dim doubles) is a
+    plan literal. ``refine_iters > 0`` runs spherical-k-means Lloyd
+    refinement on the seed sample (production path; the default 0 keeps
+    the quantizer SQL-replayable for the oracle gate).
+    """
+    ids = ivf_seed_ids(n_centroids, stride)
+    centroids = ivf_centroids_from_ids(embeddings, ids, id_col, vec_col)
+    if refine_iters:
+        centroids = ivf_lloyd_refine(centroids, centroids, refine_iters)
+    emb_a = ivf_assign(embeddings.select(id_col, vec_col), centroids, vec_col)
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    qscores = _centroid_scores(F.col("_qvec"), centroids)
+    packed = F.array(
+        *[F.struct(s.alias("s"), F.lit(-j).alias("negj")) for j, s in enumerate(qscores)]
+    )
+    probes = F.slice(F.sort_array(packed, asc=False), 1, nprobe)
+    q_p = q.withColumn(
+        "list_id", F.explode(F.transform(probes, lambda st: (-st["negj"]).cast("int")))
+    )
+
+    joined = emb_a.join(F.broadcast(q_p), "list_id").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        (_dot(F.col(vec_col), F.col("_qvec")) / (_norm(F.col(vec_col)) * _norm(F.col("_qvec")))).alias(
+            "cosine"
+        ),
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

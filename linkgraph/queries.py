@@ -1072,6 +1072,22 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_emb_ivf_ann(spark, sf_dir):
+    """IVF ANN: seed-sampled coarse quantizer (deterministic ids, so the
+    oracle recomputes the identical quantizer from the table itself),
+    nprobe=2 probed lists, exact re-rank within lists."""
+    from linkgraph.pipeline import ivf_ann_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(embs, queries, k=10, n_centroids=8, nprobe=2, stride=17).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     from linkgraph.pipeline import embedding_near_duplicates
 
@@ -1105,6 +1121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_knn": q_emb_knn,
     "emb_neardup": q_emb_neardup,
     "emb_lsh_ann": q_emb_lsh_ann,
+    "emb_ivf_ann": q_emb_ivf_ann,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     # --- new in r3 (slots inserted as operators land)
@@ -2048,6 +2065,41 @@ ORACLE_SQL: dict[str, str] = {
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5""",
     "emb_lsh_ann": _emb_lsh_ann_sql(),
+    # IVF: the coarse quantizer is the seed-id vectors themselves
+    # (vec_id = cid*17, cid < 8), so DuckDB rebuilds the identical
+    # quantizer from the table — assignment argmax, nprobe=2 probe set
+    # and the within-list exact re-rank all replayed relationally.
+    "emb_ivf_ann": """
+  WITH c AS MATERIALIZED (
+    SELECT (vec_id // 17)::INT AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id % 17 = 0 AND vec_id < 8 * 17),
+  e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  eassign AS (
+    SELECT vec_id, cid AS list_id FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+      FROM e CROSS JOIN c) WHERE rn = 1),
+  ea AS MATERIALIZED (
+    SELECT e.vec_id, e.v, a.list_id FROM e JOIN eassign a USING (vec_id)),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+  qprobe AS (
+    SELECT query_id, cid AS list_id FROM (
+      SELECT q.query_id, c.cid,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+      FROM q CROSS JOIN c) WHERE rn <= 2),
+  cand AS (
+    SELECT p.query_id, ea.vec_id, list_cosine_similarity(ea.v, q.qv) AS cosine
+    FROM qprobe p JOIN ea ON ea.list_id = p.list_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE ea.vec_id <> p.query_id),
+  ranked AS (
+    SELECT query_id, vec_id, cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM cand)
+  SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+  FROM ranked WHERE rank <= 10""",
     # -- GIE traversals (customer -placed-> order -contains-> part) --
     "gie_status_groupcount": """
   SELECT o_orderstatus AS key, count(*)::BIGINT AS n

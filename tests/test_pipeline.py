@@ -239,6 +239,48 @@ def test_lsh_ann_recall(spark, embs):
     assert recall > 0.2  # 4-plane single-probe on random vectors is lossy but nonzero
 
 
+def test_ivf_ann_recall_and_coverage(spark, embs):
+    from linkgraph.pipeline import ivf_ann_topk
+    from linkgraph.pipeline.similarity import ivf_assign, ivf_centroids_from_ids, ivf_seed_ids
+
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(embs, queries, k=5)
+    approx = ivf_ann_topk(embs, queries, k=5, n_centroids=8, nprobe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.2  # 2/8 lists probed on random vectors
+
+    # every corpus vector lands in exactly one list, all lists nonempty-ish
+    cents = ivf_centroids_from_ids(embs, ivf_seed_ids(8))
+    assigned = ivf_assign(embs, cents)
+    counts = {r["list_id"]: r["n"] for r in assigned.groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == embs.count()
+    assert set(counts) <= set(range(8))
+
+
+def test_ivf_lloyd_refine_improves_quantization(spark, embs):
+    from linkgraph.pipeline.similarity import (
+        ivf_centroids_from_ids,
+        ivf_lloyd_refine,
+        ivf_seed_ids,
+    )
+
+    X = np.array(
+        [r["embedding"] for r in embs.orderBy("vec_id").limit(256).collect()], dtype=np.float64
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    seed = ivf_centroids_from_ids(embs, ivf_seed_ids(8))
+    seed_n = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+    refined = ivf_lloyd_refine(X, seed, n_iter=5)
+    # mean max-cosine to the quantizer (spherical k-means objective) must not degrade
+    before = (Xn @ seed_n.T).max(axis=1).mean()
+    after = (Xn @ refined.T).max(axis=1).mean()
+    assert after >= before - 1e-12
+    assert np.allclose(np.linalg.norm(refined, axis=1), 1.0)
+
+
 def test_embedding_near_duplicates_exact_vs_lsh(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
