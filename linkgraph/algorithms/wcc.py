@@ -23,7 +23,19 @@ from linkgraph.graph import LinkGraph
 from linkgraph.superstep import run_supersteps
 
 
-def wcc(graph: LinkGraph, max_rounds: int = 200, checkpoint_dir: str | None = None) -> DataFrame:
+def wcc(
+    graph: LinkGraph,
+    max_rounds: int = 200,
+    checkpoint_dir: str | None = None,
+    init_labels: DataFrame | None = None,
+) -> DataFrame:
+    """``init_labels`` (vid, label) warm-starts min-propagation — used by
+    incremental append/streaming resume. Correctness: the fixed point is
+    the per-component min of the INITIAL labels; as long as every initial
+    label is the vid of some vertex inside the same component (true for
+    labels produced by a previous wcc run on a subgraph — the old
+    component minimum is still a member after edges are added), that min
+    equals the component's min vid, identical to a cold run."""
     spark = graph.edges.sparkSession
     e = graph.edges.select("src", "dst")
     p = spark.sparkContext.defaultParallelism
@@ -34,9 +46,20 @@ def wcc(graph: LinkGraph, max_rounds: int = 200, checkpoint_dir: str | None = No
         .repartition(p, "src")  # co-partition on the per-round join key
         .persist()
     )
-    state0 = graph.vertices.select(
-        "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
-    )
+    if init_labels is None:
+        state0 = graph.vertices.select(
+            "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
+        )
+    else:
+        il = init_labels.select("vid", F.col(init_labels.columns[1]).alias("_il"))
+        state0 = (
+            graph.vertices.join(il, "vid", "left")
+            .select(
+                "vid",
+                F.least(F.col("vid"), F.coalesce("_il", F.col("vid"))).alias("label"),
+                F.lit(True).alias("changed"),
+            )
+        )
 
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         frontier = state.where(F.col("changed")).select("vid", "label")

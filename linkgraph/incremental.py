@@ -70,6 +70,30 @@ def extend_graph(
     return replace(graph, vertices=vmap, edges=edges, partition_key=None)
 
 
+def wcc_resume(
+    graph: LinkGraph,
+    prev_labels: DataFrame,
+    max_rounds: int = 200,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Converge WCC on a grown graph starting from previous labels.
+
+    Labels from the pre-append graph are per-component vid minima, so
+    they remain valid lower seeds after edges/vertices are appended (see
+    ``wcc(init_labels=...)``): the warm run only has to merge components
+    the delta connected, typically a handful of supersteps instead of the
+    graph diameter.
+    """
+    from linkgraph.algorithms.wcc import wcc
+
+    return wcc(
+        graph,
+        max_rounds=max_rounds,
+        checkpoint_dir=checkpoint_dir,
+        init_labels=prev_labels,
+    )
+
+
 def pagerank_resume(
     graph: LinkGraph,
     prev_ranks: DataFrame,

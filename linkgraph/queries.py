@@ -1088,6 +1088,63 @@ def q_emb_ivf_ann(spark, sf_dir):
     )
 
 
+def q_stream_event_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation over the events table run
+    as a real Structured Streaming query (file source, availableNow
+    trigger, memory sink) — the drained result equals the batch
+    computation, which is what the DuckDB time_bucket oracle checks."""
+    from linkgraph.streaming import (
+        run_available_now,
+        stream_parquet,
+        windowed_event_counts,
+    )
+
+    import tempfile
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="lg_stream_events_")
+    batch.repartition(2).write.mode("overwrite").parquet(tmp)  # file source needs a dir
+    sdf = stream_parquet(spark, tmp, batch.schema)
+    res = run_available_now(windowed_event_counts(sdf, "1 hour", "2 hours"))
+    return res.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    )
+
+
+def q_stream_wcc(spark, sf_dir):
+    """The oracle graph's edges ingested as a 4-micro-batch edge STREAM:
+    each batch extends the graph append-only (stable vids) and
+    re-converges WCC warm-started from the previous labels. The final
+    canonical components must equal the static g_wcc oracle — streaming
+    arrival order must not matter."""
+    import tempfile
+
+    from linkgraph.streaming import canonical_components, stream_parquet, streaming_wcc
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (
+        orders.select(
+            F.pmod(F.col("o_custkey"), F.lit(V_MOD)).alias("s"),
+            F.pmod(F.col("o_orderkey"), F.lit(V_MOD)).alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .select(
+            F.col("s").cast("string").alias("src_oid"),
+            F.col("d").cast("string").alias("dst_oid"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="lg_stream_edges_")
+    edges.repartition(4).write.mode("overwrite").parquet(tmp)
+    sdf = stream_parquet(spark, tmp, "src_oid string, dst_oid string")
+    g, labels = streaming_wcc(sdf)
+    return canonical_components(g, labels).select(
+        F.col("oid_num").alias("vid"), F.col("comp").cast("long").alias("comp")
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     from linkgraph.pipeline import embedding_near_duplicates
 
@@ -1137,6 +1194,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_csv_load": q_csv_load,
     "g_append_pagerank": q_append_pagerank,
     "nx_degree_centrality": q_nx_degree_centrality,
+    "stream_event_counts": q_stream_event_counts,
+    "stream_wcc": q_stream_wcc,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -2237,3 +2296,12 @@ ORACLE_SQL: dict[str, str] = {
 
 # the Pregel-surface SSSP must produce exactly what the built-in does
 ORACLE_SQL["g_pregel_sssp"] = ORACLE_SQL["g_sssp"]
+
+# streaming ingest must converge to exactly the static computation:
+# stream_wcc (4-micro-batch incremental ingest + warm-start resume)
+# shares the batch recursive-CTE components oracle verbatim
+ORACLE_SQL["stream_wcc"] = ORACLE_SQL["g_wcc"]
+ORACLE_SQL["stream_event_counts"] = """
+  SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+         event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2"""

@@ -1,0 +1,176 @@
+"""Structured Streaming surface: streaming ingest → incremental graph.
+
+GraphScope itself has no streaming engine — its closest analog is the
+append-only fragment (analytical_engine/core/fragment/
+append_only_arrow_fragment.h), which this module feeds continuously:
+an edge stream is consumed in micro-batches (``foreachBatch``), each
+batch extends the graph with stable vids (:mod:`linkgraph.incremental`)
+and warm-starts the iterative algorithm from the previous batch's
+converged state, so the cost per batch is proportional to the delta, not
+the graph.
+
+Also here: watermarked event-time windowed aggregation over an event
+stream — the standard Structured Streaming pattern (watermark bounds
+state; window aggregation is algebraic, so map-side combine holds at any
+scale) — exposed batch-comparable via the ``availableNow`` trigger and a
+memory sink.
+
+Scale shape: nothing in this module collects data to the driver; each
+micro-batch runs the same partitioned plans the batch engine uses, and
+cross-batch state (graph + labels) is localCheckpoint-materialized so
+lineage stays flat across an unbounded stream (same discipline as
+``superstep.py``).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+from linkgraph.incremental import extend_graph, wcc_resume
+
+_MEM_SINK_IDS = itertools.count()
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a parquet directory (or glob).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size — on a cluster that is
+    the ingestion-rate knob; here it forces multi-batch execution so
+    incremental paths are actually exercised.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sums per event_type.
+
+    The watermark bounds aggregation state (late rows beyond it are
+    dropped); the aggregate is algebraic so partial aggregation absorbs
+    per-window skew. Works identically on a batch DataFrame (watermark is
+    a no-op there) — which is exactly how the oracle checks it.
+    """
+    # watermarks require TIMESTAMP (tz-aware); parquet NTZ columns cast
+    # losslessly under the engine's fixed UTC session timezone
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into a
+    memory sink and return the final result as a batch DataFrame.
+
+    ``complete`` mode emits every window regardless of watermark cutoff,
+    making the drained result equal to the batch computation — the
+    bridge between the streaming plan and the SQL oracle gate.
+    """
+    name = f"lg_mem_sink_{next(_MEM_SINK_IDS)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not drain in {timeout_sec}s")
+    return sdf.sparkSession.table(name)
+
+
+def empty_graph(spark: SparkSession) -> LinkGraph:
+    """The identity for :func:`linkgraph.incremental.extend_graph`."""
+    v = spark.createDataFrame([], "vid long, oid string")
+    e = spark.createDataFrame([], "src long, dst long")
+    return LinkGraph(vertices=v, edges=e)
+
+
+def streaming_wcc(
+    edge_stream: DataFrame,
+    src_col: str = "src_oid",
+    dst_col: str = "dst_oid",
+    timeout_sec: int = 600,
+) -> tuple[LinkGraph, DataFrame]:
+    """Consume an oid-pair edge stream; maintain WCC labels incrementally.
+
+    Each micro-batch extends the graph (stable vids — old vertices keep
+    their ids, per the append-only-fragment contract) and re-converges
+    WCC warm-started from the previous labels, so per-batch work scales
+    with the merge frontier the delta creates, not the accumulated graph.
+    Graph and labels are localCheckpoint-materialized every batch: flat
+    lineage over an unbounded stream.
+
+    Returns (final graph, final labels (vid, value)).
+    """
+    state: dict = {"graph": None, "labels": None}
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        g_prev = state["graph"]
+        if g_prev is None:
+            g_prev = empty_graph(batch_df.sparkSession)
+        g = extend_graph(g_prev, batch_df, src_col=src_col, dst_col=dst_col)
+        g = LinkGraph(
+            vertices=g.vertices.localCheckpoint(eager=True),
+            edges=g.edges.localCheckpoint(eager=True),
+            directed=g.directed,
+        )
+        labels = wcc_resume(g, state["labels"]) if state["labels"] is not None else None
+        if labels is None:
+            from linkgraph.algorithms.wcc import wcc
+
+            labels = wcc(g)
+        state["graph"] = g
+        state["labels"] = labels.localCheckpoint(eager=True)
+
+    q = (
+        edge_stream.writeStream.foreachBatch(_one_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive
+        q.stop()
+        raise TimeoutError(f"streaming wcc did not drain in {timeout_sec}s")
+    if state["graph"] is None:
+        raise ValueError("edge stream produced no batches")
+    return state["graph"], state["labels"]
+
+
+def canonical_components(graph: LinkGraph, labels: DataFrame) -> DataFrame:
+    """(oid_num, comp) with component ids re-labeled to the numeric-min
+    member oid — representative-invariant canonical form, so results are
+    comparable across runs whose dense-vid assignment order differs
+    (e.g. streaming arrival order vs a batch load)."""
+    vmap = graph.vertices.select("vid", F.col("oid").cast("long").alias("oid_num"))
+    lab = labels.select("vid", F.col(labels.columns[1]).alias("label"))
+    with_oid = lab.join(vmap, "vid").select("oid_num", "label")
+    comp_min = with_oid.groupBy("label").agg(F.min("oid_num").alias("comp"))
+    return with_oid.join(comp_min, "label").select("oid_num", "comp")

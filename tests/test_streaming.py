@@ -1,0 +1,92 @@
+"""Structured Streaming surface: windowed aggregation + incremental WCC.
+
+The streaming contract is batch-equivalence: draining a stream with the
+availableNow trigger must produce exactly what the batch engine computes
+on the same data — for the windowed aggregate directly, and for the
+incremental graph after canonical re-labeling (arrival order must not
+leak into component ids).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.algorithms.wcc import wcc
+from linkgraph.graph import build_graph
+from linkgraph.streaming import (
+    canonical_components,
+    run_available_now,
+    stream_parquet,
+    streaming_wcc,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="lg_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmpdir):
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    expected = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in windowed_event_counts(batch).collect()
+    }
+    path = f"{tmpdir}/events"
+    batch.repartition(3).write.mode("overwrite").parquet(path)  # 3 micro-batches
+    sdf = stream_parquet(spark, path, batch.schema)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in run_available_now(windowed_event_counts(sdf)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_wcc_matches_batch(spark, tmpdir):
+    # oid-pair edges over two components that only merge in a later batch
+    rows = [
+        ("1", "2"), ("2", "3"), ("10", "11"), ("11", "12"),
+        ("20", "21"), ("3", "10"),  # merges {1,2,3} with {10,11,12}
+        ("21", "22"), ("22", "1"),  # merges everything but in the LAST batch
+    ]
+    df = spark.createDataFrame(rows, "src_oid string, dst_oid string")
+    # 4 single-file micro-batches in a deliberately scrambled order
+    path = f"{tmpdir}/edges"
+    for i, chunk in enumerate([rows[5:6], rows[0:3], rows[6:8], rows[3:5]]):
+        spark.createDataFrame(chunk, "src_oid string, dst_oid string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    sdf = stream_parquet(spark, path, "src_oid string, dst_oid string")
+    g, labels = streaming_wcc(sdf)
+    got = {
+        (r["oid_num"], r["comp"])
+        for r in canonical_components(g, labels).collect()
+    }
+
+    gb = build_graph(df)
+    exp = {
+        (r["oid_num"], r["comp"])
+        for r in canonical_components(gb, wcc(gb)).collect()
+    }
+    assert got == exp
+    # everything merged into one component rooted at numeric-min oid 1
+    assert {c for _, c in got} == {1}
+
+
+def test_wcc_warm_start_equals_cold(spark):
+    rows = [("a", "b"), ("b", "c"), ("x", "y")]
+    g = build_graph(spark.createDataFrame(rows, "src_oid string, dst_oid string"))
+    cold = {(r["vid"], r["value"]) for r in wcc(g).collect()}
+    # warm-start from a coarser labeling (own vid) must converge identically
+    init = g.vertices.select("vid", F.col("vid").alias("label"))
+    warm = {(r["vid"], r["value"]) for r in wcc(g, init_labels=init).collect()}
+    assert warm == cold
