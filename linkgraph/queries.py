@@ -1145,6 +1145,41 @@ def q_stream_wcc(spark, sf_dir):
     )
 
 
+def q_evt_sessions(spark, sf_dir):
+    """session_window sessionization (batch plan — the identical
+    aggregation runs streaming with a watermark; test_streaming.py
+    exercises that path). Oracle: gaps-and-islands in SQL; timestamps
+    compared as exact epoch microseconds."""
+    from linkgraph.streaming import sessionize
+
+    return sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap="30 minutes"
+    ).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("n").cast("long").alias("n"),
+        "sum_value",
+    )
+
+
+def q_evt_user_totals(spark, sf_dir):
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    running totals drained with availableNow must equal the batch
+    groupBy — a hard SQL oracle over arbitrary user state."""
+    import tempfile
+
+    from linkgraph.streaming import running_user_totals, stream_parquet
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="lg_stream_events_")
+    batch.repartition(2).write.mode("overwrite").parquet(tmp)
+    sdf = stream_parquet(spark, tmp, batch.schema)
+    return running_user_totals(sdf).select(
+        "user_id", F.col("n").cast("long").alias("n"), "sum_value"
+    )
+
+
 def q_emb_neardup(spark, sf_dir):
     from linkgraph.pipeline import embedding_near_duplicates
 
@@ -1196,6 +1231,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nx_degree_centrality": q_nx_degree_centrality,
     "stream_event_counts": q_stream_event_counts,
     "stream_wcc": q_stream_wcc,
+    "evt_sessions": q_evt_sessions,
+    "evt_user_totals": q_evt_user_totals,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -2301,6 +2338,25 @@ ORACLE_SQL["g_pregel_sssp"] = ORACLE_SQL["g_sssp"]
 # stream_wcc (4-micro-batch incremental ingest + warm-start resume)
 # shares the batch recursive-CTE components oracle verbatim
 ORACLE_SQL["stream_wcc"] = ORACLE_SQL["g_wcc"]
+ORACLE_SQL["evt_sessions"] = """
+  WITH x AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, value)
+                       > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events),
+  y AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM x)
+  SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+         count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+  FROM y GROUP BY user_id, sid"""
+ORACLE_SQL["evt_user_totals"] = """
+  SELECT user_id, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY user_id"""
 ORACLE_SQL["stream_event_counts"] = """
   SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
          event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

@@ -79,6 +79,88 @@ def windowed_event_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per key: events closer than ``gap`` merge into one
+    session; ``session_end`` is last-event + gap (Spark session_window
+    semantics — the instant the session would have expired).
+
+    Uses the engine-native ``session_window`` aggregation, which runs
+    identically as a batch plan and as a watermarked streaming plan
+    (state per OPEN session only — bounded by the watermark at any
+    scale). Output: (key, session_start_us, session_end_us, n,
+    sum_value) with epoch-microsecond timestamps for exact cross-engine
+    comparison.
+    """
+    df = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            key_col,
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame, timeout_sec: int = 600) -> DataFrame:
+    """Custom stateful streaming operator on ``applyInPandasWithState``:
+    per-user running (n_events, sum_value) totals maintained in
+    arbitrary user state across micro-batches (the escape hatch for
+    stateful logic Spark's built-in aggregations can't express — the
+    state here is deliberately simple so the harness itself is what's
+    verified). Emits the updated total for every user seen in a batch;
+    the drained result is reduced to the LAST emission per user, which
+    must equal the batch groupBy totals.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n long, sum_value double"
+    state_schema = "n long, sum_value double"
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((n, sv))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "sum_value": [sv]})
+
+    stream = (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = run_available_now(stream, output_mode="update", timeout_sec=timeout_sec)
+    # update-mode memory sink keeps every emission; the running total is
+    # monotone in n, so max-n per user is the final state
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n", F.round("sum_value", 6).alias("sum_value"))
+    )
+
+
 def run_available_now(
     sdf: DataFrame,
     output_mode: str = "complete",

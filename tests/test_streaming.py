@@ -82,6 +82,46 @@ def test_streaming_wcc_matches_batch(spark, tmpdir):
     assert {c for _, c in got} == {1}
 
 
+def test_sessionize_stream_append_subset_of_batch(spark, tmpdir):
+    from linkgraph.streaming import sessionize
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    exp = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n"], r["sum_value"])
+        for r in sessionize(batch).collect()
+    }
+    path = f"{tmpdir}/sess_events"
+    batch.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(path)
+    sdf = stream_parquet(spark, path, batch.schema)
+    # append mode emits only watermark-finalized sessions — a subset of
+    # the batch result, and every emitted session must match it exactly
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n"], r["sum_value"])
+        for r in run_available_now(sessionize(sdf), output_mode="append").collect()
+    }
+    assert got <= exp
+
+
+def test_running_user_totals_stateful(spark, tmpdir):
+    from linkgraph.streaming import running_user_totals
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    exp = {
+        (r["user_id"], r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    path = f"{tmpdir}/tot_events"
+    batch.repartition(3).write.mode("overwrite").parquet(path)  # 3 micro-batches of state updates
+    sdf = stream_parquet(spark, path, batch.schema)
+    got = {
+        (r["user_id"], r["n"], r["sum_value"])
+        for r in running_user_totals(sdf).collect()
+    }
+    assert got == exp
+
+
 def test_wcc_warm_start_equals_cold(spark):
     rows = [("a", "b"), ("b", "c"), ("x", "y")]
     g = build_graph(spark.createDataFrame(rows, "src_oid string, dst_oid string"))
