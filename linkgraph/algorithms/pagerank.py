@@ -42,6 +42,7 @@ def _pagerank_impl(
     tol: float | None,
     checkpoint_dir: str | None,
     init_ranks: DataFrame | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     spark = graph.edges.sparkSession
     p = spark.sparkContext.defaultParallelism
@@ -81,6 +82,22 @@ def _pagerank_impl(
             (F.col("r0") if init_ranks is not None else F.lit(1.0 / n)).alias("rank"),
         )
     )
+    has_pers = personalization is not None
+    if has_pers:
+        # NetworkX personalization semantics: teleport AND dangling mass
+        # land on p_v (normalized; absent vids get 0). x0 stays uniform.
+        pw = personalization.select(
+            "vid", F.col(personalization.columns[1]).cast("double").alias("pw")
+        )
+        tot = pw.agg(F.sum("pw")).first()[0]
+        if not tot:
+            raise ValueError("personalization weights must not sum to zero")
+        pcol = (
+            graph.vertices.select("vid")
+            .join(pw, "vid", "left")
+            .select("vid", (F.coalesce("pw", F.lit(0.0)) / float(tot)).alias("p"))
+        )
+        state0 = state0.join(pcol, "vid")
 
     # mutable cross-round scalar: α · Σ rank over dangling vertices
     dangling = {"mass": None}
@@ -90,19 +107,22 @@ def _pagerank_impl(
             dangling["mass"] = (
                 state.where(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
             ) * alpha
-        base = (1.0 - alpha) / n + dangling["mass"] / n
+        if has_pers:
+            base = (F.lit(1.0 - alpha) + F.lit(dangling["mass"])) * state["p"]
+        else:
+            base = F.lit((1.0 - alpha) / n + dangling["mass"] / n)
         msgs = (
             state.where(F.col("deg") > 0)
             .join(edges, state["vid"] == edges["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("msum"))
         )
+        keep = [state["vid"], state["deg"]] + ([state["p"]] if has_pers else [])
         new_state = (
             state.join(msgs, state["vid"] == msgs["dst"], "left")
             .select(
-                state["vid"],
-                state["deg"],
-                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(base)).alias("rank"),
+                *keep,
+                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + base).alias("rank"),
                 state["rank"].alias("prev_rank"),
             )
             .persist()
@@ -137,10 +157,18 @@ def pagerank_nx(
     max_iter: int = 100,
     tol: float = 1e-06,
     checkpoint_dir: str | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """NetworkX-semantics PageRank (gs::PageRankNetworkX,
-    /root/reference/python/graphscope/analytical/app/pagerank.py:61-89)."""
-    return _pagerank_impl(graph, alpha, max_iter, tol, checkpoint_dir)
+    /root/reference/python/graphscope/analytical/app/pagerank.py:61-89).
+
+    ``personalization``: optional (vid, weight) DataFrame — teleport and
+    dangling mass follow the normalized weights (nx ``pagerank(G,
+    personalization=...)``); absent vids teleport nothing.
+    """
+    return _pagerank_impl(
+        graph, alpha, max_iter, tol, checkpoint_dir, personalization=personalization
+    )
 
 
 def pagerank(
@@ -148,7 +176,10 @@ def pagerank(
     delta: float = 0.85,
     max_round: int = 10,
     checkpoint_dir: str | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-round LDBC-style PageRank (grape::PageRankAuto,
     /root/reference/python/graphscope/analytical/app/pagerank.py:29-56)."""
-    return _pagerank_impl(graph, delta, max_round, None, checkpoint_dir)
+    return _pagerank_impl(
+        graph, delta, max_round, None, checkpoint_dir, personalization=personalization
+    )

@@ -25,6 +25,15 @@ from linkgraph.pipeline.dedup import (
     simhash_duplicates,
     ngram_jaccard_pairs,
 )
+from linkgraph.pipeline.curation import (
+    hash_split,
+    stratified_sample,
+    repetition_scores,
+    contamination_check,
+    dedup_clusters,
+    deduplicate,
+    pii_scrub,
+)
 from linkgraph.pipeline.similarity import (
     with_cosine,
     cosine_topk,
@@ -48,6 +57,13 @@ __all__ = [
     "simhash_signatures",
     "simhash_duplicates",
     "ngram_jaccard_pairs",
+    "hash_split",
+    "stratified_sample",
+    "repetition_scores",
+    "contamination_check",
+    "dedup_clusters",
+    "deduplicate",
+    "pii_scrub",
     "with_cosine",
     "cosine_topk",
     "lsh_ann_topk",

@@ -1036,6 +1036,92 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    from linkgraph.pipeline import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_ratio", 6).alias("dup_line_ratio"),
+        F.round("dup_line_char_ratio", 6).alias("dup_line_char_ratio"),
+        F.round("top_bigram_ratio", 6).alias("top_bigram_ratio"),
+    )
+
+
+def q_doc_split_counts(spark, sf_dir):
+    """md5 hash mode → the split decision replays in DuckDB exactly."""
+    from linkgraph.pipeline import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir), seed=42, hash_mode="md5")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+    )
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic per-lang stratified 25% sample (md5 hash mode)."""
+    from linkgraph.pipeline import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), 0.25, strata_col="lang", seed=7, hash_mode="md5"
+    ).select("doc_id", "lang")
+
+
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark-overlap screening: eval set = every 50th doc."""
+    from linkgraph.pipeline import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    return contamination_check(docs, bench, n=3, threshold=0.1).select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round("contamination_ratio", 6).alias("contamination_ratio"),
+        "contaminated",
+    )
+
+
+def q_doc_dedup_clusters(spark, sf_dir):
+    """MinHash near-dup pairs (md5 mode, oracle-green via doc_minhash_dups)
+    → WCC over the pair graph → (doc_id, canonical): the full
+    measure→cluster→keep dedup decision, checked end-to-end against a
+    recursive-CTE min-reachable-id oracle."""
+    from linkgraph.pipeline import dedup_clusters, minhash_lsh_duplicates
+
+    pairs = minhash_lsh_duplicates(
+        _docs(spark, sf_dir), threshold=0.5, hash_mode="md5", max_bucket_size=100
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
+def q_doc_pii(spark, sf_dir):
+    from linkgraph.pipeline import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def q_ppr_rounds(spark, sf_dir):
+    """Personalized PageRank (nx pagerank(personalization=...) semantics),
+    fixed rounds; seeds = vids ≡ 0 (mod 20), uniform weight."""
+    from linkgraph.algorithms import pagerank
+
+    g = _oracle_graph(spark, sf_dir)
+    pers = g.vertices.where(F.pmod(F.col("vid"), F.lit(20)) == 0).select(
+        "vid", F.lit(1.0).alias("weight")
+    )
+    return pagerank(
+        g, delta=ALPHA, max_round=PR_ROUNDS, personalization=pers
+    ).select("vid", F.round("value", 6).alias("value"))
+
+
 def q_emb_lsh_ann(spark, sf_dir):
     from linkgraph.pipeline import lsh_ann_topk
 
@@ -1233,6 +1319,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_wcc": q_stream_wcc,
     "evt_sessions": q_evt_sessions,
     "evt_user_totals": q_evt_user_totals,
+    "doc_repetition": q_doc_repetition,
+    "doc_split_counts": q_doc_split_counts,
+    "doc_sample": q_doc_sample,
+    "doc_contamination": q_doc_contamination,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_pii": q_doc_pii,
+    "g_ppr_r3": q_ppr_rounds,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -1311,6 +1404,36 @@ def _pagerank_sql(rounds: int) -> str:
                   + (1 - {ALPHA}) / (SELECT n FROM nv)
                   + (SELECT m FROM dang{i}) / (SELECT n FROM nv) AS rank
            FROM vd LEFT JOIN msg{i} m ON vd.vid = m.vid)"""
+        )
+    return _with_graph(
+        pre + "," + ",".join(steps) + f"\n  SELECT vid, round(rank, 6) AS value FROM r{rounds}"
+    )
+
+
+def _ppr_sql(rounds: int, seed_mod: int = 20) -> str:
+    """Unrolled fixed-round personalized PageRank: teleport + dangling
+    mass land on the normalized seed vector (vid ≡ 0 mod ``seed_mod``)."""
+    pre = f"""
+  deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid),
+  ps AS (SELECT vid, CASE WHEN vid % {seed_mod} = 0 THEN 1.0 ELSE 0.0 END AS w FROM v),
+  pv AS (SELECT vid, w / (SELECT sum(w) FROM ps) AS p FROM ps),
+  r0 AS (SELECT vid, d, 1.0 / (SELECT n FROM nv) AS rank FROM vd)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  dang{i} AS (SELECT {ALPHA} * coalesce(sum(rank), 0) AS m FROM r{p} WHERE d = 0),
+  msg{i} AS (SELECT e.dst AS vid, sum(r.rank / r.d) AS s
+             FROM e JOIN r{p} r ON e.src = r.vid WHERE r.d > 0 GROUP BY e.dst),
+  r{i} AS (SELECT vd.vid, vd.d,
+                  {ALPHA} * coalesce(m.s, 0)
+                  + (1 - {ALPHA}) * pv.p
+                  + (SELECT m FROM dang{i}) * pv.p AS rank
+           FROM vd JOIN pv ON vd.vid = pv.vid
+           LEFT JOIN msg{i} m ON vd.vid = m.vid)"""
         )
     return _with_graph(
         pre + "," + ",".join(steps) + f"\n  SELECT vid, round(rank, 6) AS value FROM r{rounds}"
@@ -2361,3 +2484,99 @@ ORACLE_SQL["stream_event_counts"] = """
   SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
          event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
   FROM events GROUP BY 1, 2"""
+
+ORACLE_SQL["g_ppr_r3"] = _ppr_sql(PR_ROUNDS)
+
+ORACLE_SQL["doc_repetition"] = """
+  WITH lines AS (
+    SELECT doc_id,
+           unnest(list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                              l -> l <> '')) AS line
+    FROM documents),
+  lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line),
+  ls AS (SELECT doc_id, sum(cnt) AS n_lines, sum(cnt) - count(*) AS n_dup,
+                sum(length(line) * cnt) AS line_chars,
+                sum(CASE WHEN cnt > 1 THEN length(line) * cnt ELSE 0 END) AS dup_chars
+         FROM lc GROUP BY doc_id),
+  w AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words
+        FROM documents),
+  grams AS (SELECT doc_id,
+                   unnest(CASE WHEN len(words) >= 2
+                     THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM w),
+  gc AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g),
+  gs AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams FROM gc GROUP BY doc_id)
+  SELECT d.doc_id,
+         coalesce(ls.n_lines, 0) AS n_lines,
+         round(CASE WHEN coalesce(ls.n_lines, 0) > 0 THEN ls.n_dup * 1.0 / ls.n_lines ELSE 0 END, 6) AS dup_line_ratio,
+         round(CASE WHEN coalesce(ls.line_chars, 0) > 0 THEN ls.dup_chars * 1.0 / ls.line_chars ELSE 0 END, 6) AS dup_line_char_ratio,
+         round(CASE WHEN coalesce(gs.n_grams, 0) > 0 THEN gs.top_cnt * 1.0 / gs.n_grams ELSE 0 END, 6) AS top_bigram_ratio
+  FROM documents d
+  LEFT JOIN ls ON d.doc_id = ls.doc_id
+  LEFT JOIN gs ON d.doc_id = gs.doc_id"""
+
+ORACLE_SQL["doc_split_counts"] = """
+  SELECT split, count(*) AS n_docs, sum(n_chars) AS chars FROM (
+    SELECT CASE WHEN b < 800000 THEN 'train' WHEN b < 900000 THEN 'val' ELSE 'test' END AS split,
+           n_chars
+    FROM (SELECT ('0x' || substring(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS b,
+                 n_chars
+          FROM documents))
+  GROUP BY split"""
+
+ORACLE_SQL["doc_sample"] = """
+  SELECT doc_id, lang FROM documents
+  WHERE ('0x' || substring(md5('7:' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+        < 250000"""
+
+ORACLE_SQL["doc_contamination"] = """
+  WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS words
+    FROM documents),
+  g AS (
+    SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(words) >= 3
+             THEN list_transform(range(1, len(words) - 1),
+                                 i -> array_to_string(list_slice(words, i, i + 2), ' '))
+             ELSE [array_to_string(words, ' ')] END)) AS g
+    FROM w),
+  bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+  tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+  hit AS (SELECT g.doc_id, count(*) AS n_cont FROM g JOIN bg USING (g) GROUP BY g.doc_id)
+  SELECT t.doc_id, t.n_grams,
+         coalesce(h.n_cont, 0) AS n_contaminated,
+         round(coalesce(h.n_cont, 0) * 1.0 / t.n_grams, 6) AS contamination_ratio,
+         coalesce(h.n_cont, 0) * 1.0 / t.n_grams >= 0.1 AS contaminated
+  FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id"""
+
+# near-dup pairs (bit-identical md5 LSH replay) -> undirected reachability
+# -> min reachable id per member == the WCC canonical the engine computes.
+ORACLE_SQL["doc_dedup_clusters"] = f"""
+  WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({ORACLE_SQL["doc_minhash_dups"]})
+  ),
+  und AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+  ids AS (SELECT DISTINCT a AS id FROM und),
+  reach AS (
+    SELECT id, id AS m FROM ids
+    UNION
+    SELECT u.a, r.m FROM und u JOIN reach r ON r.id = u.b
+  )
+  SELECT id AS doc_id, min(m) AS canonical FROM reach GROUP BY id"""
+
+from linkgraph.pipeline.curation import PII_PATTERNS as _PII  # noqa: E402
+
+_pii_red = "text"
+for _name, _pat in _PII.items():
+    _pii_red = f"regexp_replace({_pii_red}, '{_pat}', '[{_name.upper()}]', 'g')"
+ORACLE_SQL["doc_pii"] = f"""
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII["email"]}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII["phone"]}')) AS n_phone,
+         len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
+         md5({_pii_red}) AS redacted_md5
+  FROM documents"""

@@ -61,24 +61,31 @@ def rmat_edges(n_vertices: int = 300, n_edges: int = 1500, seed: int = 42):
 # ---- plain-Python oracles (public formulas, SURVEY.md §2.4) ------------
 
 
-def py_pagerank_nx(edges, vertices, alpha=0.85, max_iter=100, tol=1e-6):
-    """NetworkX-semantics PageRank (pagerank_networkx.h:65-156)."""
+def py_pagerank_nx(edges, vertices, alpha=0.85, max_iter=100, tol=1e-6, personalization=None):
+    """NetworkX-semantics PageRank (pagerank_networkx.h:65-156).
+
+    ``personalization``: optional {vid: weight} — normalized; teleport AND
+    dangling mass land on it (nx defaults dangling weights to p)."""
     verts = sorted(vertices)
     out = {}
     for s, d in edges:
         out.setdefault(s, []).append(d)
     n = len(verts)
+    if personalization is None:
+        p = {v: 1.0 / n for v in verts}
+    else:
+        tot = sum(personalization.values())
+        p = {v: personalization.get(v, 0.0) / tot for v in verts}
     rank = {v: 1.0 / n for v in verts}
     for _ in range(max_iter):
         dangling = alpha * sum(rank[v] for v in verts if not out.get(v))
-        base = (1 - alpha) / n + dangling / n
         nxt = {v: 0.0 for v in verts}
         for u in verts:
             if out.get(u):
                 share = rank[u] / len(out[u])
                 for v in out[u]:
                     nxt[v] += share
-        new = {v: alpha * nxt[v] + base for v in verts}
+        new = {v: alpha * nxt[v] + (1 - alpha) * p[v] + dangling * p[v] for v in verts}
         l1 = sum(abs(new[v] - rank[v]) for v in verts)
         rank = new
         if l1 < tol * n:

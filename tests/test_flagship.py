@@ -152,3 +152,20 @@ def test_scc_exact(spark, edges):
     got = _as_dict(scc(g))
     want = py_scc(edges, _verts(edges))
     assert got == want
+
+
+def test_personalized_pagerank_matches_oracle(spark):
+    """pagerank(personalization=...) parity (nx semantics): teleport +
+    dangling mass follow the normalized vector; absent vids get 0."""
+    edges = rmat_edges()
+    g = graph_from_edge_vids(spark, edges)
+    verts = _verts(edges)
+    pers = {v: 2.0 for v in verts if v % 3 == 0}
+    pdf = spark.createDataFrame(list(pers.items()), "vid long, weight double")
+    got = _as_dict(pagerank_nx(g, alpha=0.85, max_iter=200, tol=1e-8, personalization=pdf))
+    want = py_pagerank_nx(edges, verts, max_iter=200, tol=1e-8, personalization=pers)
+    ks = sorted(want)
+    assert np.allclose([got[k] for k in ks], [want[k] for k in ks], atol=1e-6, rtol=0)
+    # seeds hold more mass than in the uniform run; non-reachable non-seeds ~0
+    uni = py_pagerank_nx(edges, verts, max_iter=200, tol=1e-8)
+    assert sum(want[v] for v in pers) > sum(uni[v] for v in pers)
