@@ -192,6 +192,18 @@ def run_default() -> dict:
     ).count()
     queries["doc_minhash_fast"] = round(time.time() - t, 3)
 
+    # full production dedup decision: xxhash64 pairs -> WCC clusters ->
+    # anti-join keep set (the curation path a 100-TB corpus prep runs).
+    from linkgraph.pipeline import deduplicate
+
+    t = time.time()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_duplicates(
+        docs, threshold=0.5, hash_mode="xxhash64", max_bucket_size=100
+    ).select("id_a", "id_b")
+    deduplicate(docs, pairs).count()
+    queries["doc_dedup_end2end"] = round(time.time() - t, 3)
+
     total = time.time() - t0
     out = {
         "metric": "pagerank_time_to_convergence_1e-6_on_corpus_dependency_graph",

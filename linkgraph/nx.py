@@ -385,6 +385,14 @@ def all_simple_paths(G: DiGraph, source, target, cutoff: int = 5) -> list[list]:
     return [[G._node_of[v] for v in r["path"]] for r in rows]
 
 
+def all_simple_edge_paths(G: DiGraph, source, target, cutoff: int = 5) -> list[list]:
+    """builtin.py:931 — same walks as all_simple_paths, emitted as edge
+    (u, v) tuple lists."""
+    return [
+        list(zip(p, p[1:])) for p in all_simple_paths(G, source, target, cutoff=cutoff)
+    ]
+
+
 def betweenness_centrality(G: DiGraph, normalized: bool = True) -> dict:
     """builtin.py:974."""
     return G._to_dict(A.betweenness_centrality(G._project(), normalized=normalized))

@@ -111,6 +111,8 @@ def test_simple_paths(G):
     assert not lnx.is_simple_path(G, ["a", "zz"])
     paths = lnx.all_simple_paths(G, "a", "d", cutoff=5)
     assert paths == [["a", "b", "c", "d"]]
+    edge_paths = lnx.all_simple_edge_paths(G, "a", "d", cutoff=5)
+    assert edge_paths == [[("a", "b"), ("b", "c"), ("c", "d")]]
 
 
 def test_hits_and_betweenness(G):

@@ -109,3 +109,26 @@ def test_pagerank_reuses_prepartitioned_graph(spark):
     assert set(r_pre) == set(r_raw)
     assert all(abs(r_pre[k] - r_raw[k]) < 1e-12 for k in r_raw)
     g_pre.unpersist()
+
+
+def test_hash_split_is_shuffle_free(spark):
+    """Split assignment is stateless row arithmetic: scan → project, no
+    Exchange anywhere — at 100 TB the split adds zero network cost."""
+    from linkgraph.pipeline import hash_split
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = _explain_str(hash_split(df))
+    assert "Exchange" not in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark n-gram set must reach the semi-join as a broadcast:
+    the docs side streams, nothing shuffles it by n-gram."""
+    from linkgraph.pipeline import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    plan = _explain_str(contamination_check(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
