@@ -3,8 +3,10 @@
 Large-scale corpus preparation ops the engine needs at 100 TB alongside
 the graph algorithms: deduplication (exact / MinHash-LSH / SimHash /
 n-gram Jaccard / embedding cosine), approximate similarity search, text
-analysis (language id, quality, tokens, fingerprints), and multimodal
-column plumbing. Everything is DataFrame-first; pandas UDFs appear only
+analysis (language id, quality, tokens, fingerprints), curation
+decisions (hash splits, stratified sampling, repetition scoring,
+contamination screening, dedup clustering, PII scrubbing), and
+multimodal column plumbing. Everything is DataFrame-first; pandas UDFs appear only
 where Catalyst has no vectorized equivalent (SimHash bit packing,
 multimodal decode).
 """
