@@ -944,9 +944,21 @@ def q_corpus_pagerank(spark, sf_dir):
     )
 
 
+def q_corpus_pagerank_r3(spark, sf_dir):
+    """Fixed-round PageRank on the derived corpus graph, fully
+    hash-checked: the DuckDB oracle replays the md5 generator's edge
+    derivation AND the unrolled rounds keyed directly by oid."""
+    from linkgraph.algorithms import pagerank
+
+    g = _corpus_graph(spark)
+    pr = pagerank(g, delta=ALPHA, max_round=PR_ROUNDS)
+    return pr.join(g.vertices, "vid").select("oid", F.round("value", 6).alias("value"))
+
+
 def q_corpus_wcc(spark, sf_dir):
-    """rows-only BY COMPOSITION: see q_corpus_pagerank (input edges
-    oracle-green via ``corpus_edges``, kernel via ``g_wcc``)."""
+    """Converged WCC on the derived corpus graph — exactly expressible as
+    a recursive-CTE min-reachable oracle (component id = min dense vid =
+    row_number of the lexicographically-min oid)."""
     from linkgraph.algorithms import wcc
 
     g = _corpus_graph(spark)
@@ -1287,6 +1299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_prop_wdegree_building": q_prop_wdegree_building,
     "corpus_edges": q_corpus_edges,
     "corpus_pagerank": q_corpus_pagerank,
+    "corpus_pagerank_r3": q_corpus_pagerank_r3,
     "corpus_wcc": q_corpus_wcc,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
@@ -1384,8 +1397,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------- oracles
 
 
-def _pagerank_sql(rounds: int) -> str:
-    """Unrolled fixed-round PageRank with dangling redistribution."""
+def _pagerank_body(rounds: int, out_col: str = "vid") -> str:
+    """Unrolled fixed-round PageRank CTE chain over ``e``/``v`` (works
+    for int vids or string oids alike — joins/group-bys only)."""
     pre = f"""
   deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
   nv AS (SELECT count(*) AS n FROM v),
@@ -1405,9 +1419,15 @@ def _pagerank_sql(rounds: int) -> str:
                   + (SELECT m FROM dang{i}) / (SELECT n FROM nv) AS rank
            FROM vd LEFT JOIN msg{i} m ON vd.vid = m.vid)"""
         )
-    return _with_graph(
-        pre + "," + ",".join(steps) + f"\n  SELECT vid, round(rank, 6) AS value FROM r{rounds}"
+    return (
+        pre + "," + ",".join(steps)
+        + f"\n  SELECT vid AS {out_col}, round(rank, 6) AS value FROM r{rounds}"
     )
+
+
+def _pagerank_sql(rounds: int) -> str:
+    """Unrolled fixed-round PageRank with dangling redistribution."""
+    return _with_graph(_pagerank_body(rounds))
 
 
 def _ppr_sql(rounds: int, seed_mod: int = 20) -> str:
@@ -2580,3 +2600,26 @@ ORACLE_SQL["doc_pii"] = f"""
          len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS n_ipv4,
          md5({_pii_red}) AS redacted_md5
   FROM documents"""
+
+# corpus family: md5 generator arithmetic replays in DuckDB, so the
+# fixed-round kernel and the converged WCC are both fully hash-checked
+# on the DERIVED graph (not just on the parquet oracle graph).
+ORACLE_SQL["corpus_pagerank_r3"] = f"""
+  WITH ce AS ({_corpus_edges_sql()}),
+  e AS (SELECT src_oid AS src, dst_oid AS dst FROM ce),
+  v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),{_pagerank_body(PR_ROUNDS, out_col="oid")}"""
+
+ORACLE_SQL["corpus_wcc"] = f"""
+  WITH RECURSIVE ce AS ({_corpus_edges_sql()}),
+  vo AS (SELECT DISTINCT oid FROM (SELECT src_oid AS oid FROM ce
+                                   UNION SELECT dst_oid FROM ce)),
+  vm AS (SELECT oid, row_number() OVER (ORDER BY oid) - 1 AS vid FROM vo),
+  und AS (SELECT src_oid AS a, dst_oid AS b FROM ce
+          UNION SELECT dst_oid, src_oid FROM ce),
+  reach AS (
+    SELECT oid AS id, oid AS m FROM vo
+    UNION
+    SELECT u.a, r.m FROM und u JOIN reach r ON r.id = u.b
+  ),
+  comp AS (SELECT id, min(m) AS c FROM reach GROUP BY id)
+  SELECT comp.id AS oid, vm.vid AS comp FROM comp JOIN vm ON vm.oid = comp.c"""
