@@ -393,6 +393,18 @@ def all_simple_edge_paths(G: DiGraph, source, target, cutoff: int = 5) -> list[l
     ]
 
 
-def betweenness_centrality(G: DiGraph, normalized: bool = True) -> dict:
-    """builtin.py:974."""
-    return G._to_dict(A.betweenness_centrality(G._project(), normalized=normalized))
+def betweenness_centrality(
+    G: DiGraph, normalized: bool = True, endpoints: bool = False, weight: str | None = None
+) -> dict:
+    """builtin.py:974 (generic variant: endpoints + weight).
+
+    The projected edge table stores the ``weight`` edge attribute in its
+    ``weight`` column, so any non-None ``weight`` selects that column."""
+    return G._to_dict(
+        A.betweenness_centrality(
+            G._project(),
+            normalized=normalized,
+            endpoints=endpoints,
+            weight="weight" if weight is not None else None,
+        )
+    )

@@ -413,6 +413,33 @@ def q_betweenness(spark, sf_dir):
     )
 
 
+def q_betweenness_ep(spark, sf_dir):
+    """Generic-variant betweenness with endpoint counting
+    (betweenness_centrality_generic.h ``ctx.endpoints``)."""
+    from linkgraph.algorithms import betweenness_centrality
+
+    return betweenness_centrality(_oracle_graph(spark, sf_dir), endpoints=True).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+def q_betweenness_w(spark, sf_dir):
+    """Weighted betweenness (Dijkstra semantics), sampled sources
+    (vid % 20 == 0) with the standard n/k rescale."""
+    from linkgraph.algorithms import betweenness_centrality
+
+    g = _oracle_graph(spark, sf_dir)
+    we = g.edges.select(
+        "src", "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("w"),
+    )
+    gw = LinkGraph(vertices=g.vertices, edges=we)
+    srcs = g.vertices.select("vid").where(F.col("vid") % 20 == 0)
+    return betweenness_centrality(gw, sources=srcs, weight="w").select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
 def q_sampling_paths(spark, sf_dir):
     from linkgraph.algorithms import sampling_path
 
@@ -1339,6 +1366,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_pii": q_doc_pii,
     "g_ppr_r3": q_ppr_rounds,
+    "g_betweenness_ep": q_betweenness_ep,
+    "g_betweenness_w": q_betweenness_w,
     # --- core algorithm parity set
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
@@ -1685,7 +1714,7 @@ def _emb_lsh_ann_sql(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 
   FROM ranked WHERE rank <= {k}"""
 
 
-def _betweenness_sql(levels: int = 10) -> str:
+def _betweenness_sql(levels: int = 10, endpoints: bool = False) -> str:
     """Unrolled Brandes betweenness (forward multi-source BFS with path
     counts, backward dependency accumulation per level), matching
     linkgraph.algorithms.betweenness_centrality on the directed graph with
@@ -1725,12 +1754,101 @@ def _betweenness_sql(levels: int = 10) -> str:
     unions = " UNION ALL ".join(
         f"SELECT root, vid, delta FROM wd{d}" for d in range(1, levels + 1)
     )
-    parts.append(
-        f"""acc AS (SELECT vid, sum(delta) AS bc FROM ({unions}) WHERE vid <> root GROUP BY vid),
+    if endpoints:
+        # NetworkX _accumulate_endpoints: bc(w) += δ(w)+1 per source
+        # reaching w, bc(s) += |reached|−1; normalization 1/(n(n−1)).
+        parts.append(
+            f"""acc0 AS (SELECT vid, sum(delta + 1.0) AS bc FROM ({unions}) WHERE vid <> root GROUP BY vid),
+  rt AS (SELECT root AS vid, count(*) - 1.0 AS bc FROM seen{levels} GROUP BY root),
+  acc AS (SELECT vid, sum(bc) AS bc
+          FROM (SELECT * FROM acc0 UNION ALL SELECT * FROM rt) GROUP BY vid),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT v.vid,
+         round(coalesce(acc.bc, 0)
+               / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1.0)), 6) AS value
+  FROM v LEFT JOIN acc ON v.vid = acc.vid"""
+        )
+    else:
+        parts.append(
+            f"""acc AS (SELECT vid, sum(delta) AS bc FROM ({unions}) WHERE vid <> root GROUP BY vid),
   nv AS (SELECT count(*) AS n FROM v)
   SELECT v.vid,
          round(coalesce(acc.bc, 0)
                / (((SELECT n FROM nv) - 1.0) * ((SELECT n FROM nv) - 2.0)), 6) AS value
+  FROM v LEFT JOIN acc ON v.vid = acc.vid"""
+        )
+    return _with_graph(",\n  ".join(parts))
+
+
+def _betweenness_w_sql(wcap: int = 45, layers: int = 16, root_mod: int = 20) -> str:
+    """Weighted Brandes oracle mirroring _weighted_phases: recursive-CTE
+    weight-bounded reachability → min = dist, shortest-path DAG (integer
+    weights, exact equality), recursive longest-hop layering, then
+    unrolled per-layer σ forward / δ backward. ``wcap`` must be ≥ the max
+    shortest-path weight (measured: 8 at sf0.01, 36 at sf0.001) and
+    ``layers`` ≥ the max longest-hop rank (7 / 11 measured); empty layers
+    are no-ops. Sources sampled vid % root_mod = 0, n/k rescale."""
+    parts = [
+        "ew AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e)",
+        f"roots AS MATERIALIZED (SELECT vid AS root FROM v WHERE vid % {root_mod} = 0)",
+        f"""reach AS MATERIALIZED (
+    WITH RECURSIVE r(root, vid, d) AS (
+      SELECT root, root, 0 FROM roots
+      UNION
+      SELECT r.root, ew.dst, r.d + ew.w FROM r JOIN ew ON r.vid = ew.src
+      WHERE r.d + ew.w <= {wcap})
+    SELECT * FROM r)""",
+        "dist AS MATERIALIZED (SELECT root, vid, min(d) AS d FROM reach GROUP BY root, vid)",
+        """dag AS MATERIALIZED (
+    SELECT du.root, ew.src, ew.dst
+    FROM ew JOIN dist du ON du.vid = ew.src
+    JOIN dist dv ON dv.root = du.root AND dv.vid = ew.dst
+    WHERE du.d + ew.w = dv.d)""",
+        f"""hh AS MATERIALIZED (
+    WITH RECURSIVE r(root, vid, hop) AS (
+      SELECT root, root, 0 FROM roots
+      UNION
+      SELECT r.root, g.dst, r.hop + 1 FROM r JOIN dag g
+      ON g.root = r.root AND g.src = r.vid WHERE r.hop < {layers})
+    SELECT root, vid, max(hop) AS h FROM r GROUP BY root, vid)""",
+        "sig0 AS MATERIALIZED (SELECT root, root AS vid, 1.0 AS sigma FROM roots)",
+        "kn0 AS MATERIALIZED (SELECT * FROM sig0)",
+    ]
+    for d in range(1, layers + 1):
+        parts.append(
+            f"""sig{d} AS MATERIALIZED (
+      SELECT g.root, g.dst AS vid, sum(k.sigma) AS sigma
+      FROM kn{d - 1} k JOIN dag g ON g.root = k.root AND g.src = k.vid
+      JOIN hh ON hh.root = g.root AND hh.vid = g.dst AND hh.h = {d}
+      GROUP BY g.root, g.dst)"""
+        )
+        parts.append(
+            f"kn{d} AS MATERIALIZED (SELECT * FROM kn{d - 1} UNION ALL SELECT * FROM sig{d})"
+        )
+    parts.append(
+        f"fin{layers} AS MATERIALIZED (SELECT root, vid, sigma, 0.0 AS delta FROM sig{layers})"
+    )
+    parts.append(f"fa{layers} AS MATERIALIZED (SELECT * FROM fin{layers})")
+    for d in range(layers - 1, 0, -1):
+        parts.append(
+            f"""fin{d} AS MATERIALIZED (
+      SELECT p.root, p.vid, p.sigma, p.sigma * coalesce(s.psum, 0) AS delta
+      FROM sig{d} p LEFT JOIN (
+        SELECT g.root, g.src AS vid, sum((1.0 + f.delta) / f.sigma) AS psum
+        FROM dag g JOIN fa{d + 1} f ON f.root = g.root AND f.vid = g.dst
+        GROUP BY g.root, g.src) s ON s.root = p.root AND s.vid = p.vid)"""
+        )
+        parts.append(
+            f"fa{d} AS MATERIALIZED (SELECT * FROM fa{d + 1} UNION ALL SELECT * FROM fin{d})"
+        )
+    parts.append(
+        """acc AS (SELECT vid, sum(delta) AS bc FROM fa1 WHERE vid <> root GROUP BY vid),
+  nv AS (SELECT count(*) AS n FROM v),
+  nk AS (SELECT count(*) AS k FROM roots)
+  SELECT v.vid,
+         round(coalesce(acc.bc, 0)
+               / (((SELECT n FROM nv) - 1.0) * ((SELECT n FROM nv) - 2.0))
+               * (SELECT n FROM nv) / (SELECT k FROM nk), 6) AS value
   FROM v LEFT JOIN acc ON v.vid = acc.vid"""
     )
     return _with_graph(",\n  ".join(parts))
@@ -2506,6 +2624,8 @@ ORACLE_SQL["stream_event_counts"] = """
   FROM events GROUP BY 1, 2"""
 
 ORACLE_SQL["g_ppr_r3"] = _ppr_sql(PR_ROUNDS)
+ORACLE_SQL["g_betweenness_ep"] = _betweenness_sql(10, endpoints=True)
+ORACLE_SQL["g_betweenness_w"] = _betweenness_w_sql()
 
 ORACLE_SQL["doc_repetition"] = """
   WITH lines AS (

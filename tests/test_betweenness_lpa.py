@@ -48,6 +48,57 @@ def _py_betweenness(edges, verts, normalized=True):
     return bc
 
 
+def _py_betweenness_gen(edges, verts, normalized=True, endpoints=False, weighted=False):
+    """Independent oracle for the generic variant: per-source Dijkstra
+    (dist-sorted topological order over the SP DAG), textbook Brandes
+    accumulation, optional NetworkX-style endpoint counting."""
+    import heapq
+
+    adj = {}
+    for e in edges:
+        s, d = e[0], e[1]
+        w = float(e[2]) if weighted else 1.0
+        cur = adj.setdefault(s, {})
+        cur[d] = min(cur.get(d, w), w)
+    bc = {v: 0.0 for v in verts}
+    for s in verts:
+        dist = {s: 0.0}
+        q = [(0.0, s)]
+        while q:
+            dv, v = heapq.heappop(q)
+            if dv > dist.get(v, float("inf")):
+                continue
+            for w_, wt in adj.get(v, {}).items():
+                nd = dv + wt
+                if nd < dist.get(w_, float("inf")) - 1e-12:
+                    dist[w_] = nd
+                    heapq.heappush(q, (nd, w_))
+        reached = sorted(dist, key=lambda v: dist[v])
+        preds = {v: [] for v in reached}
+        for u in reached:
+            for v, wt in adj.get(u, {}).items():
+                if v in dist and abs(dist[u] + wt - dist[v]) < 1e-9:
+                    preds[v].append(u)
+        sigma = {v: 0.0 for v in reached}
+        sigma[s] = 1.0
+        for v in reached[1:]:
+            sigma[v] = sum(sigma[u] for u in preds[v])
+        delta = {v: 0.0 for v in reached}
+        for v in reversed(reached):
+            for u in preds[v]:
+                delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+            if v != s:
+                bc[v] += delta[v] + (1.0 if endpoints else 0.0)
+        if endpoints:
+            bc[s] += len(reached) - 1
+    n = len(verts)
+    if endpoints:
+        scale = 1.0 / (n * (n - 1)) if (normalized and n > 1) else 1.0
+    else:
+        scale = 1.0 / ((n - 1) * (n - 2)) if (normalized and n > 2) else 1.0
+    return {v: x * scale for v, x in bc.items()}
+
+
 def test_betweenness_small_graph(spark):
     edges = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4), (1, 3)]
     verts = sorted({v for e in edges for v in e})
@@ -66,6 +117,80 @@ def test_betweenness_rmat(spark):
     want = _py_betweenness(edges, verts, normalized=False)
     for v in verts:
         assert math.isclose(got[v], want[v], abs_tol=1e-6), (v, got[v], want[v])
+
+
+def test_betweenness_gen_oracle_agrees_with_base(spark):
+    # the generic oracle must match the original BFS oracle when unweighted
+    edges = rmat_edges(30, 90)
+    verts = sorted({v for e in edges for v in e})
+    a = _py_betweenness(edges, verts)
+    b = _py_betweenness_gen(edges, verts)
+    for v in verts:
+        assert math.isclose(a[v], b[v], abs_tol=1e-9)
+
+
+def test_betweenness_endpoints_small(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4), (1, 3)]
+    verts = sorted({v for e in edges for v in e})
+    g = graph_from_edge_vids(spark, edges)
+    got = {r["vid"]: r["value"] for r in betweenness_centrality(g, endpoints=True).collect()}
+    want = _py_betweenness_gen(edges, verts, endpoints=True)
+    for v in verts:
+        assert math.isclose(got[v], want[v], abs_tol=1e-9), (v, got[v], want[v])
+
+
+def test_betweenness_endpoints_rmat(spark):
+    edges = rmat_edges(40, 150)
+    verts = sorted({v for e in edges for v in e})
+    g = graph_from_edge_vids(spark, edges)
+    got = {
+        r["vid"]: r["value"]
+        for r in betweenness_centrality(g, normalized=False, endpoints=True).collect()
+    }
+    want = _py_betweenness_gen(edges, verts, normalized=False, endpoints=True)
+    for v in verts:
+        assert math.isclose(got[v], want[v], abs_tol=1e-6), (v, got[v], want[v])
+
+
+def _weighted_rmat(n_vertices, n_edges):
+    base = rmat_edges(n_vertices, n_edges)
+    return [(s, d, (s + d) % 7 + 1) for s, d in base]
+
+
+def test_betweenness_weighted_rmat(spark):
+    edges = _weighted_rmat(30, 100)
+    verts = sorted({v for e in edges for v in (e[0], e[1])})
+    g = graph_from_edge_vids(spark, [(s, d) for s, d, _ in edges])
+    we = g.edges.select(
+        "src", "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("w"),
+    )
+    gw = LinkGraph(vertices=g.vertices, edges=we)
+    got = {
+        r["vid"]: r["value"]
+        for r in betweenness_centrality(gw, normalized=False, weight="w").collect()
+    }
+    want = _py_betweenness_gen(edges, verts, normalized=False, weighted=True)
+    for v in verts:
+        assert math.isclose(got[v], want[v], abs_tol=1e-6), (v, got[v], want[v])
+
+
+def test_betweenness_weighted_endpoints(spark):
+    edges = _weighted_rmat(25, 80)
+    verts = sorted({v for e in edges for v in (e[0], e[1])})
+    g = graph_from_edge_vids(spark, [(s, d) for s, d, _ in edges])
+    we = g.edges.select(
+        "src", "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("w"),
+    )
+    gw = LinkGraph(vertices=g.vertices, edges=we)
+    got = {
+        r["vid"]: r["value"]
+        for r in betweenness_centrality(gw, endpoints=True, weight="w").collect()
+    }
+    want = _py_betweenness_gen(edges, verts, endpoints=True, weighted=True)
+    for v in verts:
+        assert math.isclose(got[v], want[v], abs_tol=1e-9), (v, got[v], want[v])
 
 
 def test_lpa_u2i_bipartite(spark):

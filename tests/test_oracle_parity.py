@@ -22,6 +22,8 @@ PAIRS = [
     "g_kshell_55",
     "g_hits_r2",
     "g_betweenness",
+    "g_betweenness_ep",
+    "g_betweenness_w",
     "g_sampling_paths",
     "doc_minhash_dups",
     "doc_simhash_dups",
