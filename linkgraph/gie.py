@@ -10,9 +10,12 @@ module implements that mapping as a fluent traversal over
 
 - V/E source scans           → per-label DataFrame unions   (proto :66-67)
 - out/in/both (+E/V forms)   → equi hash joins on the edge tables (:68-76)
-- bothE/otherV               → union + came-from column     (:75,:114)
-- has/hasLabel               → Catalyst filters             (:86,:93)
+- bothE/otherV/bothV         → union + came-from column     (:75,:114,:76)
+- has/hasLabel/not_          → Catalyst filters / anti-join (:86,:93,:113)
 - values/select              → projections                  (:77,:91)
+- valueMap/properties        → map column / exploded rows   (:99,:126)
+- sum_/max_/min_/mean/fold   → global aggregates            (:115,:120-121,:103)
+- range_                     → offset+limit                 (:81)
 - as_/select_/select         → tag columns carried on the frontier (:77,:89)
 - where                      → cross-step Catalyst filter   (:90)
 - union(...)                 → branch traversals + unionByName (:83)
@@ -230,8 +233,67 @@ class Traversal:
             return self.df.select(F.col(prop).alias("value"))
         return self._join_vprop(prop).select(F.col(prop).alias("value"))
 
+    def valueMap(self, *props: str) -> DataFrame:
+        """PROP_MAP_VALUE (query_flow.proto:99): one row per traverser with
+        ``(oid, vmap: map<string,string>)`` — values cast to string so
+        heterogeneous property types fit one Catalyst map column (the
+        runtime's PropertyMap is similarly type-erased). No args → every
+        property the element's label defines."""
+        if self.kind == "e":
+            keys = list(props) or [
+                c for c in self.df.columns
+                if c not in ("src_oid", "dst_oid", "label") and not c.startswith("__")
+            ]
+            m = F.create_map(*[x for k in keys for x in (F.lit(k), F.col(k).cast("string"))])
+            return self.df.select(
+                F.concat_ws("->", "src_oid", "dst_oid").alias("oid"), m.alias("vmap")
+            )
+        parts = []
+        for lbl, vt in self.pg.v_tables.items():
+            keys = [p for p in (props or vt.columns) if p != "oid" and p in vt.columns]
+            m = F.create_map(*[x for k in keys for x in (F.lit(k), F.col(k).cast("string"))])
+            parts.append(
+                self.df.where(F.col("label") == lbl).join(vt, "oid").select("oid", m.alias("vmap"))
+            )
+        return _union_all(parts)
+
+    def properties(self, *props: str) -> DataFrame:
+        """PROPERTIES (:126): flatten to ``(oid, key, value)`` rows, one per
+        present property (bag semantics; absent keys emit no row, as the
+        runtime's property iterator does)."""
+        vm = self.valueMap(*props)
+        return vm.select("oid", F.explode("vmap").alias("key", "value"))
+
     def count(self) -> DataFrame:
         return self.df.agg(F.count("*").alias("n"))
+
+    def sum_(self, prop: str) -> DataFrame:
+        """SUM (:115): global fold of a property — 1-row ``value``."""
+        return self.values(prop).agg(F.sum("value").alias("value"))
+
+    def max_(self, prop: str) -> DataFrame:
+        """MAX (:120)."""
+        return self.values(prop).agg(F.max("value").alias("value"))
+
+    def min_(self, prop: str) -> DataFrame:
+        """MIN (:121)."""
+        return self.values(prop).agg(F.min("value").alias("value"))
+
+    def mean(self, prop: str) -> DataFrame:
+        """Gremlin mean() (FOLDMAP-family :125): global average."""
+        return self.values(prop).agg(F.avg("value").alias("value"))
+
+    def fold(self, prop: str | None = None) -> DataFrame:
+        """FOLD (:103): collect the stream into one array row (column
+        ``value``). ``prop=None`` folds vertex oids; else that property.
+        Sorted — Gremlin's list order is stream order, undefined across
+        partitions, so we pin the deterministic one."""
+        if prop is None:
+            self._require_v("fold")
+            vals = self.df.select(F.col("oid").alias("value"))
+        else:
+            vals = self.values(prop)
+        return vals.agg(F.array_sort(F.collect_list("value")).alias("value"))
 
     def groupCount(self, by: str | None = None) -> DataFrame:
         """GROUP_COUNT: (key, n). ``by`` a property name; None groups by
@@ -434,6 +496,14 @@ class Traversal:
         idf = i.df.withColumn("__from", F.col("dst_oid"))
         return self._next(odf.unionByName(idf, allowMissingColumns=True), "e")
 
+    def bothV(self) -> "Traversal":
+        """BOTH_V (:76): both endpoints of each edge — two traversers per
+        edge, bag semantics (a self-loop yields its vertex twice)."""
+        self._require_e("bothV")
+        return self._next(
+            self.outV().df.unionByName(self.inV().df, allowMissingColumns=True), "v"
+        )
+
     def otherV(self) -> "Traversal":
         """OTHER_V: the endpoint the traverser did *not* arrive from."""
         self._require_e("otherV")
@@ -496,6 +566,42 @@ class Traversal:
 
     def limit(self, n: int) -> "Traversal":
         return self._next(self.df.limit(n))
+
+    def range_(self, low: int, high: int) -> "Traversal":
+        """RANGE (:81): traversers ``[low, high)`` of the stream —
+        meaningful after ``order()`` (stream order is otherwise partition
+        order). ``high=-1`` means unbounded, as Gremlin's range does.
+        Compiles to Catalyst offset+limit — still one plan, and at scale
+        the offset/limit pair prunes partitions instead of materializing
+        the head on the driver."""
+        if high == -1:
+            return self._next(self.df.offset(low))
+        return self._next(self.df.offset(low).limit(high - low))
+
+    def not_(self, branch) -> "Traversal":
+        """NOT (:113): keep traversers whose sub-traversal produces no
+        result — ``g.V().not_(lambda t: t.out('created'))`` is Gremlin's
+        ``where(__.not(out('created')))``. The filter is keyed by current
+        element identity (the runtime's NOT also joins on entry id): the
+        branch runs once over the *deduped* element set with an identity
+        tag riding the frontier, and survivors are anti-joined out — so a
+        10M-traverser bag over 1M distinct vertices runs the branch on 1M
+        rows, and the anti-join is a hash join on the (oid,label) key."""
+        self._require_v("not_")
+        src = (
+            self.df.select("oid", "label")
+            .dropDuplicates(["oid", "label"])
+            .withColumn("__as___not", F.col("oid"))
+            .withColumn("__as___not_lbl", F.col("label"))
+        )
+        produced = (
+            branch(Traversal(self.pg, src, "v", False))
+            .df.select(
+                F.col("__as___not").alias("oid"), F.col("__as___not_lbl").alias("label")
+            )
+            .dropDuplicates(["oid", "label"])
+        )
+        return self._next(self.df.join(produced, ["oid", "label"], "left_anti"))
 
     # -- iteration -----------------------------------------------------
     def repeat(self, body, times: int) -> "Traversal":

@@ -295,3 +295,54 @@ def test_sack_survives_tags_and_select(g):
     # sack accumulated on the hop survives the jump back to the tag
     grouped = {r["key"]: round(r["value"], 2) for r in t.sack(by="oid").collect()}
     assert grouped == {"p1": 1.5, "p4": 0.2}
+
+
+def test_bothv_and_selfloop_semantics(g):
+    # knows has 3 edges -> 6 endpoint traversers (bag semantics)
+    got = sorted(r["oid"] for r in g.E("knows").bothV().df.collect())
+    assert got == ["p1", "p1", "p1", "p2", "p3", "p4"]
+
+
+def test_valuemap_and_properties(g):
+    vm = {r["oid"]: r["vmap"] for r in g.V("software").valueMap().collect()}
+    assert vm == {"s1": {"lang": "java"}, "s2": {"lang": "py"}}
+    rows = g.V("person").has("age", lambda c: c > 30).properties("age").collect()
+    assert sorted((r["oid"], r["key"], r["value"]) for r in rows) == [
+        ("p3", "age", "32"),
+        ("p4", "age", "35"),
+    ]
+
+
+def test_valuemap_on_edges(g):
+    vm = {r["oid"]: r["vmap"] for r in g.E("created").valueMap().collect()}
+    assert vm["p1->s1"] == {"share": "0.4"}
+    assert len(vm) == 4
+
+
+def test_not_filters_by_subtraversal(g):
+    # people with no created edge: p2
+    assert _oids(g.V("person").not_(lambda t: t.out("created"))) == ["p2"]
+    # people nobody knows: p1? p2,p3 are known; p1 is known (p4->p1). p4 unknown.
+    assert _oids(g.V("person").not_(lambda t: t.in_("knows"))) == ["p4"]
+
+
+def test_not_preserves_bag_multiplicity(g):
+    # frontier with duplicates: out('knows') from p1 gives p2,p3; p4->p1.
+    t = g.V("person").out("knows")  # p2, p3, p1 (bag)
+    kept = t.not_(lambda x: x.out("created"))
+    assert _oids(kept) == ["p2"]  # p1,p3 created something; multiplicity kept
+
+
+def test_global_aggregates_and_fold(g):
+    assert g.V("person").sum_("age").collect()[0]["value"] == 29 + 27 + 32 + 35
+    assert g.V("person").max_("age").collect()[0]["value"] == 35
+    assert g.V("person").min_("age").collect()[0]["value"] == 27
+    assert abs(g.V("person").mean("age").collect()[0]["value"] - 30.75) < 1e-9
+    assert g.V("software").fold().collect()[0]["value"] == ["s1", "s2"]
+    assert g.E("knows").fold("w").collect()[0]["value"] == [0.2, 0.5, 1.0]
+
+
+def test_range_after_order(g):
+    ordered = g.V("person").order("oid")
+    assert _oids(ordered.range_(1, 3)) == ["p2", "p3"]
+    assert _oids(ordered.range_(2, -1)) == ["p3", "p4"]
