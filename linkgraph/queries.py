@@ -943,6 +943,41 @@ def q_gie_subgraph_wcc(spark, sf_dir):
     return comp.join(sub.vertices, "vid").join(rep, "value").select("oid", "comp_oid")
 
 
+def q_gie_not_props(spark, sf_dir):
+    """not_() (NOT, query_flow.proto:113) + properties() (PROPERTIES :126):
+    customers with no 'F'-status order, flattened to (oid, key, value)
+    property rows. The NOT branch runs over the deduped element set and
+    anti-joins — never a per-traverser subquery."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return (
+        g.V("customer")
+        .not_(lambda t: t.out("placed").has("o_orderstatus", "F"))
+        .properties("c_mktsegment")
+    )
+
+
+def q_gie_range(spark, sf_dir):
+    """order().range_(low, high) (RANGE :81): rows [5, 15) of the
+    oid-ordered customer stream — Catalyst offset+limit, one plan."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return g.V("customer").order("oid").range_(5, 15).df.select("oid")
+
+
+def q_gie_mean(spark, sf_dir):
+    """Global aggregate (SUM-family :115-123 degenerate keyless form):
+    mean o_totalprice over the order frontier reached from BUILDING
+    customers — bag semantics (each traverser counts once)."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    t = g.V("customer").has("c_mktsegment", "BUILDING").out("placed")
+    return t.mean("o_totalprice").select(F.round("value", 4).alias("value"))
+
+
 def q_corpus_edges(spark, sf_dir):
     """End-to-end corpus derivation: synth (repo,path,commit,lang,content)
     table → regex import extraction → resolved (src_oid, dst_oid) edges.
@@ -1369,6 +1404,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_betweenness_ep": q_betweenness_ep,
     "g_betweenness_w": q_betweenness_w,
     # --- core algorithm parity set
+    "gie_not_props": q_gie_not_props,
+    "gie_range": q_gie_range,
+    "gie_mean": q_gie_mean,
     "g_edges": q_edges,
     "g_summary": q_graph_summary,
     "g_pagerank_r3": q_pagerank_rounds,
@@ -1932,6 +1970,18 @@ def _langid_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "gie_not_props": """
+  SELECT 'c' || c_custkey AS oid, 'c_mktsegment' AS key, c_mktsegment AS value
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
+    "gie_range": """
+  SELECT oid FROM (SELECT 'c' || c_custkey AS oid FROM customer)
+  ORDER BY oid OFFSET 5 LIMIT 10""",
+    "gie_mean": """
+  SELECT round(avg(o_totalprice), 4) AS value
+  FROM orders o JOIN customer c
+    ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'""",
     "g_edges": f"WITH e AS ({_EDGES_SQL}) SELECT src, dst FROM e",
     "g_summary": _with_graph(
         "x AS (SELECT 1) SELECT (SELECT count(*) FROM v) AS n_vertices, (SELECT count(*) FROM e) AS n_edges"
