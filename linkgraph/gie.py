@@ -350,6 +350,48 @@ class Traversal:
         c = cond(self.df) if callable(cond) else cond
         return self._next(self.df.where(c))
 
+    # -- match (conjunctive pattern join) -------------------------------
+    def match(self, *patterns) -> "Traversal":
+        """Gremlin ``match()``: conjunctive graph-pattern matching. Each
+        pattern is ``(start_tag, body, end_tag)`` — the analog of
+        ``__.as_(start).<body>.as_(end)``. Patterns are solved left to
+        right (the reference's runtime also serializes match traversers
+        through its join operators, query_flow.proto:136 JOIN_*): the
+        first pattern binds the incoming frontier to its start tag; a
+        pattern whose end tag is already bound becomes an equality filter
+        (a join constraint) instead of a new binding. The result frontier
+        carries every binding — read them out with ``select(*tags)``.
+
+        Compiles to a chain of equi hash joins + filters in ONE Catalyst
+        plan; with bindings riding the frontier as columns there is no
+        per-pattern materialization, so Catalyst/AQE reorders and
+        broadcast-converts the joins exactly as it would for hand-written
+        SQL. Example::
+
+            g.V('customer').match(
+                ('c', lambda t: t.out('placed'),   'o'),
+                ('o', lambda t: t.out('contains'), 'p'),
+            ).select('c', 'p')
+        """
+        if not patterns:
+            raise ValueError("match(): need at least one pattern")
+        t = self
+        first_start = patterns[0][0]
+        if f"__as_{first_start}" not in t.df.columns:
+            t = t.as_(first_start)
+        for start, body, end in patterns:
+            if f"__as_{start}" not in t.df.columns:
+                raise ValueError(
+                    f"match(): start tag {start!r} unbound — order patterns so "
+                    "each starts from a bound tag"
+                )
+            t = body(t.select_(start))
+            if f"__as_{end}" in t.df.columns:
+                t = t.where(F.col("oid") == tag(end))
+            else:
+                t = t.as_(end)
+        return t
+
     # -- union (:83) ---------------------------------------------------
     def union(self, *branches) -> "Traversal":
         """UNION: apply each branch traversal to this frontier and merge

@@ -978,6 +978,24 @@ def q_gie_mean(spark, sf_dir):
     return t.mean("o_totalprice").select(F.round("value", 4).alias("value"))
 
 
+def q_gie_match(spark, sf_dir):
+    """match() conjunctive pattern join: BUILDING customers, their 'F'
+    orders, and the parts those orders contain — three bindings read out
+    with select('c','o','p'). One Catalyst plan of equi joins; AQE picks
+    the join order/strategy as for hand-written SQL."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    return (
+        g.V("customer").has("c_mktsegment", "BUILDING")
+        .match(
+            ("c", lambda t: t.out("placed").has("o_orderstatus", "F"), "o"),
+            ("o", lambda t: t.out("contains"), "p"),
+        )
+        .select("c", "o", "p")
+    )
+
+
 def q_corpus_edges(spark, sf_dir):
     """End-to-end corpus derivation: synth (repo,path,commit,lang,content)
     table → regex import extraction → resolved (src_oid, dst_oid) edges.
@@ -1405,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_betweenness_w": q_betweenness_w,
     # --- core algorithm parity set
     "gie_not_props": q_gie_not_props,
+    "gie_match": q_gie_match,
     "gie_range": q_gie_range,
     "gie_mean": q_gie_mean,
     "g_edges": q_edges,
@@ -1970,6 +1989,12 @@ def _langid_sql() -> str:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "gie_match": """
+  SELECT 'c' || c.c_custkey AS c, 'o' || o.o_orderkey AS o, 'p' || l.l_partkey AS p
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'""",
     "gie_not_props": """
   SELECT 'c' || c_custkey AS oid, 'c_mktsegment' AS key, c_mktsegment AS value
   FROM customer c

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from linkgraph.gie import traversal
+from linkgraph.gie import tag, traversal
 from linkgraph.property import PropertyGraph
 
 
@@ -346,3 +346,43 @@ def test_range_after_order(g):
     ordered = g.V("person").order("oid")
     assert _oids(ordered.range_(1, 3)) == ["p2", "p3"]
     assert _oids(ordered.range_(2, -1)) == ["p3", "p4"]
+
+
+def test_match_two_patterns(g):
+    # people who know someone who created something
+    res = (
+        g.V("person")
+        .match(
+            ("a", lambda t: t.out("knows"), "b"),
+            ("b", lambda t: t.out("created"), "c"),
+        )
+        .select("a", "b", "c")
+    )
+    rows = sorted((r["a"], r["b"], r["c"]) for r in res.collect())
+    assert rows == [("p1", "p3", "s1"), ("p1", "p3", "s2"), ("p4", "p1", "s1")]
+
+
+def test_match_join_constraint_on_bound_tag(g):
+    # co-creation: a and b both created the same software c (a != b)
+    res = (
+        g.V("person")
+        .match(
+            ("a", lambda t: t.out("created"), "c"),
+            ("a", lambda t: t.both("knows"), "b"),
+            ("b", lambda t: t.out("created"), "c"),  # c already bound -> filter
+        )
+        .where(tag("a") != tag("b"))
+        .select("a", "b", "c")
+    )
+    rows = sorted((r["a"], r["b"], r["c"]) for r in res.collect())
+    assert rows == [("p1", "p3", "s1"), ("p3", "p1", "s1")]
+
+
+def test_match_unbound_start_raises(g):
+    # first pattern's start binds the incoming frontier; a LATER pattern
+    # starting from a never-bound tag is an ordering error
+    with pytest.raises(ValueError, match="unbound"):
+        g.V("person").match(
+            ("a", lambda t: t.out("knows"), "b"),
+            ("z", lambda t: t.out("created"), "w"),
+        )
