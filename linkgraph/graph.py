@@ -291,19 +291,29 @@ def build_graph(
     Join-based oid→vid resolution replaces the reference's distributed
     vertex map lookup (arrow_projected_vertex_map.h:110-127). The vertex
     map is usually ≪ edges; Catalyst/AQE picks broadcast when it fits.
+
+    ``edge_oids`` is consumed by three passes (src oids, dst oids, the
+    resolution joins), so it is persisted here — without the pin, a
+    derived input (e.g. regex extraction over the 10^12-file corpus)
+    would replay its whole upstream scan per pass. The pin is registered
+    in the returned graph's cache list: ``g.unpersist()`` frees it (and
+    recomputation stays deterministic, so a freed cache is a slowdown,
+    never a correctness hazard).
     """
-    oids = edge_oids.select(F.col(src_col).alias("oid")).union(
-        edge_oids.select(F.col(dst_col).alias("oid"))
+    cols = [F.col(src_col), F.col(dst_col)] + ([F.col(weight_col)] if weight_col else [])
+    e_in = edge_oids.select(*cols).persist()
+    oids = e_in.select(F.col(src_col).alias("oid")).union(
+        e_in.select(F.col(dst_col).alias("oid"))
     )
     vmap = assign_dense_ids(oids, partitions=partitions)
-    cols = [F.col(src_col), F.col(dst_col)] + ([F.col(weight_col)] if weight_col else [])
-    e = edge_oids.select(*cols)
     e = (
-        e.join(vmap.select(F.col("oid").alias(src_col), F.col("vid").alias("src")), src_col)
+        e_in.join(vmap.select(F.col("oid").alias(src_col), F.col("vid").alias("src")), src_col)
         .join(vmap.select(F.col("oid").alias(dst_col), F.col("vid").alias("dst")), dst_col)
         .select("src", "dst", *([F.col(weight_col).alias("weight")] if weight_col else []))
     )
-    return LinkGraph(vertices=vmap, edges=e)
+    g = LinkGraph(vertices=vmap, edges=e)
+    g._cached = [e_in, vmap]
+    return g
 
 
 def graph_from_edge_vids(spark: SparkSession, pairs: list[tuple[int, int]], directed: bool = True) -> LinkGraph:
