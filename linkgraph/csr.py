@@ -383,6 +383,9 @@ def pagerank_csr_dense(
             )
         darr = np.zeros(n_c, dtype=np.int32)
         darr[pos] = deg
+        # dgp = this chunk's dangling rank sum, so the lazy driver-side
+        # dangling init below reads the SAME quantity from a fresh round-0
+        # state and from a checkpoint-restored round-k state alike
         return pa.table(
             {
                 "bid": pa.array([c], pa.int32()),
@@ -391,7 +394,7 @@ def pagerank_csr_dense(
                     [np.full(n_c, r0, dtype=np_val)], pa.from_numpy_dtype(np_val)
                 ),
                 "l1p": pa.array([0.0], pa.float64()),
-                "dgp": pa.array([0.0], pa.float64()),
+                "dgp": pa.array([float(r0 * int((darr == 0).sum()))], pa.float64()),
             }
         )
 
@@ -400,9 +403,11 @@ def pagerank_csr_dense(
         .groupBy("bid")
         .applyInArrow(_to_chunks, schema=state_sql)
     )
-    dangling = {
-        "mass": (rows0.where(F.col("deg") == 0).count()) * r0 * alpha
-    }
+    # Lazy: first step reads sum(dgp) off the CURRENT state, so a
+    # checkpoint-restored round-k state seeds the correct mass (the
+    # sparse tier's resume-safe pattern; eager round-0 init here was a
+    # one-round perturbation after every resume).
+    dangling: dict = {"mass": None}
 
     def _scatter(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
         if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
@@ -443,6 +448,10 @@ def pagerank_csr_dense(
         )
 
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        if dangling["mass"] is None:
+            dangling["mass"] = (
+                state.agg(F.sum("dgp")).first()[0] or 0.0
+            ) * alpha
         base = (1.0 - alpha) / n + dangling["mass"] / n
 
         partials = state.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
