@@ -132,3 +132,26 @@ def test_contamination_benchmark_side_broadcasts(spark):
     bench = docs.where(F.col("doc_id") % 10 == 0)
     plan = _explain_str(contamination_check(docs, bench, n=3))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_parquet_scan_prunes_and_pushes_through_pipeline_ops(spark):
+    """Filters written around our pipeline operators must reach the parquet
+    FileScan (PushedFilters) and the scan must read only the referenced
+    columns (ReadSchema) — at 100 TB a scan that reads `text` for a
+    lang-only filter, or all 5 columns for a 2-column projection, is the
+    whole ballgame. Our operators are plain Catalyst compositions, so
+    this is asserting we never break pushdown with an opaque boundary."""
+    from linkgraph.pipeline import token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_counts(docs.where(F.col("lang") == "en"))
+    plan = _explain_str(out)
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("lang" in ln and "en" in ln for ln in scan), plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "source" not in rs[0] and "n_chars" not in rs[0], rs
+    # filter AFTER the operator prunes too: only doc_id+text are read
+    out2 = token_counts(docs).where(F.col("ws_tokens") > 3)
+    plan2 = _explain_str(out2)
+    rs2 = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
+    assert rs2 and "lang" not in rs2[0] and "source" not in rs2[0], rs2
