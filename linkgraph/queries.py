@@ -1035,6 +1035,19 @@ def q_corpus_pagerank_r3(spark, sf_dir):
     return pr.join(g.vertices, "vid").select("oid", F.round("value", 6).alias("value"))
 
 
+def q_corpus_pagerank_dense(spark, sf_dir):
+    """The SAME fixed-round PageRank, but on the dense-chunk scale tier
+    (csr.py pagerank_csr_dense — array-packed partials, the 100-TB path),
+    against the SAME unrolled DuckDB oracle: a driver-green row proving
+    the scale tier computes the reference kernel bit-for-bit (join-tier
+    parity is separately test-asserted to atol 1e-12)."""
+    from linkgraph.csr import pagerank_csr_dense
+
+    g = _corpus_graph(spark)
+    pr = pagerank_csr_dense(g, alpha=ALPHA, tol=None, max_iter=PR_ROUNDS)
+    return pr.join(g.vertices, "vid").select("oid", F.round("value", 6).alias("value"))
+
+
 def q_corpus_wcc(spark, sf_dir):
     """Converged WCC on the derived corpus graph — exactly expressible as
     a recursive-CTE min-reachable oracle (component id = min dense vid =
@@ -1378,8 +1391,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_prop_degree": q_prop_degree,
     "g_prop_wdegree_building": q_prop_wdegree_building,
     "corpus_edges": q_corpus_edges,
-    "corpus_pagerank": q_corpus_pagerank,
     "corpus_pagerank_r3": q_corpus_pagerank_r3,
+    "corpus_pagerank_dense": q_corpus_pagerank_dense,
     "corpus_wcc": q_corpus_wcc,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
@@ -1477,6 +1490,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_twohop_parts": q_gie_twohop_parts,
     "gie_top_edges": q_gie_top_edges,
     "gie_paths": q_gie_paths,
+    # rows-only (converged, no closed-form SQL oracle); hash evidence comes
+    # from its fixed-round siblings corpus_pagerank_r3/corpus_pagerank_dense
+    "corpus_pagerank": q_corpus_pagerank,
 }
 
 
@@ -2803,6 +2819,8 @@ ORACLE_SQL["corpus_pagerank_r3"] = f"""
   WITH ce AS ({_corpus_edges_sql()}),
   e AS (SELECT src_oid AS src, dst_oid AS dst FROM ce),
   v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),{_pagerank_body(PR_ROUNDS, out_col="oid")}"""
+
+ORACLE_SQL["corpus_pagerank_dense"] = ORACLE_SQL["corpus_pagerank_r3"]
 
 ORACLE_SQL["corpus_wcc"] = f"""
   WITH RECURSIVE ce AS ({_corpus_edges_sql()}),
