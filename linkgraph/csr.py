@@ -612,3 +612,172 @@ def wcc_csr(
     out = result.state.select("vid", F.col("label").alias("value"))
     blocks.unpersist()
     return out
+
+
+# ---------------- weighted blocks + SSSP/BFS on the fast tier ----------------
+
+WBLOCK_SCHEMA = (
+    "bid int, n_edges long, us array<long>, indptr array<long>, "
+    "udst array<long>, dst_idx array<int>, w array<double>"
+)
+
+_SSSP_PARTIAL_SCHEMA = pa.schema([("dst", pa.int64()), ("pdist", pa.float64())])
+
+
+def build_csr_blocks_weighted(
+    edges: DataFrame, num_blocks: int, weight_col: str | None = None
+) -> DataFrame:
+    """:func:`build_csr_blocks` with a per-edge weight array riding each
+    block (aligned with the src-sorted edge order the CSR uses).
+    ``weight_col=None`` stores unit weights — BFS is SSSP over them."""
+    wcol = (
+        F.col(weight_col).cast("double").alias("w")
+        if weight_col
+        else F.lit(1.0).alias("w")
+    )
+    e = edges.select(
+        F.col("src"), F.col("dst"), wcol,
+        F.pmod(F.col("src"), F.lit(num_blocks)).cast("int").alias("bid"),
+    ).repartition(num_blocks, "bid")
+
+    def _build(batches):
+        acc: dict[int, tuple[list, list, list]] = {}
+        for batch in batches:
+            src = batch.column(0).to_numpy(zero_copy_only=False)
+            dst = batch.column(1).to_numpy(zero_copy_only=False)
+            w = batch.column(2).to_numpy(zero_copy_only=False)
+            bids = batch.column(3).to_numpy(zero_copy_only=False)
+            for b in np.unique(bids):
+                m = bids == b
+                buf = acc.setdefault(int(b), ([], [], []))
+                buf[0].append(src[m])
+                buf[1].append(dst[m])
+                buf[2].append(w[m])
+        for bid, (srcs, dsts, ws) in acc.items():
+            src = np.concatenate(srcs).astype(np.int64, copy=False)
+            dst = np.concatenate(dsts).astype(np.int64, copy=False)
+            w = np.concatenate(ws).astype(np.float64, copy=False)
+            order = np.argsort(src, kind="stable")
+            src, dst, w = src[order], dst[order], w[order]
+            us, counts = np.unique(src, return_counts=True)
+            indptr = np.zeros(len(us) + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            udst, dst_idx = np.unique(dst, return_inverse=True)
+            yield pa.record_batch(
+                {
+                    "bid": pa.array([bid], pa.int32()),
+                    "n_edges": pa.array([len(src)], pa.int64()),
+                    "us": _one_row_list(us, pa.int64()),
+                    "indptr": _one_row_list(indptr, pa.int64()),
+                    "udst": _one_row_list(udst, pa.int64()),
+                    "dst_idx": _one_row_list(dst_idx.astype(np.int32), pa.int32()),
+                    "w": _one_row_list(w, pa.float64()),
+                }
+            )
+
+    # same pre-persist re-hash as build_csr_blocks: cache the blocks
+    # already laid out for the per-round cogroup, zero per-round Exchange
+    return e.mapInArrow(_build, schema=WBLOCK_SCHEMA).repartition(num_blocks, "bid")
+
+
+def _iter_wblocks(block_tbl: pa.Table):
+    cols = [
+        block_tbl.column(c).combine_chunks()
+        for c in ("us", "indptr", "udst", "dst_idx", "w")
+    ]
+    dtypes = (np.int64, np.int64, np.int64, np.int32, np.float64)
+    for i in range(block_tbl.num_rows):
+        yield tuple(
+            np.asarray(c.slice(i, 1).flatten()).astype(t, copy=False)
+            for c, t in zip(cols, dtypes)
+        )
+
+
+def sssp_csr(
+    graph: LinkGraph,
+    src: int,
+    weight_col: str | None = "weight",
+    max_rounds: int = 10_000,
+    num_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SSSP (and BFS via unit weights) on the CSR fast tier.
+
+    Same label-correcting fixpoint as
+    :func:`linkgraph.algorithms.traversal.sssp` — per round, only
+    *changed* sources relax; per-block minima (np.minimum.at over the
+    compacted dst dictionary) shuffle instead of per-edge candidates, and
+    a global ``groupBy(dst).min`` finishes. ≤P partial rows per
+    destination regardless of in-degree — the same heavy-hitter bound
+    the PageRank tier has. Unreachable → -1.0, as the join tier reports.
+    """
+    spark = graph.edges.sparkSession
+    p = num_blocks or spark.sparkContext.defaultParallelism
+    wname = weight_col if (weight_col and weight_col in graph.edges.columns) else None
+    blocks = build_csr_blocks_weighted(graph.edges, p, wname).persist()
+    blocks.count()
+
+    inf = float("inf")
+    state0 = graph.vertices.select(
+        "vid",
+        F.when(F.col("vid") == src, F.lit(0.0)).otherwise(F.lit(inf)).alias("dist"),
+        (F.col("vid") == src).alias("changed"),
+    )
+
+    def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return _SSSP_PARTIAL_SCHEMA.empty_table()
+        changed = _np_col(state_tbl, "changed", np.bool_)
+        if not changed.any():
+            return _SSSP_PARTIAL_SCHEMA.empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)[changed]
+        dists = _np_col(state_tbl, "dist", np.float64)[changed]
+        outs_d, outs_p = [], []
+        for us, indptr, udst, dst_idx, w in _iter_wblocks(block_tbl):
+            src_vals = _gather(vids, dists, us, np.inf)
+            per_edge = np.repeat(src_vals, np.diff(indptr)) + w
+            pmin = np.full(len(udst), np.inf, dtype=np.float64)
+            np.minimum.at(pmin, dst_idx, per_edge)
+            mask = np.isfinite(pmin)
+            outs_d.append(udst[mask])
+            outs_p.append(pmin[mask])
+        if not outs_d:
+            return _SSSP_PARTIAL_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate(outs_d), pa.int64()),
+                "pdist": pa.array(np.concatenate(outs_p), pa.float64()),
+            }
+        )
+
+    def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
+        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+            _partials, schema="dst long, pdist double"
+        )
+        msgs = partials.groupBy("dst").agg(F.min("pdist").alias("cand"))
+        new_state = (
+            state.join(msgs, state["vid"] == msgs["dst"], "left")
+            .select(
+                state["vid"],
+                F.least(state["dist"], F.coalesce("cand", state["dist"])).alias("dist"),
+                (F.coalesce("cand", state["dist"]) < state["dist"]).alias("changed"),
+            )
+            .persist()
+        )
+        n = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
+        return new_state, {"changed": n}
+
+    result = run_supersteps(
+        state0,
+        step,
+        converged=lambda s: s["changed"] == 0,
+        max_rounds=max_rounds,
+        checkpoint_dir=checkpoint_dir,
+    )
+    out = result.state.select(
+        "vid",
+        F.when(F.col("dist") == inf, F.lit(-1.0)).otherwise(F.col("dist")).alias("value"),
+    )
+    blocks.unpersist()
+    return out

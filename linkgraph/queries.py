@@ -234,6 +234,25 @@ def q_sssp(spark, sf_dir):
     )
 
 
+def q_sssp_csr(spark, sf_dir):
+    """The SAME weighted SSSP, on the CSR fast tier (csr.py sssp_csr:
+    weighted blocks, per-block np.minimum.at combine, ≤P partial rows per
+    destination) — identical fixpoint, identical oracle."""
+    from linkgraph.csr import sssp_csr
+
+    g = _oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src", "dst", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("weight")
+    )
+    g2 = LinkGraph(vertices=g.vertices, edges=e)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return (
+        sssp_csr(g2, src=src, num_blocks=8)
+        .where(F.col("value") >= 0)
+        .select("vid", F.col("value").cast("long").alias("dist"))
+    )
+
+
 def q_closeness(spark, sf_dir):
     from linkgraph.algorithms import closeness_centrality
 
@@ -1493,6 +1512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (converged, no closed-form SQL oracle); hash evidence comes
     # from its fixed-round siblings corpus_pagerank_r3/corpus_pagerank_dense
     "corpus_pagerank": q_corpus_pagerank,
+    "g_sssp_csr": q_sssp_csr,
 }
 
 
@@ -2821,6 +2841,7 @@ ORACLE_SQL["corpus_pagerank_r3"] = f"""
   v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e),{_pagerank_body(PR_ROUNDS, out_col="oid")}"""
 
 ORACLE_SQL["corpus_pagerank_dense"] = ORACLE_SQL["corpus_pagerank_r3"]
+ORACLE_SQL["g_sssp_csr"] = ORACLE_SQL["g_sssp"]
 
 ORACLE_SQL["corpus_wcc"] = f"""
   WITH RECURSIVE ce AS ({_corpus_edges_sql()}),

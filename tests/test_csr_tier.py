@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from linkgraph.graph import graph_from_edge_vids
 from linkgraph.algorithms import pagerank_nx, wcc
@@ -103,3 +104,36 @@ def test_pagerank_dense_requires_dense_ids(spark):
     g = graph_from_edge_vids(spark, LANGVILLE_MEYER)
     with pytest.raises(Exception, match="dense"):
         pagerank_csr_dense(g, max_iter=3, num_blocks=4).collect()
+
+
+def test_sssp_csr_matches_join_tier_weighted(spark):
+    """sssp_csr (weighted blocks, per-block minima) reaches the exact
+    label-correcting fixpoint of the join tier, including unreachable
+    -1.0 markers."""
+    import random
+
+    from linkgraph.algorithms.traversal import sssp
+    from linkgraph.csr import sssp_csr
+
+    rnd = random.Random(7)
+    pairs = rmat_edges(150, 600, seed=23)
+    rows = [(s, d, round(rnd.uniform(0.1, 5.0), 3)) for s, d in pairs]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    v = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    from linkgraph.graph import LinkGraph
+
+    g = LinkGraph(vertices=v, edges=e)
+    ref = _d(sssp(g, src=0))
+    fast = _d(sssp_csr(g, src=0, num_blocks=4))
+    assert ref == fast
+
+
+def test_sssp_csr_unit_weights_is_bfs(spark):
+    """weight_col=None → unit weights: sssp_csr equals BFS hop counts."""
+    from linkgraph.algorithms.traversal import bfs
+    from linkgraph.csr import sssp_csr
+
+    g = graph_from_edge_vids(spark, rmat_edges(120, 300, seed=5))
+    hops = _d(bfs(g, src=0))
+    fast = _d(sssp_csr(g, src=0, weight_col=None, num_blocks=4))
+    assert {k: float(v) for k, v in hops.items()} == fast
