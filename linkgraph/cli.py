@@ -24,6 +24,8 @@ import json
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 
 def _get_spark():
     from pyspark.sql import SparkSession
@@ -48,7 +50,7 @@ def _load_graph(spark, args):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="linkgraph")
-    ap.add_argument("algo", choices=["pagerank", "wcc", "cdlp", "triangles"])
+    ap.add_argument("algo", choices=["pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs"])
     ap.add_argument("--corpus-path", default=None, help="parquet corpus table")
     ap.add_argument("--corpus-files", type=int, default=10_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -96,6 +98,17 @@ def main(argv: list[str] | None = None) -> int:
             from linkgraph.algorithms import wcc
 
             res = wcc(g, checkpoint_dir=args.checkpoint_dir)
+    elif args.algo in ("sssp", "bfs"):
+        src = g.vertices.agg(F.min("vid")).first()[0]
+        wcol = "weight" if (args.algo == "sssp" and "weight" in g.edges.columns) else None
+        if args.tier in ("csr", "dense"):
+            from linkgraph.csr import sssp_csr
+
+            res = sssp_csr(g, src=src, weight_col=wcol, checkpoint_dir=args.checkpoint_dir)
+        else:
+            from linkgraph.algorithms import sssp
+
+            res = sssp(g, src=src, weight_col=wcol)
     elif args.algo == "cdlp":
         from linkgraph.algorithms import cdlp
 
