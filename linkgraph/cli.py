@@ -110,9 +110,14 @@ def main(argv: list[str] | None = None) -> int:
 
             res = sssp(g, src=src, weight_col=wcol)
     elif args.algo == "cdlp":
-        from linkgraph.algorithms import cdlp
+        if args.tier in ("csr", "dense"):
+            from linkgraph.csr import cdlp_csr
 
-        res = cdlp(g, max_round=args.rounds, checkpoint_dir=args.checkpoint_dir)
+            res = cdlp_csr(g, max_round=args.rounds, checkpoint_dir=args.checkpoint_dir)
+        else:
+            from linkgraph.algorithms import cdlp
+
+            res = cdlp(g, max_round=args.rounds, checkpoint_dir=args.checkpoint_dir)
     else:
         from linkgraph.algorithms import triangles
 

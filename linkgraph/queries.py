@@ -175,6 +175,17 @@ def q_cdlp(spark, sf_dir):
     )
 
 
+def q_cdlp_csr(spark, sf_dir):
+    """The SAME fixed-round CDLP on the CSR fast tier (csr.py cdlp_csr:
+    bidirectional multiset blocks, run-length (dst,label) map-side
+    combine) — exact labels, same unrolled oracle."""
+    from linkgraph.csr import cdlp_csr
+
+    return cdlp_csr(_oracle_graph(spark, sf_dir), max_round=CDLP_ROUNDS, num_blocks=8).select(
+        "vid", F.col("value").cast("long").alias("label")
+    )
+
+
 def q_pagerank_rounds(spark, sf_dir):
     from linkgraph.algorithms import pagerank
 
@@ -1513,6 +1524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # from its fixed-round siblings corpus_pagerank_r3/corpus_pagerank_dense
     "corpus_pagerank": q_corpus_pagerank,
     "g_sssp_csr": q_sssp_csr,
+    "g_cdlp_csr": q_cdlp_csr,
 }
 
 
@@ -2842,6 +2854,7 @@ ORACLE_SQL["corpus_pagerank_r3"] = f"""
 
 ORACLE_SQL["corpus_pagerank_dense"] = ORACLE_SQL["corpus_pagerank_r3"]
 ORACLE_SQL["g_sssp_csr"] = ORACLE_SQL["g_sssp"]
+ORACLE_SQL["g_cdlp_csr"] = ORACLE_SQL["g_cdlp_r2"]
 
 ORACLE_SQL["corpus_wcc"] = f"""
   WITH RECURSIVE ce AS ({_corpus_edges_sql()}),

@@ -137,3 +137,17 @@ def test_sssp_csr_unit_weights_is_bfs(spark):
     hops = _d(bfs(g, src=0))
     fast = _d(sssp_csr(g, src=0, weight_col=None, num_blocks=4))
     assert {k: float(v) for k, v in hops.items()} == fast
+
+
+def test_cdlp_csr_matches_join_tier_exact(spark):
+    """cdlp_csr (run-length (dst,label) combine over bidirectional blocks)
+    is round-for-round EXACT vs the salted join tier — same most-frequent
+    label, same min-label tie-break, same fixed round count."""
+    from linkgraph.algorithms import cdlp
+    from linkgraph.csr import cdlp_csr
+
+    g = graph_from_edge_vids(spark, rmat_edges(150, 500, seed=31))
+    for rounds in (1, 5):
+        ref = _d(cdlp(g, max_round=rounds))
+        fast = _d(cdlp_csr(g, max_round=rounds, num_blocks=4))
+        assert ref == fast
