@@ -172,6 +172,8 @@ def run_default() -> dict:
         "emb_knn",
         "g_prop_degree",
         "gie_twohop_parts",
+        "g_cdlp_csr",
+        "g_sssp_csr",
     ):
         t = time.time()
         QUERIES[name](spark, SF_DIR).count()
