@@ -143,6 +143,10 @@ def test_parquet_scan_prunes_and_pushes_through_pipeline_ops(spark):
     this is asserting we never break pushdown with an opaque boundary."""
     from linkgraph.pipeline import token_counts
 
+    # a previously-persisted documents scan would satisfy the read from an
+    # InMemoryRelation (no FileScan → no PushedFilters line); this test is
+    # about the cold-scan plan, so drop any cache another test pinned
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = token_counts(docs.where(F.col("lang") == "en"))
     plan = _explain_str(out)
