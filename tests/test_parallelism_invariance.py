@@ -44,3 +44,27 @@ def test_flagships_parallelism_invariant(spark):
         assert np.allclose(
             [results["pr"][0][k] for k in ks], [other[k] for k in ks], atol=1e-12, rtol=0
         )
+
+
+def test_fast_tier_block_count_invariant(spark):
+    """sssp_csr / cdlp_csr must give identical results at any num_blocks —
+    on a cluster, block count tracks executor count, and adding executors
+    must never change answers (the north rule's N vs 4N premise)."""
+    import random
+
+    from linkgraph.csr import cdlp_csr, sssp_csr
+
+    rnd = random.Random(3)
+    pairs = rmat_edges(120, 420, seed=41)
+    rows = [(s, d, round(rnd.uniform(0.1, 4.0), 3)) for s, d in pairs]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    from pyspark.sql import functions as F
+
+    v = e.select(F.col("src").alias("vid")).union(e.select("dst")).distinct()
+    g = LinkGraph(vertices=v, edges=e)
+
+    sssp_ref = {r["vid"]: r["value"] for r in sssp_csr(g, src=0, num_blocks=3).collect()}
+    cdlp_ref = {r["vid"]: r["value"] for r in cdlp_csr(g, max_round=4, num_blocks=3).collect()}
+    for p in (5, 8):
+        assert {r["vid"]: r["value"] for r in sssp_csr(g, src=0, num_blocks=p).collect()} == sssp_ref
+        assert {r["vid"]: r["value"] for r in cdlp_csr(g, max_round=4, num_blocks=p).collect()} == cdlp_ref
