@@ -172,8 +172,11 @@ def run_default() -> dict:
         "emb_knn",
         "g_prop_degree",
         "gie_twohop_parts",
-        "g_cdlp_csr",
-        "g_sssp_csr",
+        # g_cdlp_csr / g_sssp_csr are correctness entries on the tiny
+        # 400-vertex oracle graph — there the superstep fixed cost (~1.5
+        # s/round scheduling) is 100% of the time, so timing them says
+        # nothing about tier throughput; the 1e8-edge scaling harness
+        # (BENCH/run_scaling_level.py) is the fast-tier perf signal.
     ):
         t = time.time()
         QUERIES[name](spark, SF_DIR).count()
