@@ -42,6 +42,10 @@ from linkgraph.checkpoint import CheckpointStore
 # a dict of scalars the loop hands to `converged`.
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 
+# bench instrumentation: the most recent run_supersteps result (history of
+# per-round stats incl. wall_sec), same pattern as csr.LAST_HISTORY
+LAST_RESULT: "SuperstepResult | None" = None
+
 # warn once (not per round) if the deterministic block-free path breaks
 _FREE_WARNED = False
 
@@ -124,4 +128,6 @@ def run_supersteps(
 
     if store and not (history and history[-1]["round"] % checkpoint_every == 0):
         store.save(state, rnd, metrics=history[-1] if history else {})
-    return SuperstepResult(state=state, rounds=rnd, converged=done, history=history)
+    global LAST_RESULT
+    LAST_RESULT = SuperstepResult(state=state, rounds=rnd, converged=done, history=history)
+    return LAST_RESULT
