@@ -35,6 +35,11 @@ spark = get_spark(
         "spark.default.parallelism": str(PARTS),
         "spark.driver.memory": "64g",
         "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        # local mode: a >10 s full-GC pause (64 GiB heap, 2e8-row
+        # distinct in wcc) makes the in-process executor heartbeat time
+        # out and kills the session — GC pauses are not liveness failures
+        "spark.executor.heartbeatInterval": "120s",
+        "spark.network.timeout": "600s",
     },
 )
 from pyspark.sql import functions as F
@@ -65,10 +70,10 @@ def record(algo, fn, checksum_fn):
         f.write(json.dumps(line) + "\n")
     print(json.dumps(line), flush=True)
 
-record("wcc_csr", lambda: wcc_csr(g, num_blocks=PARTS),
-       lambda o: int(o.agg(F.sum("value")).first()[0]))
 record("bfs_sssp_csr", lambda: sssp_csr(g, src=0, weight_col=None, num_blocks=PARTS),
        lambda o: float(o.agg(F.sum("value")).first()[0]))
 record("cdlp_csr_r5", lambda: cdlp_csr(g, max_round=5, num_blocks=PARTS),
+       lambda o: int(o.agg(F.sum("value")).first()[0]))
+record("wcc_csr", lambda: wcc_csr(g, num_blocks=PARTS),
        lambda o: int(o.agg(F.sum("value")).first()[0]))
 spark.stop()
