@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
                 checkpoint_dir=args.checkpoint_dir,
             )
     elif args.algo == "wcc":
-        if args.tier == "csr":
+        if args.tier in ("csr", "dense"):
             from linkgraph.csr import wcc_csr
 
             res = wcc_csr(g, checkpoint_dir=args.checkpoint_dir)

@@ -190,7 +190,11 @@ def pagerank_csr(
     use_f32 = rank_dtype == "float32"
     np_val = np.float32 if use_f32 else np.float64
     sql_val = "float" if use_f32 else "double"
-    compact_dst = n < 2**31 - 1  # dense vids fit int32 partial keys
+    # int32 partial keys need the vid VALUES to fit, not just the count —
+    # this tier accepts non-dense vid spaces (e.g. 64-bit hash vids),
+    # where casting would wrap keys and silently corrupt the aggregation
+    max_vid = graph.vertices.agg(F.max("vid")).first()[0] or 0
+    compact_dst = max_vid < 2**31 - 1
     np_dst = np.int32 if compact_dst else np.int64
     pa_dst = pa.int32() if compact_dst else pa.int64()
     sql_dst = "int" if compact_dst else "long"

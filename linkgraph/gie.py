@@ -590,7 +590,9 @@ class Traversal:
             .join(vmap.select(F.col("oid").alias("dst_oid"), F.col("vid").alias("dst")), "dst_oid")
             .select("src", "dst")
         )
-        return LinkGraph(vertices=vmap, edges=e)
+        g = LinkGraph(vertices=vmap, edges=e)
+        g._cached = [vmap]  # assign_dense_ids pins it; g.unpersist() frees it
+        return g
 
     # -- dedup / order / limit ----------------------------------------
     def dedup(self) -> "Traversal":

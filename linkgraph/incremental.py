@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph, assign_dense_ids
 
 
+# assign_dense_ids pins its output for the lazy plans that reference it;
+# over an unbounded stream of extend calls that is one stranded persist per
+# micro-batch. Bound residency to the most recent call (dedup.py pattern):
+# freeing an older map forces a deterministic recompute, never wrong data.
+_CACHED: list[DataFrame] = []
+
+
+def _own_cache(df: DataFrame) -> DataFrame:
+    while _CACHED:
+        _CACHED.pop().unpersist()
+    _CACHED.append(df)
+    return df
+
+
 def extend_dense_ids(vmap: DataFrame, new_oids: DataFrame) -> DataFrame:
     """Append fresh oids to an existing (vid, oid) map with stable ids.
 
@@ -37,7 +51,7 @@ def extend_dense_ids(vmap: DataFrame, new_oids: DataFrame) -> DataFrame:
         .distinct()
         .join(vmap.select("oid"), "oid", "left_anti")
     )
-    fresh_ids = assign_dense_ids(fresh).select(
+    fresh_ids = _own_cache(assign_dense_ids(fresh)).select(
         (F.col("vid") + F.lit(base + 1)).alias("vid"), "oid"
     )
     return vmap.select("vid", "oid").unionByName(fresh_ids)
@@ -60,6 +74,13 @@ def extend_graph(
         d.select(F.col("dst_oid").alias("oid"))
     )
     vmap = extend_dense_ids(graph.vertices, oids)
+    if "weight" in graph.edges.columns:
+        # delta rows carry no weights; growing a weighted graph would
+        # silently change later sssp() results via the unit fallback
+        raise ValueError(
+            "extend_graph: existing graph is weighted but delta edges have "
+            "no weight column — extend with weighted deltas instead"
+        )
     ne = (
         d.join(vmap.select(F.col("oid").alias("src_oid"), F.col("vid").alias("src")), "src_oid")
         .join(vmap.select(F.col("oid").alias("dst_oid"), F.col("vid").alias("dst")), "dst_oid")

@@ -112,4 +112,6 @@ def load_graph_csv(
         .join(vmap.select(F.col("oid").alias("dst_oid"), F.col("vid").alias("dst")), "dst_oid")
         .select(*cols)
     )
-    return LinkGraph(vertices=vmap, edges=edges)
+    g = LinkGraph(vertices=vmap, edges=edges)
+    g._cached = [vmap]  # assign_dense_ids pins it; let g.unpersist() free it
+    return g

@@ -219,9 +219,19 @@ def shortest_path(G: DiGraph, source, target) -> list:
     return [G._node_of[v] for v in vids]
 
 
-def single_source_dijkstra_path_length(G: DiGraph, source, weight: str = "weight") -> dict:
-    """builtin.py:297 — dict node → distance (unreachable omitted)."""
-    d = A.sssp(G._project(), G._vid_of[source], weight_col="weight")
+def single_source_dijkstra_path_length(G: DiGraph, source, weight: str | None = "weight") -> dict:
+    """builtin.py:297 — dict node → distance (unreachable omitted).
+
+    The projection bakes only the ``weight`` edge attribute into the
+    engine graph, so only ``weight='weight'`` (use it) and ``weight=None``
+    (hop counts) are supported — any other attribute name raises instead
+    of silently returning unit-weight distances."""
+    if weight not in ("weight", None):
+        raise ValueError(
+            f"single_source_dijkstra_path_length: only the 'weight' edge "
+            f"attribute (or None for hop counts) is projected; got {weight!r}"
+        )
+    d = A.sssp(G._project(), G._vid_of[source], weight_col=weight)
     return {
         n: v for n, v in G._to_dict(d).items() if v >= 0
     }

@@ -250,11 +250,18 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     """
     from linkgraph.algorithms import wcc
     from linkgraph.graph import build_graph
+    from linkgraph.pipeline import dedup as _dedup
 
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src_oid"), F.col(id_b).cast("long").alias("dst_oid")
     )
     g = build_graph(edges)
+    # build_graph pins its input + vertex map for the returned lazy plan;
+    # adopt dedup.py's one-run cache ownership so repeated invocations
+    # (each deduplicate() / bench run) don't strand blocks for the session
+    _dedup.release_cached()
+    _dedup._CACHED.extend(g._cached)
+    g._cached = []
     comp = wcc(g)  # (vid, value=min vid in component)
     # the vertex map keeps oids as strings, where lexicographic min is
     # NOT numeric min ("10" < "9") — take the numeric min per component

@@ -251,7 +251,19 @@ def ivf_ann_topk(
     ids = ivf_seed_ids(n_centroids, stride)
     centroids = ivf_centroids_from_ids(embeddings, ids, id_col, vec_col)
     if refine_iters:
-        centroids = ivf_lloyd_refine(centroids, centroids, refine_iters)
+        # Lloyd needs a training sample DISTINCT from the seeds — training
+        # the quantizer on its own centroids assigns each seed to itself
+        # and the refinement is a guaranteed no-op. Deterministic bounded
+        # fetch: hash-ranked top (64·k) corpus vectors (TakeOrdered, one
+        # driver collect of a quantizer-sized sample).
+        t_rows = (
+            embeddings.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+            .limit(64 * n_centroids)
+            .collect()
+        )
+        train = np.stack([np.asarray(r[0], dtype=np.float64) for r in t_rows])
+        centroids = ivf_lloyd_refine(train, centroids, refine_iters)
     emb_a = ivf_assign(embeddings.select(id_col, vec_col), centroids, vec_col)
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))

@@ -216,6 +216,7 @@ def streaming_wcc(
 
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
         g_prev = state["graph"]
+        prev_was_checkpointed = g_prev is not None
         if g_prev is None:
             g_prev = empty_graph(batch_df.sparkSession)
         g = extend_graph(g_prev, batch_df, src_col=src_col, dst_col=dst_col)
@@ -229,8 +230,19 @@ def streaming_wcc(
             from linkgraph.algorithms.wcc import wcc
 
             labels = wcc(g)
+        prev_labels = state["labels"]
         state["graph"] = g
         state["labels"] = labels.localCheckpoint(eager=True)
+        # free the superseded batch's checkpoint blocks — without this,
+        # cached RDDs grow O(batches) on an unbounded stream (the exact
+        # regression superstep._free_local_checkpoint exists to prevent)
+        from linkgraph.superstep import _free_local_checkpoint
+
+        if prev_was_checkpointed:
+            _free_local_checkpoint(g_prev.vertices)
+            _free_local_checkpoint(g_prev.edges)
+        if prev_labels is not None:
+            _free_local_checkpoint(prev_labels)
 
     q = (
         edge_stream.writeStream.foreachBatch(_one_batch)

@@ -151,3 +151,19 @@ def test_cdlp_csr_matches_join_tier_exact(spark):
         ref = _d(cdlp(g, max_round=rounds))
         fast = _d(cdlp_csr(g, max_round=rounds, num_blocks=4))
         assert ref == fast
+
+
+def test_pagerank_csr_sparse_64bit_vid_space(spark):
+    """The sparse CSR tier accepts non-dense vid spaces. int32 partial-key
+    compaction must key on the vid VALUES, not the vertex count — 64-bit
+    vids through a wrapped int32 key would aggregate under corrupted keys
+    and silently zero out those vertices' in-rank."""
+    base = rmat_edges(100, 350, seed=9)
+    g_small = graph_from_edge_vids(spark, base)
+    shift = 2**32
+    g_big = graph_from_edge_vids(spark, [(s + shift, d + shift) for s, d in base])
+    ref = _d(pagerank_csr(g_small, max_iter=25, tol=None, num_blocks=4))
+    big = _d(pagerank_csr(g_big, max_iter=25, tol=None, num_blocks=4))
+    assert {k + shift for k in ref} == set(big)
+    ks = sorted(ref)
+    assert np.allclose([ref[k] for k in ks], [big[k + shift] for k in ks], atol=1e-12, rtol=0)

@@ -311,3 +311,38 @@ def test_multimodal_plumbing(spark):
 
 def test_multimodal_real_decode_raises(spark):
     math  # silence linters; placeholder for future real-decode gate
+
+
+def test_ivf_refine_iters_actually_refines(spark, embs):
+    """refine_iters>0 must train on a corpus sample, not on the seeds
+    themselves (seeds' nearest centroid is always themselves, making the
+    Lloyd pass a silent no-op). The refined quantizer must differ from the
+    seed quantizer, and the search must stay well-formed."""
+    from linkgraph.pipeline.similarity import (
+        ivf_ann_topk,
+        ivf_centroids_from_ids,
+        ivf_seed_ids,
+    )
+
+    seed = ivf_centroids_from_ids(embs, ivf_seed_ids(8))
+    seed_n = seed / np.linalg.norm(seed, axis=1, keepdims=True)
+
+    q = embs.limit(3).selectExpr("vec_id as query_id", "embedding")
+    out = ivf_ann_topk(embs, q, k=5, n_centroids=8, nprobe=2, refine_iters=3)
+    rows = out.collect()
+    assert len(rows) == 15 and all(r["rank"] <= 5 for r in rows)
+
+    # reproduce the internal refine to assert the quantizer moved
+    t_rows = (
+        embs.select("embedding")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+        .limit(64 * 8)
+        .collect()
+    )
+    import numpy as _np
+
+    from linkgraph.pipeline.similarity import ivf_lloyd_refine
+
+    train = _np.stack([_np.asarray(r[0], dtype=_np.float64) for r in t_rows])
+    refined = ivf_lloyd_refine(train, seed, 3)
+    assert not _np.allclose(refined, seed_n, atol=1e-9), "refine was a no-op"
