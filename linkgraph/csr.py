@@ -789,9 +789,8 @@ def sssp_csr(
 
 # ---------------- CDLP / LPA on the fast tier ----------------
 
-_CDLP_PARTIAL_SCHEMA = pa.schema(
-    [("dst", pa.int64()), ("label", pa.int64()), ("pcnt", pa.int64())]
-)
+def _cdlp_partial_schema(pa_key):
+    return pa.schema([("dst", pa_key), ("label", pa_key), ("pcnt", pa.int64())])
 
 
 def cdlp_csr(
@@ -823,11 +822,24 @@ def cdlp_csr(
     blocks = build_csr_blocks(bidir, p).persist()
     blocks.count()
 
+    # labels are vids, so when the vid VALUES fit int32 the (dst, label)
+    # partial keys both compact — round 1 is the worst round of any
+    # algorithm on this tier (every vertex still owns a distinct label →
+    # ~|E| partial pairs shuffle, zero run-length compression), and this
+    # halves its key bytes. Same value-range (not count) rule as
+    # pagerank_csr's compact_dst.
+    max_vid = graph.vertices.agg(F.max("vid")).first()[0] or 0
+    compact = max_vid < 2**31 - 1
+    np_key = np.int32 if compact else np.int64
+    pa_key = pa.int32() if compact else pa.int64()
+    sql_key = "int" if compact else "long"
+    partial_schema = _cdlp_partial_schema(pa_key)
+
     state0 = graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
         if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
-            return _CDLP_PARTIAL_SCHEMA.empty_table()
+            return partial_schema.empty_table()
         vids = _np_col(state_tbl, "vid", np.int64)
         labels = _np_col(state_tbl, "label", np.int64)
         outs_d, outs_l, outs_c = [], [], []
@@ -850,11 +862,11 @@ def cdlp_csr(
             outs_l.append(l[starts])
             outs_c.append(cnts.astype(np.int64, copy=False))
         if not outs_d:
-            return _CDLP_PARTIAL_SCHEMA.empty_table()
+            return partial_schema.empty_table()
         return pa.table(
             {
-                "dst": pa.array(np.concatenate(outs_d), pa.int64()),
-                "label": pa.array(np.concatenate(outs_l), pa.int64()),
+                "dst": pa.array(np.concatenate(outs_d).astype(np_key, copy=False), pa_key),
+                "label": pa.array(np.concatenate(outs_l).astype(np_key, copy=False), pa_key),
                 "pcnt": pa.array(np.concatenate(outs_c), pa.int64()),
             }
         )
@@ -862,7 +874,7 @@ def cdlp_csr(
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
         partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
-            _partials, schema="dst long, label long, pcnt long"
+            _partials, schema=f"dst {sql_key}, label {sql_key}, pcnt long"
         )
         counts = partials.groupBy("dst", "label").agg(F.sum("pcnt").alias("cnt"))
         best = counts.groupBy("dst").agg(
