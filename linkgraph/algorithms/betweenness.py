@@ -223,7 +223,11 @@ def _weighted_phases(graph, roots, weight, max_depth, endpoints):
             .localCheckpoint(eager=True)
         )
         improved = agg.where(
-            F.col("old").isNull() | (F.col("nd") < F.col("old") - F.lit(_EPS))
+            F.col("old").isNull()
+            | (
+                F.col("nd")
+                < F.col("old") - F.lit(_EPS) * F.greatest(F.lit(1.0), F.abs(F.col("old")))
+            )
         ).select("root", "vid", F.col("nd").alias("dist"))
         if improved.limit(1).count() == 0:
             break
@@ -239,7 +243,13 @@ def _weighted_phases(graph, roots, weight, max_depth, endpoints):
     dag = (
         edges.join(du, "src")
         .join(dv, ["root", "dst"])
-        .where(F.abs(F.col("du") + F.col("w") - F.col("dv")) < F.lit(_EPS))
+        .where(
+            # relative tolerance: with large weights / long paths the
+            # accumulated float error scales with |dv|, so an absolute
+            # epsilon would silently drop (or add) DAG edges
+            F.abs(F.col("du") + F.col("w") - F.col("dv"))
+            < F.lit(_EPS) * F.greatest(F.lit(1.0), F.abs(F.col("dv")))
+        )
         .select("root", "src", "dst")
         .persist()
     )

@@ -190,11 +190,13 @@ def pagerank_csr(
     use_f32 = rank_dtype == "float32"
     np_val = np.float32 if use_f32 else np.float64
     sql_val = "float" if use_f32 else "double"
-    # int32 partial keys need the vid VALUES to fit, not just the count —
-    # this tier accepts non-dense vid spaces (e.g. 64-bit hash vids),
-    # where casting would wrap keys and silently corrupt the aggregation
-    max_vid = graph.vertices.agg(F.max("vid")).first()[0] or 0
-    compact_dst = max_vid < 2**31 - 1
+    # int32 partial keys need the vid VALUE RANGE to fit, not just the count —
+    # this tier accepts arbitrary signed 64-bit vid spaces (e.g. hash vids),
+    # where casting would wrap keys and silently corrupt the aggregation.
+    # Both ends are gated: vids < 0 (possible even when max fits) wrap too.
+    min_vid, max_vid = graph.vertices.agg(F.min("vid"), F.max("vid")).first()
+    min_vid, max_vid = (min_vid or 0), (max_vid or 0)
+    compact_dst = 0 <= min_vid and max_vid < 2**31 - 1
     np_dst = np.int32 if compact_dst else np.int64
     pa_dst = pa.int32() if compact_dst else pa.int64()
     sql_dst = "int" if compact_dst else "long"
@@ -827,9 +829,11 @@ def cdlp_csr(
     # algorithm on this tier (every vertex still owns a distinct label →
     # ~|E| partial pairs shuffle, zero run-length compression), and this
     # halves its key bytes. Same value-range (not count) rule as
-    # pagerank_csr's compact_dst.
-    max_vid = graph.vertices.agg(F.max("vid")).first()[0] or 0
-    compact = max_vid < 2**31 - 1
+    # pagerank_csr's compact_dst — gated on BOTH ends so negative vids
+    # (which would wrap an int32 cast) stay on the int64 path.
+    min_vid, max_vid = graph.vertices.agg(F.min("vid"), F.max("vid")).first()
+    min_vid, max_vid = (min_vid or 0), (max_vid or 0)
+    compact = 0 <= min_vid and max_vid < 2**31 - 1
     np_key = np.int32 if compact else np.int64
     pa_key = pa.int32() if compact else pa.int64()
     sql_key = "int" if compact else "long"
@@ -843,10 +847,12 @@ def cdlp_csr(
         vids = _np_col(state_tbl, "vid", np.int64)
         labels = _np_col(state_tbl, "label", np.int64)
         outs_d, outs_l, outs_c = [], [], []
+        imin = np.iinfo(np.int64).min  # non-vid sentinel: labels are vids and
+        # vids may legitimately be negative, so -1 cannot mark "missing"
         for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
-            src_label = _gather(vids, labels, us, -1)
+            src_label = _gather(vids, labels, us, imin)
             per_edge = np.repeat(src_label, np.diff(indptr))
-            ok = per_edge >= 0  # sources missing from state contribute nothing
+            ok = per_edge != imin  # sources missing from state contribute nothing
             d, l = dst_idx[ok], per_edge[ok]
             if not len(d):
                 continue

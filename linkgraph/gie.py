@@ -648,13 +648,108 @@ class Traversal:
         return self._next(self.df.join(produced, ["oid", "label"], "left_anti"))
 
     # -- iteration -----------------------------------------------------
-    def repeat(self, body, times: int) -> "Traversal":
-        """REPEAT_START/REPEAT with a fixed times() bound — a driver-side
-        loop; each application extends the single Catalyst plan."""
+    def _until_split(self, branch) -> tuple[DataFrame, DataFrame]:
+        """Partition the frontier by an existential sub-traversal: a
+        traverser satisfies ``until`` when the branch yields ≥1 result
+        from its element. Same identity-keyed dedup-then-join shape as
+        not_(): the branch runs once per DISTINCT (oid, label), and the
+        semi/anti joins preserve bag multiplicity."""
+        src = (
+            self.df.select("oid", "label")
+            .dropDuplicates(["oid", "label"])
+            .withColumn("__as___u", F.col("oid"))
+            .withColumn("__as___u_lbl", F.col("label"))
+        )
+        produced = (
+            branch(Traversal(self.pg, src, "v", False))
+            .df.select(
+                F.col("__as___u").alias("oid"), F.col("__as___u_lbl").alias("label")
+            )
+            .dropDuplicates(["oid", "label"])
+        )
+        done = self.df.join(produced, ["oid", "label"], "left_semi")
+        rest = self.df.join(produced, ["oid", "label"], "left_anti")
+        return done, rest
+
+    def repeat(
+        self,
+        body,
+        times: int | None = None,
+        until=None,
+        emit: bool = False,
+        emit_first: bool = False,
+        until_first: bool = False,
+        max_rounds: int = 64,
+    ) -> "Traversal":
+        """REPEAT with until()/emit() modulation (query_flow.proto:87-88;
+        the runtime's LoopOp carries the same until/emit feedback edges).
+
+        - ``times=n``: fixed bound — pure plan composition, no actions
+          (the r1-r3 behavior, unchanged).
+        - ``until=branch``: do-while convergence — after each body
+          application, traversers whose ``branch`` (Traversal →
+          Traversal) yields ≥1 result LEAVE the loop and join the output;
+          the rest iterate. Gremlin's ``repeat(X).until(P)``. Pass
+          ``until_first=True`` for the while-do form
+          (``until(P).repeat(X)`` — the predicate also screens the input
+          frontier before round 1). A driver-side emptiness check per
+          round (one count on the localCheckpointed frontier, the
+          superstep pattern) bounds the loop; ``max_rounds`` guards
+          non-converging traversals with a loud error.
+        - ``emit=True``: every post-body frontier joins the output too
+          (``repeat(X).emit()``); ``emit_first=True`` additionally emits
+          the pre-loop frontier (``emit().repeat(X)``).
+
+        Output order/multiplicity is bag-union of all exits, like the
+        runtime's loop output stream. ``until`` requires a vertex
+        frontier (loop exit identity is keyed on (oid, label))."""
+        if times is None and until is None:
+            raise ValueError("repeat(): need times=n and/or until=branch")
+        if until is not None:
+            self._require_v("repeat(until=...)")
+        outs: list[DataFrame] = []
         t = self
-        for _ in range(times):
+        if emit and emit_first:
+            outs.append(t.df)
+        if until is not None and until_first:
+            done, rest = t._until_split(until)
+            outs.append(done)
+            rest = rest.localCheckpoint(eager=True)
+            t = t._next(rest)
+            if rest.limit(1).count() == 0:
+                return self._next(_union_all(outs))
+        rounds = 0
+        while True:
             t = body(t)
-        return t
+            rounds += 1
+            exhausted = times is not None and rounds >= times
+            if until is not None:
+                # exit check FIRST: a traverser leaving via until is output
+                # exactly once (emit applies only to those that continue)
+                done, rest = t._until_split(until)
+                outs.append(done)
+                rest = rest.localCheckpoint(eager=True)
+                t = t._next(rest)
+                if rest.limit(1).count() == 0:
+                    break
+                if exhausted:
+                    outs.append(t.df)  # loop budget spent: survivors exit
+                    break
+                if rounds >= max_rounds:
+                    raise ValueError(
+                        f"repeat(until=...) did not converge in {max_rounds} rounds"
+                    )
+                if emit:
+                    outs.append(t.df)
+            else:
+                if exhausted:
+                    if not emit:
+                        return t  # plain fixed-times: final frontier IS the output
+                    outs.append(t.df)  # final emission coincides with loop exit
+                    break
+                if emit:
+                    outs.append(t.df)
+        return self._next(_union_all(outs) if outs else t.df.limit(0))
 
     # -- internals -----------------------------------------------------
     def _join_vprop(self, prop: str) -> DataFrame:

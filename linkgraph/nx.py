@@ -408,8 +408,16 @@ def betweenness_centrality(
 ) -> dict:
     """builtin.py:974 (generic variant: endpoints + weight).
 
-    The projected edge table stores the ``weight`` edge attribute in its
-    ``weight`` column, so any non-None ``weight`` selects that column."""
+    The projection bakes only the ``weight`` edge attribute into the
+    engine graph, so only ``weight='weight'`` (use it) and ``weight=None``
+    (hop counts) are supported — same guard as
+    single_source_dijkstra_path_length, instead of silently substituting
+    the ``weight`` column for an arbitrary attribute name."""
+    if weight not in ("weight", None):
+        raise ValueError(
+            f"betweenness_centrality: only the 'weight' edge attribute "
+            f"(or None for unweighted) is projected; got {weight!r}"
+        )
     return G._to_dict(
         A.betweenness_centrality(
             G._project(),

@@ -250,18 +250,11 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     """
     from linkgraph.algorithms import wcc
     from linkgraph.graph import build_graph
-    from linkgraph.pipeline import dedup as _dedup
 
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src_oid"), F.col(id_b).cast("long").alias("dst_oid")
     )
     g = build_graph(edges)
-    # build_graph pins its input + vertex map for the returned lazy plan;
-    # adopt dedup.py's one-run cache ownership so repeated invocations
-    # (each deduplicate() / bench run) don't strand blocks for the session
-    _dedup.release_cached()
-    _dedup._CACHED.extend(g._cached)
-    g._cached = []
     comp = wcc(g)  # (vid, value=min vid in component)
     # the vertex map keeps oids as strings, where lexicographic min is
     # NOT numeric min ("10" < "9") — take the numeric min per component
@@ -270,7 +263,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
         F.col("oid").cast("long").alias("doc_id"), F.col("value").alias("comp")
     )
     rep = labeled.groupBy("comp").agg(F.min("doc_id").alias("canonical"))
-    return labeled.join(rep, "comp").select("doc_id", "canonical")
+    # Cache ownership stays LOCAL to this graph (r3 reached into dedup's
+    # private _CACHED, freeing caches a concurrent near-dup pipeline still
+    # owned). The output is pair-graph sized, so materialize it eagerly
+    # (cuts lineage back to the caches), then free this graph's blocks.
+    out = labeled.join(rep, "comp").select("doc_id", "canonical").localCheckpoint(eager=True)
+    for df in g._cached:
+        df.unpersist()
+    g._cached = []
+    return out
 
 
 def deduplicate(

@@ -16,6 +16,10 @@ TABLES = (
 ).split()
 
 PAIRS = [
+    "g_sssp_csr",
+    "g_cdlp_csr",
+    "doc_repetition",
+    "doc_split_counts",
     "g_kcore_20",
     "g_kcore_55",
     "g_kshell_10",
