@@ -25,7 +25,7 @@ from linkgraph.algorithms.assortativity import (
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.betweenness import betweenness_centrality
-from linkgraph.algorithms.louvain import louvain
+from linkgraph.algorithms.louvain import louvain, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
 from linkgraph.algorithms.paths import (
     bfs_parents,
@@ -85,4 +85,5 @@ __all__ = [
     "lpa_u2i_vector",
     "sampling_path",
     "louvain",
+    "louvain_phase1",
 ]

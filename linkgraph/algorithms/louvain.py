@@ -59,6 +59,113 @@ def _modularity(edges_w: DataFrame, assign: DataFrame, m2: float) -> float:
     return internal / m2 - tot / (m2 * m2)
 
 
+def _round_moves(
+    edges_w: DataFrame, deg: DataFrame, assign: DataFrame, m: float, parity: int
+) -> DataFrame:
+    """One synchronous local-move round → (vid, new_comm) moves.
+
+    Deterministic: best community by max ΔQ with ties to the smallest
+    community id; only parity-matching vids may move (the oscillation
+    damper); a move needs ΔQ strictly above the stay-put ΔQ (+1e-12).
+    All inputs are integer-valued doubles (w=1 sums), so ΔQ is
+    bit-reproducible across engines — the property the SQL oracle of
+    ``louvain_phase1`` relies on."""
+    tot = deg.join(assign, "vid").groupBy("comm").agg(F.sum("k").alias("tot"))
+    nbr_comm = (
+        edges_w.where(F.col("src") != F.col("dst"))
+        .join(
+            assign.select(F.col("vid").alias("dst"), F.col("comm").alias("c_nbr")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"), "c_nbr")
+        .agg(F.sum("w").alias("k_in"))
+    )
+    cand = (
+        nbr_comm.join(deg, "vid")
+        .join(assign, "vid")
+        .join(tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
+        .select(
+            "vid",
+            "comm",
+            "c_nbr",
+            (
+                F.col("k_in") / F.lit(m)
+                - F.col("k")
+                * (
+                    F.col("tot")
+                    - F.when(F.col("c_nbr") == F.col("comm"), F.col("k")).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.lit(2.0 * m * m)
+            ).alias("gain"),
+        )
+    )
+    best = (
+        cand.groupBy("vid", "comm")
+        .agg(F.max(F.struct(F.col("gain"), (-F.col("c_nbr")).alias("neg"))).alias("top"))
+        .select(
+            "vid",
+            "comm",
+            F.col("top.gain").alias("gain"),
+            (-F.col("top.neg")).alias("best_c"),
+        )
+    )
+    stay = cand.where(F.col("c_nbr") == F.col("comm")).select(
+        "vid", F.col("gain").alias("stay_gain")
+    )
+    return (
+        best.join(stay, "vid", "left")
+        .where(
+            (F.pmod(F.col("vid"), F.lit(2)) == parity)
+            & (F.col("best_c") != F.col("comm"))
+            & (F.col("gain") > F.coalesce(F.col("stay_gain"), F.lit(0.0)) + 1e-12)
+        )
+        .select("vid", F.col("best_c").alias("new_comm"))
+    )
+
+
+def louvain_phase1(graph: LinkGraph, rounds: int = 4) -> DataFrame:
+    """Deterministic fixed-round phase-1 local moving, canonicalized.
+
+    Runs exactly ``rounds`` synchronous local-move rounds (parity 0, 1,
+    0, 1, …) on the simple undirected closure — no convergence check, no
+    contraction — then relabels each community to its **min member vid**.
+    Every step is a join/group-by over exact integer-valued doubles, so
+    an unrolled SQL twin reproduces it bit-for-bit: this is the
+    hash-oracled face of ``louvain`` (whose multi-phase contraction is
+    order-dependent and stays rows-only). Returns (vid, value) for every
+    graph vertex; isolated vertices keep their own vid."""
+    und = graph.simple_undirected_edges()
+    edges_w = (
+        und.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), F.lit(1.0).alias("w"))
+        .union(und.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), F.lit(1.0).alias("w")))
+    ).localCheckpoint(eager=True)
+    m2 = edges_w.agg(F.sum("w")).first()[0] or 0.0
+    if m2 == 0:
+        return graph.vertices.select("vid", F.col("vid").alias("value"))
+    m = m2 / 2.0
+    deg = edges_w.groupBy("src").agg(F.sum("w").alias("k")).select(
+        F.col("src").alias("vid"), "k"
+    )
+    verts = edges_w.select(F.col("src").alias("vid")).distinct()
+    assign = verts.select("vid", F.col("vid").alias("comm")).localCheckpoint(eager=True)
+    for rnd in range(rounds):
+        moves = _round_moves(edges_w, deg, assign, m, rnd % 2)
+        assign = (
+            assign.join(moves, "vid", "left")
+            .select("vid", F.coalesce("new_comm", F.col("comm")).alias("comm"))
+            .localCheckpoint(eager=True)
+        )
+    canon = assign.groupBy("comm").agg(F.min("vid").alias("canon"))
+    labeled = assign.join(canon, "comm").select("vid", F.col("canon").alias("value"))
+    return (
+        graph.vertices.select("vid")
+        .join(labeled, "vid", "left")
+        .select("vid", F.coalesce("value", F.col("vid")).alias("value"))
+    )
+
+
 def louvain(
     graph: LinkGraph,
     max_phases: int = 5,
@@ -96,62 +203,7 @@ def louvain(
 
         stable_pair = 0
         for rnd in range(max_rounds_per_phase):
-            parity = rnd % 2
-            # community totals Σ_tot(C)
-            tot = (
-                deg.join(assign, "vid")
-                .groupBy("comm")
-                .agg(F.sum("k").alias("tot"))
-            )
-            # k_{v,C}: weight from v to each neighboring community —
-            # self-loops excluded (they stay with v whatever it joins)
-            nbr_comm = (
-                edges_w.where(F.col("src") != F.col("dst")).join(
-                    assign.select(F.col("vid").alias("dst"), F.col("comm").alias("c_nbr")),
-                    "dst",
-                )
-                .groupBy(F.col("src").alias("vid"), "c_nbr")
-                .agg(F.sum("w").alias("k_in"))
-            )
-            cand = (
-                nbr_comm.join(deg, "vid")
-                .join(assign, "vid")
-                .join(tot.withColumnRenamed("comm", "c_nbr"), "c_nbr")
-                .select(
-                    "vid",
-                    "comm",
-                    "c_nbr",
-                    (
-                        F.col("k_in") / F.lit(m)
-                        - F.col("k") * (F.col("tot") - F.when(F.col("c_nbr") == F.col("comm"), F.col("k")).otherwise(F.lit(0.0)))
-                        / F.lit(2.0 * m * m)
-                    ).alias("gain"),
-                )
-            )
-            best = (
-                cand.groupBy("vid", "comm")
-                .agg(F.max(F.struct(F.col("gain"), (-F.col("c_nbr")).alias("neg"))).alias("top"))
-                .select(
-                    "vid",
-                    "comm",
-                    F.col("top.gain").alias("gain"),
-                    (-F.col("top.neg")).alias("best_c"),
-                )
-            )
-            # current-community baseline gain (staying put), same formula
-            stay = (
-                cand.where(F.col("c_nbr") == F.col("comm"))
-                .select("vid", F.col("gain").alias("stay_gain"))
-            )
-            moves = (
-                best.join(stay, "vid", "left")
-                .where(
-                    (F.pmod(F.col("vid"), F.lit(2)) == parity)
-                    & (F.col("best_c") != F.col("comm"))
-                    & (F.col("gain") > F.coalesce(F.col("stay_gain"), F.lit(0.0)) + 1e-12)
-                )
-                .select("vid", F.col("best_c").alias("new_comm"))
-            )
+            moves = _round_moves(edges_w, deg, assign, m, rnd % 2)
             new_assign = (
                 assign.join(moves, "vid", "left")
                 .select("vid", F.coalesce("new_comm", F.col("comm")).alias("comm"))

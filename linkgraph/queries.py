@@ -427,6 +427,18 @@ def q_lpa_u2i_vector_r2(spark, sf_dir):
     )
 
 
+def q_louvain_p1(spark, sf_dir):
+    """Deterministic fixed-round Louvain phase-1 (louvain.py phase
+    kernel, canonical community = min member vid) — hash-oracled by an
+    unrolled SQL twin of the same 4 local-move rounds; the multi-phase
+    contraction variant stays rows-only (g_louvain)."""
+    from linkgraph.algorithms import louvain_phase1
+
+    return louvain_phase1(_oracle_graph(spark, sf_dir), rounds=4).select(
+        "vid", F.col("value").cast("long").alias("comm")
+    )
+
+
 def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     from linkgraph.algorithms import louvain
 
@@ -1475,6 +1487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_repeat_until": q_gie_repeat_until,
     "gie_text_until": q_gie_text_until,
     "gie_text_twohop": q_gie_text_twohop,
+    "g_louvain_p1": q_louvain_p1,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -1584,6 +1597,68 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _louvain_p1_sql(rounds: int = 4) -> str:
+    """Unrolled SQL twin of louvain_phase1: ``rounds`` synchronous
+    local-move rounds (parity-damped, ties → smallest community id),
+    then canonical community = min member vid. Every quantity is an
+    integer-valued double (w = 1 sums), so ΔQ is bit-identical between
+    DuckDB and Spark — the multiplication/division association order in
+    the gain expression deliberately mirrors louvain._round_moves."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SQL})",
+        "su AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi"
+        " FROM e WHERE src <> dst)",
+        "ew AS MATERIALIZED (SELECT lo AS src, hi AS dst, 1.0 AS w FROM su"
+        " UNION ALL SELECT hi AS src, lo AS dst, 1.0 AS w FROM su)",
+        "deg AS MATERIALIZED (SELECT src AS vid, sum(w) AS k FROM ew GROUP BY src)",
+        "mm AS MATERIALIZED (SELECT sum(w) / 2 AS m FROM ew)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS comm FROM ew)",
+    ]
+    for r in range(rounds):
+        parity = r % 2
+        ctes += [
+            f"""tot{r} AS MATERIALIZED (
+    SELECT a.comm, sum(d.k) AS tot FROM a{r} a JOIN deg d ON d.vid = a.vid
+    GROUP BY a.comm)""",
+            f"""nbr{r} AS MATERIALIZED (
+    SELECT e.src AS vid, a.comm AS c_nbr, sum(e.w) AS k_in
+    FROM ew e JOIN a{r} a ON a.vid = e.dst GROUP BY e.src, a.comm)""",
+            f"""cand{r} AS MATERIALIZED (
+    SELECT n.vid, a.comm, n.c_nbr,
+           n.k_in / mm.m
+             - d.k * (t.tot - CASE WHEN n.c_nbr = a.comm THEN d.k ELSE 0.0 END)
+               / (2.0 * mm.m * mm.m) AS gain
+    FROM nbr{r} n
+    JOIN deg d ON d.vid = n.vid
+    JOIN a{r} a ON a.vid = n.vid
+    JOIN tot{r} t ON t.comm = n.c_nbr
+    CROSS JOIN mm)""",
+            f"""best{r} AS MATERIALIZED (
+    SELECT vid, comm, gain, c_nbr AS best_c FROM (
+      SELECT *, row_number() OVER (PARTITION BY vid ORDER BY gain DESC, c_nbr ASC) AS rn
+      FROM cand{r}) WHERE rn = 1)""",
+            f"""stay{r} AS MATERIALIZED (
+    SELECT vid, gain AS stay_gain FROM cand{r} WHERE c_nbr = comm)""",
+            f"""mv{r} AS MATERIALIZED (
+    SELECT b.vid, b.best_c AS new_comm
+    FROM best{r} b LEFT JOIN stay{r} s ON s.vid = b.vid
+    WHERE b.vid % 2 = {parity} AND b.best_c <> b.comm
+      AND b.gain > coalesce(s.stay_gain, 0.0) + 1e-12)""",
+            f"""a{r + 1} AS MATERIALIZED (
+    SELECT a.vid, coalesce(mv.new_comm, a.comm) AS comm
+    FROM a{r} a LEFT JOIN mv{r} mv ON mv.vid = a.vid)""",
+        ]
+    last = f"a{rounds}"
+    return f"""
+  WITH {', '.join(ctes)},
+  canon AS (SELECT comm, min(vid) AS canon FROM {last} GROUP BY comm),
+  verts AS ({_VERTS_SQL})
+  SELECT v.vid, coalesce(c.canon, v.vid)::BIGINT AS comm
+  FROM verts v
+  LEFT JOIN {last} a ON a.vid = v.vid
+  LEFT JOIN canon c ON c.comm = a.comm"""
 
 
 def _pagerank_body(rounds: int, out_col: str = "vid") -> str:
@@ -2821,6 +2896,7 @@ ORACLE_SQL["stream_event_counts"] = """
   FROM events GROUP BY 1, 2"""
 
 ORACLE_SQL["g_ppr_r3"] = _ppr_sql(PR_ROUNDS)
+ORACLE_SQL["g_louvain_p1"] = _louvain_p1_sql(4)
 ORACLE_SQL["g_betweenness_ep"] = _betweenness_sql(10, endpoints=True)
 ORACLE_SQL["g_betweenness_w"] = _betweenness_w_sql()
 

@@ -16,6 +16,10 @@ TABLES = (
 ).split()
 
 PAIRS = [
+    "g_louvain_p1",
+    "gie_repeat_until",
+    "gie_text_until",
+    "gie_text_twohop",
     "g_sssp_csr",
     "g_cdlp_csr",
     "doc_repetition",
