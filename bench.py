@@ -209,6 +209,24 @@ def run_default() -> dict:
     deduplicate(docs, pairs).count()
     queries["doc_dedup_end2end"] = round(time.time() - t, 3)
 
+    # IVF assignment cost vs quantizer size (VERDICT r3 #7): the 8-list
+    # quantizer runs as Catalyst plan literals, the 4096-list one through
+    # the executor-broadcast Arrow matmul — flat cost per corpus row is
+    # the claim, so both rows land in BENCH for comparison.
+    import numpy as np
+
+    from linkgraph.pipeline import similarity as _sim
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rng = np.random.RandomState(7)
+    for n_c, tag_name in ((8, "emb_ivf_assign_8"), (4096, "emb_ivf_assign_4k")):
+        cents = rng.randn(n_c, 64)
+        t = time.time()
+        _sim.ivf_assign(embs, cents).count()
+        queries[tag_name] = round(time.time() - t, 3)
+
     total = time.time() - t0
     out = {
         "metric": "pagerank_time_to_convergence_1e-6_on_corpus_dependency_graph",

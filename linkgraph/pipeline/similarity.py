@@ -15,6 +15,7 @@ is the correctness baseline and the oracle for recall tests.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -206,6 +207,35 @@ def _centroid_scores(vec_col: Column, centroids: np.ndarray) -> list[Column]:
     return out
 
 
+# Above this many lists the centroid matrix stops being a plan literal:
+# 256 lists × 64 dims ≈ 16k literal doubles is near the practical ceiling
+# for plan size/compile time; a 4k-list quantizer would be ~256k literals.
+MAX_PLAN_CENTROIDS = 256
+
+
+def _ivf_assign_arrow(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, out: str
+) -> DataFrame:
+    """Large-quantizer assignment: ship the (normalized) centroid matrix
+    once per executor via a Spark broadcast and compute argmax-cosine as
+    ONE numpy matmul per Arrow batch — still a shuffle-free projection,
+    independent of n_centroids in plan size. Tie-break matches the
+    literal path: np.argmax takes the first (lowest-j) maximum, and
+    row-norm division is skipped because it cannot change the argmax."""
+    import pandas as pd
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+
+    @F.pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        scores = m.astype(np.float64) @ bc.value.T
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    return df.withColumn(out, _assign(F.col(vec_col)))
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -214,9 +244,15 @@ def ivf_assign(
 ) -> DataFrame:
     """Append the IVF list id = argmax_j cosine(vec, centroid_j).
 
-    Pure projection (array-struct max, no shuffle): ties break to the
-    lowest centroid id deterministically via the (score, -j) struct order.
+    Up to MAX_PLAN_CENTROIDS lists this is a pure Catalyst projection
+    (array-struct max, centroid matrix as plan literals; ties break to
+    the lowest centroid id via the (score, -j) struct order). Beyond
+    that, the quantizer moves from plan literals to an executor
+    broadcast with an Arrow-batched matmul (same assignment, same
+    tie-break) so plan size stays flat as n_centroids grows.
     """
+    if centroids.shape[0] > MAX_PLAN_CENTROIDS:
+        return _ivf_assign_arrow(df, centroids, vec_col, out)
     scores = _centroid_scores(F.col(vec_col), centroids)
     packed = F.array(
         *[F.struct(s.alias("s"), F.lit(-j).alias("negj")) for j, s in enumerate(scores)]
@@ -267,14 +303,30 @@ def ivf_ann_topk(
     emb_a = ivf_assign(embeddings.select(id_col, vec_col), centroids, vec_col)
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    qscores = _centroid_scores(F.col("_qvec"), centroids)
-    packed = F.array(
-        *[F.struct(s.alias("s"), F.lit(-j).alias("negj")) for j, s in enumerate(qscores)]
-    )
-    probes = F.slice(F.sort_array(packed, asc=False), 1, nprobe)
-    q_p = q.withColumn(
-        "list_id", F.explode(F.transform(probes, lambda st: (-st["negj"]).cast("int")))
-    )
+    if n_centroids > MAX_PLAN_CENTROIDS:
+        # large quantizer: probe selection via the same executor-broadcast
+        # matmul as assignment (top-nprobe by score, ties → lower j —
+        # argsort(-scores, stable) reproduces the struct sort order)
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        bc = q.sparkSession.sparkContext.broadcast(cn)
+
+        @F.pandas_udf("array<int>")
+        def _probe(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy()).astype(np.float64)
+            scores = m @ bc.value.T
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(order.astype(np.int32)))
+
+        q_p = q.withColumn("list_id", F.explode(_probe(F.col("_qvec"))))
+    else:
+        qscores = _centroid_scores(F.col("_qvec"), centroids)
+        packed = F.array(
+            *[F.struct(s.alias("s"), F.lit(-j).alias("negj")) for j, s in enumerate(qscores)]
+        )
+        probes = F.slice(F.sort_array(packed, asc=False), 1, nprobe)
+        q_p = q.withColumn(
+            "list_id", F.explode(F.transform(probes, lambda st: (-st["negj"]).cast("int")))
+        )
 
     joined = emb_a.join(F.broadcast(q_p), "list_id").where(
         F.col(id_col) != F.col(query_id_col)
