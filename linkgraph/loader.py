@@ -22,15 +22,43 @@ from pyspark.sql import functions as F
 from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph
 
 
+def normalize_uri(path: str) -> str:
+    """Remote-protocol pass-through (reference Loader locations,
+    python/graphscope/framework/loader.py:92-132: file/oss/hdfs/s3).
+
+    Spark reads any Hadoop-registered filesystem scheme directly, so URIs
+    go to ``spark.read`` unchanged except ``s3://`` → ``s3a://`` (the
+    hadoop-aws connector's scheme). ``oss://`` needs hadoop-aliyun on the
+    cluster classpath; ``hdfs://`` / ``file://`` are built in. This
+    sandbox has no object store or HDFS to exercise remote schemes —
+    unit tests drive the same code path with ``file://`` URIs."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
+
+
 def _read_csv(
-    spark: SparkSession, path: str, delimiter: str, header_row: bool
+    spark: SparkSession,
+    path: str,
+    delimiter: str,
+    header_row: bool,
+    storage_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    return (
+    """``storage_options``: ``fs.*`` keys (credentials/endpoints, e.g.
+    ``fs.s3a.access.key``) land in the Hadoop configuration — Spark
+    resolves filesystems there, not from reader options; anything else
+    is passed to the CSV reader unchanged (``comment``, ``quote``, …)."""
+    reader = (
         spark.read.option("sep", delimiter)
         .option("header", str(bool(header_row)).lower())
         .option("inferSchema", "false")  # oids stay strings; no sampling pass
-        .csv(path)
     )
+    for k, v in (storage_options or {}).items():
+        if k.startswith("fs."):
+            spark.sparkContext._jsc.hadoopConfiguration().set(k, str(v))
+        else:
+            reader = reader.option(k, v)
+    return reader.csv(normalize_uri(path))
 
 
 def _pick(df: DataFrame, field: str | int) -> str:
@@ -49,9 +77,10 @@ def load_edges_csv(
     src_field: str | int = 0,
     dst_field: str | int = 1,
     weight_field: str | int | None = None,
+    storage_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV e-file → ``(src_oid, dst_oid[, weight])`` DataFrame."""
-    df = _read_csv(spark, path, delimiter, header_row)
+    df = _read_csv(spark, path, delimiter, header_row, storage_options)
     sc, dc = _pick(df, src_field), _pick(df, dst_field)
     cols = [
         F.col(sc).cast("string").alias("src_oid"),
@@ -68,9 +97,10 @@ def load_vertices_csv(
     delimiter: str = ",",
     header_row: bool = True,
     vid_field: str | int = 0,
+    storage_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV v-file → ``(oid, <props...>)`` DataFrame."""
-    df = _read_csv(spark, path, delimiter, header_row)
+    df = _read_csv(spark, path, delimiter, header_row, storage_options)
     vc = _pick(df, vid_field)
     props = [c for c in df.columns if c != vc]
     return df.select(F.col(vc).cast("string").alias("oid"), *[F.col(p) for p in props])
@@ -87,6 +117,7 @@ def load_graph_csv(
     weight_field: str | int | None = None,
     vid_field: str | int = 0,
     partitions: int | None = None,
+    storage_options: dict[str, str] | None = None,
 ) -> LinkGraph:
     """CSV e-file (+ optional v-file) → :class:`LinkGraph`.
 
@@ -97,14 +128,17 @@ def load_graph_csv(
     invalid-vertex filtering on load).
     """
     e = load_edges_csv(
-        spark, efile, delimiter, header_row, src_field, dst_field, weight_field
+        spark, efile, delimiter, header_row, src_field, dst_field, weight_field,
+        storage_options,
     )
     if vfile is None:
         return build_graph(
             e, weight_col="weight" if weight_field is not None else None,
             partitions=partitions,
         )
-    v = load_vertices_csv(spark, vfile, delimiter, header_row, vid_field)
+    v = load_vertices_csv(
+        spark, vfile, delimiter, header_row, vid_field, storage_options
+    )
     vmap = assign_dense_ids(v.select("oid"), partitions=partitions)
     cols = ["src", "dst"] + (["weight"] if weight_field is not None else [])
     edges = (

@@ -123,3 +123,25 @@ def test_csv_loader_roundtrip(spark, tmp_path):
     ef2.write_text("a,b\nb,c\n")
     g2 = load_graph_csv(spark, str(ef2), header_row=False)
     assert g2.vertices.count() == 3 and g2.edges.count() == 2
+
+
+def test_loader_uri_passthrough(spark, tmp_path):
+    """Remote-protocol pass-through (reference Loader locations): an
+    explicit file:// URI runs through the same generic path a remote
+    scheme would; s3:// normalizes to the hadoop-aws s3a:// scheme;
+    non-fs storage_options reach the CSV reader."""
+    from linkgraph.loader import load_graph_csv, normalize_uri
+
+    assert normalize_uri("s3://bucket/k/e.csv") == "s3a://bucket/k/e.csv"
+    assert normalize_uri("oss://b/e.csv") == "oss://b/e.csv"
+    assert normalize_uri("hdfs://nn:9000/e.csv") == "hdfs://nn:9000/e.csv"
+
+    ef = tmp_path / "e.csv"
+    ef.write_text("# a comment line\na,b\nb,c\n")
+    g = load_graph_csv(
+        spark,
+        f"file://{ef}",
+        header_row=False,
+        storage_options={"comment": "#"},
+    )
+    assert g.vertices.count() == 3 and g.edges.count() == 2
