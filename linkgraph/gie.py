@@ -25,9 +25,20 @@ module implements that mapping as a fluent traversal over
 - choose(P, t, f)            → predicate-routed branches    (:82,:143)
 - withSack/sackBy/sack       → per-traverser scratch column (:106)
 - dedup/order/limit          → dropDuplicates/orderBy/limit (:84,:80,:81)
-- repeat(...).times(n)       → driver-side loop             (:87-88)
+- repeat(...).times(n)/until(...)/emit() → driver-side loop (:87-88)
 - withPath/path/simplePath   → array column + guards        (:95,:98)
 - subgraph()                 → LinkGraph sink (GIE→GAE pipeline, :146-147)
+- cache()                    → persist() hint               (:149)
+- math_(expr, by)            → Catalyst arithmetic expr     (:150)
+- unfold/order_local/range_local → explode/sort_array/slice (:94,:105,:104)
+- binary JOIN family (:79,:97,:112,:136,:151,:153) — the runtime's
+  internal join ops; here every cross-branch construct (match, union,
+  choose, not_, where-on-tags) already lowers to Catalyst equi/anti
+  joins, so no separate surface exists to expose.
+- DFS_SOURCE/DFS_REPEAT/DFS_FINISH (:138-140) — the runtime's internal
+  DFS pattern scheduler; depth-first *semantics* are covered by
+  linkgraph.algorithms.dfs, and Catalyst schedules pattern joins itself.
+- WRITE_ODPS (:127) — proprietary sink, intentionally not implemented.
 
 Traversals carry **bag semantics** (duplicates preserved, as Gremlin
 does) until an explicit ``dedup()``; joins preserve multiplicity, so no
@@ -751,6 +762,46 @@ class Traversal:
                     outs.append(t.df)
         return self._next(_union_all(outs) if outs else t.df.limit(0))
 
+    # -- physical-op tail (proto :104-105, :149-150, :95/:103 locals) --
+    def cache(self) -> "Traversal":
+        """CACHE (query_flow.proto:149): materialization hint — persist
+        the frontier so branches fanning out from this point (union /
+        match / repeat bodies over the same prefix) reuse one computed
+        result instead of re-running the prefix per branch. The Spark
+        analog is exactly ``persist()`` on the frontier DataFrame."""
+        return self._next(self.df.persist())
+
+    def math_(self, expr: str, by: dict[str, str]) -> DataFrame:
+        """MATH (query_flow.proto:150) — Gremlin's ``math()`` step:
+        evaluate an arithmetic expression over numeric properties of
+        tagged elements. Variables name ``as_()`` tags (``_`` = the
+        current element); ``by`` maps each variable to the vertex
+        property supplying its number (the by() modulator). Lowers to a
+        single Catalyst arithmetic expression after one property-lookup
+        join per variable — grammar: ``+ - * /``, parentheses, numeric
+        literals, and unary functions sqrt/abs/exp/log/ceil/floor.
+        Returns a one-column ``value`` DataFrame (Gremlin's double
+        stream)."""
+        self._require_v("math_")
+        df = self.df
+        cols: dict[str, Column] = {}
+        for var, prop in by.items():
+            lookup_parts = [
+                t.select("oid", F.col(prop).cast("double").alias(f"__math_{var}"))
+                for lbl, t in self.pg.v_tables.items()
+                if prop in t.columns
+            ]
+            if not lookup_parts:
+                raise ValueError(f"math_: no vertex label has property {prop!r}")
+            lk = _union_all(lookup_parts)
+            key = F.col("oid") if var == "_" else tag(var)
+            df = df.join(
+                lk.withColumnRenamed("oid", f"__math_oid_{var}"),
+                key == F.col(f"__math_oid_{var}"),
+            )
+            cols[var] = F.col(f"__math_{var}")
+        return df.select(_parse_math(expr, cols).alias("value"))
+
     # -- internals -----------------------------------------------------
     def _join_vprop(self, prop: str) -> DataFrame:
         lookup_parts = [
@@ -769,6 +820,96 @@ class Traversal:
     def _require_e(self, step: str) -> None:
         if self.kind != "e":
             raise ValueError(f"{step}() requires an edge frontier")
+
+
+def _parse_math(expr: str, variables: dict[str, Column]) -> Column:
+    """Tiny arithmetic parser for math_(): + - * / parens, numeric
+    literals, variables, unary fns. Recursive descent, lowers straight
+    to Catalyst Column arithmetic — no eval, no Python at runtime."""
+    import re as _re
+
+    toks = _re.findall(r"\d+\.\d+|\d+|[A-Za-z_][A-Za-z0-9_]*|[()+\-*/]", expr)
+    if "".join(toks).replace(" ", "") != expr.replace(" ", ""):
+        raise ValueError(f"math_: cannot tokenize {expr!r}")
+    fns = {
+        "sqrt": F.sqrt, "abs": F.abs, "exp": F.exp, "log": F.log,
+        "ceil": F.ceil, "floor": F.floor,
+    }
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def eat():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def atom() -> Column:
+        t = eat()
+        if t is None:
+            raise ValueError(f"math_: unexpected end of {expr!r}")
+        if t == "(":
+            c = add_sub()
+            if eat() != ")":
+                raise ValueError(f"math_: missing ')' in {expr!r}")
+            return c
+        if t == "-":
+            return -atom()
+        if _re.fullmatch(r"\d+\.\d+|\d+", t):
+            return F.lit(float(t))
+        if t in fns:
+            if eat() != "(":
+                raise ValueError(f"math_: {t} needs '(' in {expr!r}")
+            c = add_sub()
+            if eat() != ")":
+                raise ValueError(f"math_: missing ')' in {expr!r}")
+            return fns[t](c)
+        if t in variables:
+            return variables[t]
+        raise ValueError(f"math_: unknown variable {t!r} (no by() mapping)")
+
+    def mul_div() -> Column:
+        c = atom()
+        while peek() in ("*", "/"):
+            if eat() == "*":
+                c = c * atom()
+            else:
+                c = c / atom()
+        return c
+
+    def add_sub() -> Column:
+        c = mul_div()
+        while peek() in ("+", "-"):
+            if eat() == "+":
+                c = c + mul_div()
+            else:
+                c = c - mul_div()
+        return c
+
+    out = add_sub()
+    if peek() is not None:
+        raise ValueError(f"math_: trailing tokens in {expr!r}")
+    return out
+
+
+def unfold(df: DataFrame, col: str = "value") -> DataFrame:
+    """UNFOLD (query_flow.proto:94): explode a collection column (a
+    fold()/path() output) back into one row per element."""
+    return df.select(F.explode(F.col(col)).alias(col))
+
+
+def order_local(df: DataFrame, col: str = "value", ascending: bool = True) -> DataFrame:
+    """ORDER_LOCAL (query_flow.proto:105): sort WITHIN each traverser's
+    collection (Gremlin Scope.local) — one ``sort_array`` per row, no
+    shuffle, unlike the global ORDER."""
+    return df.withColumn(col, F.sort_array(F.col(col), asc=ascending))
+
+
+def range_local(df: DataFrame, low: int, high: int, col: str = "value") -> DataFrame:
+    """RANGE_LOCAL (query_flow.proto:104): keep elements [low, high) of
+    each traverser's collection — per-row ``slice``, no shuffle."""
+    return df.withColumn(col, F.slice(F.col(col), low + 1, high - low))
 
 
 def traversal(pg: PropertyGraph) -> "GraphTraversalSource":

@@ -1084,6 +1084,20 @@ def q_gie_text_twohop(spark, sf_dir):
     )
 
 
+def q_gie_math(spark, sf_dir):
+    """math() step (MATH, query_flow.proto:150): per-traverser arithmetic
+    over tagged-element properties, lowered to one Catalyst expression —
+    customer balance + order price along each 'placed' edge."""
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_graph(spark, sf_dir))
+    vals = (
+        g.V("customer").as_("c").out("placed")
+        .math_("(c + _) / 2", by={"c": "c_acctbal", "_": "o_totalprice"})
+    )
+    return vals.select(F.round("value", 4).alias("value"))
+
+
 def q_corpus_edges(spark, sf_dir):
     """End-to-end corpus derivation: synth (repo,path,commit,lang,content)
     table → regex import extraction → resolved (src_oid, dst_oid) edges.
@@ -1488,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_text_until": q_gie_text_until,
     "gie_text_twohop": q_gie_text_twohop,
     "g_louvain_p1": q_louvain_p1,
+    "gie_math": q_gie_math,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -2724,6 +2739,9 @@ ORACLE_SQL: dict[str, str] = {
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'""",
+    "gie_math": """
+  SELECT round((c.c_acctbal + o.o_totalprice) / 2, 4) AS value
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey""",
     "gie_repeat_until": """
   SELECT p.p_brand AS key, count(*)::BIGINT AS n
   FROM lineitem l

@@ -386,3 +386,45 @@ def test_match_unbound_start_raises(g):
             ("a", lambda t: t.out("knows"), "b"),
             ("z", lambda t: t.out("created"), "w"),
         )
+
+
+def test_math_step(g):
+    from linkgraph.gie import traversal  # noqa: F401
+
+    # sum of ages along a knows edge: a.age + _.age
+    t = g.V("person").has("age", 35).as_("a").out("knows")
+    vals = sorted(
+        r["value"] for r in t.math_("a + _", by={"a": "age", "_": "age"}).collect()
+    )
+    assert vals == [64.0]  # 35 + 29
+    # expression grammar: literals, parens, functions
+    v2 = (
+        g.V("person").has("age", 29).as_("x").out("knows")
+        .math_("(x - _) / 2 + sqrt(4)", by={"x": "age", "_": "age"})
+        .collect()
+    )
+    assert sorted(r["value"] for r in v2) == [0.5, 3.0]  # (29-32)/2+2, (29-27)/2+2
+
+
+def test_math_parse_errors(g):
+    with pytest.raises(ValueError, match="unknown variable"):
+        g.V("person").as_("a").math_("a + b", by={"a": "age"}).collect()
+    with pytest.raises(ValueError, match="no vertex label has property"):
+        g.V("person").as_("a").math_("a", by={"a": "nope"}).collect()
+
+
+def test_cache_returns_same_rows(g):
+    t = g.V("person").out("created").cache()
+    assert sorted(r["oid"] for r in t.df.collect()) == ["s1", "s1", "s2", "s2"]
+    t.df.unpersist()
+
+
+def test_local_collection_ops(g):
+    from linkgraph.gie import order_local, range_local, unfold
+
+    folded = g.V("person").fold("age")  # one row, sorted array
+    desc = order_local(folded, ascending=False).first()["value"]
+    assert desc == [35, 32, 29, 27]
+    mid = range_local(order_local(folded), 1, 3).first()["value"]
+    assert mid == [29, 32]
+    assert sorted(r["value"] for r in unfold(folded).collect()) == [27, 29, 32, 35]
