@@ -24,7 +24,7 @@ Supported grammar (the gie.py step vocabulary)::
 Steps: V E hasLabel has out in both outE inE bothE inV outV bothV otherV
 values valueMap properties count sum max min mean fold groupCount group
 as select where union not choose dedup order limit range sample repeat
-times until emit path simplePath by desc asc.
+times until emit path simplePath by desc asc math cache identity.
 Predicates: eq neq gt gte lt lte within without between inside outside.
 
 Modulators attach to the preceding step exactly as in Gremlin:
@@ -375,6 +375,29 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             i += 1
             continue
 
+        if s.name == "math":
+            # math('a + _').by('prop_a').by('prop_for_underscore'): by()
+            # modulators map to variables in order of first appearance
+            # (Gremlin's modulator convention)
+            expr = s.args[0]
+            bys = []
+            j = i + 1
+            while j < n and steps[j].name == "by":
+                bys.append(steps[j].args[0])
+                j += 1
+            varnames = []
+            for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+                if tok not in ("sqrt", "abs", "exp", "log", "ceil", "floor") and tok not in varnames:
+                    varnames.append(tok)
+            if len(bys) != len(varnames):
+                raise GremlinParseError(
+                    f"math({expr!r}) has {len(varnames)} variables but "
+                    f"{len(bys)} by() modulators"
+                )
+            t = t.math_(expr, by=dict(zip(varnames, bys)))
+            i = j
+            continue
+
         # ---- plain steps ----------------------------------------------
         method = _RENAMED.get(s.name, s.name)
         if s.name == "has":
@@ -392,6 +415,8 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             t = getattr(t, s.name)()
         elif s.name == "identity":
             pass
+        elif s.name == "cache":
+            t = t.cache()
         elif s.name in ("values", "valueMap", "properties"):
             t = getattr(t, s.name)(*s.args)
         elif s.name == "count":

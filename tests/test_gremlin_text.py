@@ -276,3 +276,19 @@ def test_text_plan_identical_to_fluent(pg):
         return re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
 
     assert norm(text_df) == norm(fluent_df)
+
+
+def test_text_math_by(pg):
+    q = gremlin(pg)
+    df = q.execute(
+        "g.V('person').has('age', 35).as('a').out('knows').math('a + _').by('age').by('age')"
+    )
+    assert sorted(r["value"] for r in df.collect()) == [64.0]
+    with pytest.raises(GremlinParseError, match="by\\(\\) modulators"):
+        q.execute("g.V('person').as('a').math('a + b').by('age')")
+
+
+def test_text_cache(pg):
+    q = gremlin(pg)
+    df = q.execute("g.V('person').out('created').cache().dedup().count()")
+    assert df.first()["n"] == 2
