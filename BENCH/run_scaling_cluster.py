@@ -113,9 +113,17 @@ warm_sec, _, _ = run(WARMUP_ROUNDS)
 pr_sec, round_secs, checksum = run(ROUNDS)
 med = statistics.median(round_secs)
 
+import inspect as _inspect  # noqa: E402
+import linkgraph.csr as _csr_mod  # noqa: E402
+
+_PACKED = (
+    bool(_inspect.signature(_csr_mod.pagerank_csr).parameters["packed"].default)
+    if TIER == "csr" else None
+)
 rec = {
     "mode": "local-cluster",
     "tier": TIER,
+    "packed": _PACKED,
     "dtype": DTYPE,
     "n_executors": n_exec,
     "cores_per_executor": cores_per,

@@ -95,17 +95,31 @@ prows = _csr.LAST_PARTIAL_ROWS or 0
 n_vertices = EDGES // 8
 val_b = 4 if DTYPE == "float32" else 8
 dst_b = 4 if n_vertices < 2**31 - 1 else 8
+import inspect as _inspect  # noqa: E402
+import linkgraph.csr as _csr_mod  # noqa: E402
+
+_PACKED = (
+    bool(_inspect.signature(_csr_mod.pagerank_csr).parameters["packed"].default)
+    if TIER == "csr" else None
+)
 rec = {
     "tier": TIER,
+    "packed": _PACKED,
     "dtype": DTYPE,
     "partial_rows": prows,
     "logical_shuffle_bytes_per_round": (
         # dense tier: packed (pos,val) partials + chunked state arrays;
-        # sparse tier: partial rows in, combined msg rows out, state join
+        # sparse packed (r4): state exchange + arrow-list partials only —
+        # the hash-agg exchange and the state join are gone;
+        # sparse unpacked: partial rows in, combined msg rows out, state join
         n_vertices * (4 + val_b) + prows * (4 + val_b)
         if TIER == "dense"
-        else n_vertices * (8 + 4 + val_b) + prows * (dst_b + val_b)
-        + min(prows, n_vertices) * (dst_b + 8)
+        else (
+            n_vertices * (8 + 4 + val_b) + prows * (dst_b + val_b)
+            if _PACKED
+            else n_vertices * (8 + 4 + val_b) + prows * (dst_b + val_b)
+            + min(prows, n_vertices) * (dst_b + 8)
+        )
     ),
     "cores": cores,
     "blocks": PARTS,

@@ -161,6 +161,7 @@ def pagerank_csr(
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
     rank_dtype: str = "float64",
+    packed: bool = True,
 ) -> DataFrame:
     """PageRank (NetworkX semantics, §2.4) on the CSR fast tier.
 
@@ -179,7 +180,15 @@ def pagerank_csr(
       the global sum/L1 aggregate in double, so only the stored state
       rounds to float32 (~1e-7 relative) — the documented precision
       trade of the scale tier, NOT the default (float64 matches the
-      join tier to 1e-12; tests pin both).
+      join tier to 1e-12; tests pin both);
+    - ``packed=True`` (default, r4): partials ship as one Arrow-list row
+      per destination partition instead of one row per partial — kills
+      the ~16 B/partial UnsafeRow overhead AND replaces the hash-agg +
+      state-join pair with a single state↔partials cogroup on the shared
+      pmod key: one state exchange + one packed exchange per round
+      instead of three shuffles. ``packed=False`` keeps the r1-r3
+      row-per-partial plan (the two paths are allclose-tested; only the
+      float reduction order differs).
     """
     spark = graph.edges.sparkSession
     p = num_blocks or spark.sparkContext.defaultParallelism
@@ -221,9 +230,9 @@ def pagerank_csr(
 
     dangling = {"mass": None}
 
-    def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
-        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
-            return partial_schema.empty_table()
+    def _block_partials(state_tbl: pa.Table, block_tbl: pa.Table):
+        """Per-block combined (dst, psum) numpy pair — shared by both
+        emission formats below."""
         vids = _np_col(state_tbl, "vid", np.int64)
         deg = _np_col(state_tbl, "deg", np.float64)
         rank = _np_col(state_tbl, "rank", np.float64)
@@ -239,12 +248,98 @@ def pagerank_csr(
                     np_val, copy=False
                 )
             )
+        return np.concatenate(outs_d), np.concatenate(outs_p)
+
+    def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return partial_schema.empty_table()
+        all_d, all_p = _block_partials(state_tbl, block_tbl)
+        return pa.table({"dst": pa.array(all_d, pa_dst), "psum": pa.array(all_p)})
+
+    packed_schema = pa.schema(
+        [
+            ("tgt", pa.int32()),
+            ("dsts", pa.list_(pa_dst)),
+            ("psums", pa.list_(pa.from_numpy_dtype(np_val))),
+        ]
+    )
+
+    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        """Packed emission (the bytes/round + stages/round lever): ONE row
+        per destination partition instead of one row per partial — the
+        same (dst, psum) payload rides as Arrow list columns, so the
+        per-partial UnsafeRow overhead (~16 B on an 8-12 B payload)
+        collapses to P² list headers per round. Downstream, the packed
+        rows cogroup with the state on the same pmod key, so the
+        hash-agg exchange AND the state join of the row-per-partial path
+        disappear: two shuffles per round become one state exchange +
+        one packed-partial exchange."""
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return packed_schema.empty_table()
+        all_d, all_p = _block_partials(state_tbl, block_tbl)
+        if not len(all_d):
+            return packed_schema.empty_table()
+        tgt = np.mod(all_d.astype(np.int64), p).astype(np.int32)  # pmod semantics
+        order = np.argsort(tgt, kind="stable")
+        d_s, p_s, t_s = all_d[order], all_p[order], tgt[order]
+        bounds = np.flatnonzero(np.diff(t_s)) + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
         return pa.table(
             {
-                "dst": pa.array(np.concatenate(outs_d), pa_dst),
-                "psum": pa.array(np.concatenate(outs_p)),
+                "tgt": pa.array(t_s[starts], pa.int32()),
+                "dsts": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(d_s, pa_dst)
+                ),
+                "psums": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(p_s)
+                ),
             }
         )
+
+    state_schema_str = f"vid long, deg int, rank {sql_val}, prev_rank {sql_val}"
+
+    def _make_update(base: float):
+        def _update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+            if state_tbl.num_rows == 0:
+                return pa.schema(
+                    [
+                        ("vid", pa.int64()),
+                        ("deg", pa.int32()),
+                        ("rank", pa.from_numpy_dtype(np_val)),
+                        ("prev_rank", pa.from_numpy_dtype(np_val)),
+                    ]
+                ).empty_table()
+            vids = _np_col(state_tbl, "vid", np.int64)
+            deg = _np_col(state_tbl, "deg", np.int32)
+            prev = _np_col(state_tbl, "rank", np_val)
+            msum = np.zeros(len(vids), np.float64)
+            if packed_tbl.num_rows:
+                all_d = (
+                    packed_tbl.column("dsts").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                )
+                all_p = (
+                    packed_tbl.column("psums").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+                )
+                order = np.argsort(vids, kind="stable")
+                sv = vids[order]
+                pos = np.searchsorted(sv, all_d)
+                safe = np.minimum(pos, len(sv) - 1)
+                ok = (pos < len(sv)) & (sv[safe] == all_d)  # closure guard
+                np.add.at(msum, order[safe[ok]], all_p[ok])
+            new_rank = (alpha * msum + base).astype(np_val)
+            return pa.table(
+                {
+                    "vid": pa.array(vids, pa.int64()),
+                    "deg": pa.array(deg, pa.int32()),
+                    "rank": pa.array(new_rank),
+                    "prev_rank": pa.array(prev),
+                }
+            )
+
+        return _update
 
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         if dangling["mass"] is None:
@@ -254,22 +349,34 @@ def pagerank_csr(
         base = (1.0 - alpha) / n + dangling["mass"] / n
 
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
-        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
-            _partials, schema=f"dst {sql_dst}, psum {sql_val}"
-        )
-        msgs = partials.groupBy("dst").agg(F.sum("psum").alias("msum"))
-        new_state = (
-            state.join(msgs, state["vid"] == msgs["dst"], "left")
-            .select(
-                state["vid"],
-                state["deg"],
-                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(base))
-                .cast(sql_val)
-                .alias("rank"),
-                state["rank"].alias("prev_rank"),
+        if packed:
+            partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials_packed,
+                schema=f"tgt int, dsts array<{sql_dst}>, psums array<{sql_val}>",
             )
-            .persist()
-        )
+            new_state = (
+                st_keyed.groupBy("bid")
+                .cogroup(partials.groupBy("tgt"))
+                .applyInArrow(_make_update(base), schema=state_schema_str)
+                .persist()
+            )
+        else:
+            partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials, schema=f"dst {sql_dst}, psum {sql_val}"
+            )
+            msgs = partials.groupBy("dst").agg(F.sum("psum").alias("msum"))
+            new_state = (
+                state.join(msgs, state["vid"] == msgs["dst"], "left")
+                .select(
+                    state["vid"],
+                    state["deg"],
+                    (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(base))
+                    .cast(sql_val)
+                    .alias("rank"),
+                    state["rank"].alias("prev_rank"),
+                )
+                .persist()
+            )
         row = new_state.agg(
             F.sum(F.abs(F.col("rank").cast("double") - F.col("prev_rank"))).alias("l1"),
             F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dg"),
