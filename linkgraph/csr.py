@@ -647,6 +647,7 @@ def wcc_csr(
     max_rounds: int = 200,
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
+    packed: bool = True,
 ) -> DataFrame:
     """WCC (min-label propagation, §2.4) on the CSR fast tier.
 
@@ -697,21 +698,99 @@ def wcc_csr(
             }
         )
 
+    _WCC_PACKED_SCHEMA = pa.schema(
+        [("tgt", pa.int32()), ("dsts", pa.list_(pa.int64())), ("plabels", pa.list_(pa.int64()))]
+    )
+
+    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        """Packed emission (r4 lever, as in pagerank/cdlp): WCC's round 1
+        moves one (dst, plabel) minimum per (block, reachable-dst) — the
+        frontier is every vertex, so packing kills the per-row overhead
+        exactly when the shuffle is largest; later rounds shrink with the
+        frontier either way."""
+        raw = _partials(state_tbl, block_tbl)
+        if raw.num_rows == 0:
+            return _WCC_PACKED_SCHEMA.empty_table()
+        all_d = raw.column("dst").to_numpy(zero_copy_only=False)
+        all_l = raw.column("plabel").to_numpy(zero_copy_only=False)
+        tgt = np.mod(all_d, p).astype(np.int32)
+        order = np.argsort(tgt, kind="stable")
+        d_s, l_s, t_s = all_d[order], all_l[order], tgt[order]
+        bounds = np.flatnonzero(np.diff(t_s)) + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
+        off_arr = pa.array(offsets, pa.int32())
+        return pa.table(
+            {
+                "tgt": pa.array(t_s[starts], pa.int32()),
+                "dsts": pa.ListArray.from_arrays(off_arr, pa.array(d_s, pa.int64())),
+                "plabels": pa.ListArray.from_arrays(off_arr, pa.array(l_s, pa.int64())),
+            }
+        )
+
+    def _update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+        """Per-dst min over packed partials + least/changed merge —
+        integer-exact, identical to the hash-agg + join path."""
+        if state_tbl.num_rows == 0:
+            return pa.schema(
+                [("vid", pa.int64()), ("label", pa.int64()), ("changed", pa.bool_())]
+            ).empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)
+        labels = _np_col(state_tbl, "label", np.int64)
+        incoming = np.full(len(vids), imax, dtype=np.int64)
+        if packed_tbl.num_rows:
+            d = (
+                packed_tbl.column("dsts").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            l = (
+                packed_tbl.column("plabels").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            if len(d):
+                so = np.argsort(vids, kind="stable")
+                sv = vids[so]
+                pos = np.searchsorted(sv, d)
+                safe = np.minimum(pos, len(sv) - 1)
+                ok = (pos < len(sv)) & (sv[safe] == d)
+                np.minimum.at(incoming, so[safe[ok]], l[ok])
+        new_labels = np.minimum(labels, incoming)
+        changed = incoming < labels
+        return pa.table(
+            {
+                "vid": pa.array(vids, pa.int64()),
+                "label": pa.array(new_labels, pa.int64()),
+                "changed": pa.array(changed),
+            }
+        )
+
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
-        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
-            _partials, schema="dst long, plabel long"
-        )
-        msgs = partials.groupBy("dst").agg(F.min("plabel").alias("mlabel"))
-        new_state = (
-            state.join(msgs, state["vid"] == msgs["dst"], "left")
-            .select(
-                state["vid"],
-                F.least(state["label"], F.coalesce("mlabel", state["label"])).alias("label"),
-                (F.coalesce("mlabel", state["label"]) < state["label"]).alias("changed"),
+        if packed:
+            parts = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials_packed,
+                schema="tgt int, dsts array<long>, plabels array<long>",
             )
-            .persist()
-        )
+            new_state = (
+                st_keyed.groupBy("bid")
+                .cogroup(parts.groupBy("tgt"))
+                .applyInArrow(_update, schema="vid long, label long, changed boolean")
+                .persist()
+            )
+        else:
+            partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials, schema="dst long, plabel long"
+            )
+            msgs = partials.groupBy("dst").agg(F.min("plabel").alias("mlabel"))
+            new_state = (
+                state.join(msgs, state["vid"] == msgs["dst"], "left")
+                .select(
+                    state["vid"],
+                    F.least(state["label"], F.coalesce("mlabel", state["label"])).alias("label"),
+                    (F.coalesce("mlabel", state["label"]) < state["label"]).alias("changed"),
+                )
+                .persist()
+            )
         n_changed = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         return new_state, {"changed": n_changed}
 
@@ -813,6 +892,7 @@ def sssp_csr(
     max_rounds: int = 10_000,
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
+    packed: bool = True,
 ) -> DataFrame:
     """SSSP (and BFS via unit weights) on the CSR fast tier.
 
@@ -863,21 +943,95 @@ def sssp_csr(
             }
         )
 
+    _SSSP_PACKED_SCHEMA = pa.schema(
+        [("tgt", pa.int32()), ("dsts", pa.list_(pa.int64())), ("pdists", pa.list_(pa.float64()))]
+    )
+
+    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        """Packed emission (r4 lever, as in pagerank/wcc/cdlp): min is
+        order-free, so the packed path is float-exact vs the hash-agg
+        path."""
+        raw = _partials(state_tbl, block_tbl)
+        if raw.num_rows == 0:
+            return _SSSP_PACKED_SCHEMA.empty_table()
+        all_d = raw.column("dst").to_numpy(zero_copy_only=False)
+        all_p = raw.column("pdist").to_numpy(zero_copy_only=False)
+        tgt = np.mod(all_d, p).astype(np.int32)
+        order = np.argsort(tgt, kind="stable")
+        d_s, p_s, t_s = all_d[order], all_p[order], tgt[order]
+        bounds = np.flatnonzero(np.diff(t_s)) + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
+        off_arr = pa.array(offsets, pa.int32())
+        return pa.table(
+            {
+                "tgt": pa.array(t_s[starts], pa.int32()),
+                "dsts": pa.ListArray.from_arrays(off_arr, pa.array(d_s, pa.int64())),
+                "pdists": pa.ListArray.from_arrays(off_arr, pa.array(p_s, pa.float64())),
+            }
+        )
+
+    def _update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+        if state_tbl.num_rows == 0:
+            return pa.schema(
+                [("vid", pa.int64()), ("dist", pa.float64()), ("changed", pa.bool_())]
+            ).empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)
+        dists = _np_col(state_tbl, "dist", np.float64)
+        cand = np.full(len(vids), np.inf, dtype=np.float64)
+        if packed_tbl.num_rows:
+            d = (
+                packed_tbl.column("dsts").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            pd_ = (
+                packed_tbl.column("pdists").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            if len(d):
+                so = np.argsort(vids, kind="stable")
+                sv = vids[so]
+                pos = np.searchsorted(sv, d)
+                safe = np.minimum(pos, len(sv) - 1)
+                ok = (pos < len(sv)) & (sv[safe] == d)
+                np.minimum.at(cand, so[safe[ok]], pd_[ok])
+        new_dist = np.minimum(dists, cand)
+        changed = cand < dists
+        return pa.table(
+            {
+                "vid": pa.array(vids, pa.int64()),
+                "dist": pa.array(new_dist, pa.float64()),
+                "changed": pa.array(changed),
+            }
+        )
+
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
-        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
-            _partials, schema="dst long, pdist double"
-        )
-        msgs = partials.groupBy("dst").agg(F.min("pdist").alias("cand"))
-        new_state = (
-            state.join(msgs, state["vid"] == msgs["dst"], "left")
-            .select(
-                state["vid"],
-                F.least(state["dist"], F.coalesce("cand", state["dist"])).alias("dist"),
-                (F.coalesce("cand", state["dist"]) < state["dist"]).alias("changed"),
+        if packed:
+            parts = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials_packed,
+                schema="tgt int, dsts array<long>, pdists array<double>",
             )
-            .persist()
-        )
+            new_state = (
+                st_keyed.groupBy("bid")
+                .cogroup(parts.groupBy("tgt"))
+                .applyInArrow(_update, schema="vid long, dist double, changed boolean")
+                .persist()
+            )
+        else:
+            partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials, schema="dst long, pdist double"
+            )
+            msgs = partials.groupBy("dst").agg(F.min("pdist").alias("cand"))
+            new_state = (
+                state.join(msgs, state["vid"] == msgs["dst"], "left")
+                .select(
+                    state["vid"],
+                    F.least(state["dist"], F.coalesce("cand", state["dist"])).alias("dist"),
+                    (F.coalesce("cand", state["dist"]) < state["dist"]).alias("changed"),
+                )
+                .persist()
+            )
         n = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
         return new_state, {"changed": n}
 
@@ -907,6 +1061,7 @@ def cdlp_csr(
     max_round: int = 10,
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
+    packed: bool = True,
 ) -> DataFrame:
     """CDLP (LDBC semantics, exactly ``max_round`` rounds, most-frequent
     neighbor label with min-label tie-break) on the CSR fast tier.
@@ -984,23 +1139,130 @@ def cdlp_csr(
             }
         )
 
+    packed_schema = pa.schema(
+        [
+            ("tgt", pa.int32()),
+            ("dsts", pa.list_(pa_key)),
+            ("labels", pa.list_(pa_key)),
+            ("pcnts", pa.list_(pa.int64())),
+        ]
+    )
+
+    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        """Packed emission (r4, same lever as pagerank_csr): the
+        run-length (dst, label, pcnt) partials ride as Arrow lists in one
+        row per destination partition — CDLP round 1 moves ~|E| partial
+        pairs (zero run-length compression while every vertex owns a
+        distinct label), so killing the per-pair UnsafeRow overhead and
+        the hash-agg/join shuffles bites exactly where this tier is
+        slowest (BENCH/tier_algos.jsonl: round 1 = 43 % of the 5-round
+        1e8-edge run)."""
+        raw = _partials(state_tbl, block_tbl)
+        if raw.num_rows == 0:
+            return packed_schema.empty_table()
+        all_d = raw.column("dst").to_numpy(zero_copy_only=False)
+        all_l = raw.column("label").to_numpy(zero_copy_only=False)
+        all_c = raw.column("pcnt").to_numpy(zero_copy_only=False)
+        tgt = np.mod(all_d.astype(np.int64), p).astype(np.int32)
+        order = np.argsort(tgt, kind="stable")
+        d_s, l_s, c_s, t_s = all_d[order], all_l[order], all_c[order], tgt[order]
+        bounds = np.flatnonzero(np.diff(t_s)) + 1
+        starts = np.concatenate([[0], bounds]).astype(np.int64)
+        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
+        off_arr = pa.array(offsets, pa.int32())
+        return pa.table(
+            {
+                "tgt": pa.array(t_s[starts], pa.int32()),
+                "dsts": pa.ListArray.from_arrays(off_arr, pa.array(d_s, pa_key)),
+                "labels": pa.ListArray.from_arrays(off_arr, pa.array(l_s, pa_key)),
+                "pcnts": pa.ListArray.from_arrays(off_arr, pa.array(c_s, pa.int64())),
+            }
+        )
+
+    def _update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+        """Merge packed partials and pick each destination's dominant
+        label — integer-exact, identical tie-break (max count, then min
+        label) to the hash-agg path, so the packed tier stays
+        oracle-hash-identical."""
+        if state_tbl.num_rows == 0:
+            return pa.schema([("vid", pa.int64()), ("label", pa.int64())]).empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)
+        labels = _np_col(state_tbl, "label", np.int64)
+        new_labels = labels.copy()
+        if packed_tbl.num_rows:
+            d = (
+                packed_tbl.column("dsts").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+            l = (
+                packed_tbl.column("labels").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            )
+            c = (
+                packed_tbl.column("pcnts").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            if len(d):
+                # sum counts per (dst, label) run
+                order = np.lexsort((l, d))
+                d, l, c = d[order], l[order], c[order]
+                new_run = np.empty(len(d), dtype=bool)
+                new_run[0] = True
+                np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=new_run[1:])
+                starts = np.flatnonzero(new_run)
+                csum = np.add.reduceat(c, starts)
+                dd, ll = d[starts], l[starts]
+                # per dst: max count, ties -> smallest label (sort by
+                # (dst asc, count desc, label asc), take first per dst)
+                order2 = np.lexsort((ll, -csum, dd))
+                dd2 = dd[order2]
+                first = np.empty(len(dd2), dtype=bool)
+                first[0] = True
+                np.not_equal(dd2[1:], dd2[:-1], out=first[1:])
+                win_d, win_l = dd2[first], ll[order2][first]
+                # align winners to this partition's vids (sorted lookup)
+                so = np.argsort(vids, kind="stable")
+                sv = vids[so]
+                pos = np.searchsorted(sv, win_d)
+                safe = np.minimum(pos, len(sv) - 1)
+                ok = (pos < len(sv)) & (sv[safe] == win_d)
+                new_labels[so[safe[ok]]] = win_l[ok]
+        return pa.table(
+            {"vid": pa.array(vids, pa.int64()), "label": pa.array(new_labels, pa.int64())}
+        )
+
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
-        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
-            _partials, schema=f"dst {sql_key}, label {sql_key}, pcnt long"
-        )
-        counts = partials.groupBy("dst", "label").agg(F.sum("pcnt").alias("cnt"))
-        best = counts.groupBy("dst").agg(
-            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
-        ).select("dst", (-F.col("top.neg")).alias("new_label"))
-        new_state = (
-            state.join(best, state["vid"] == best["dst"], "left")
-            .select(
-                state["vid"],
-                F.coalesce("new_label", state["label"]).alias("label"),
+        if packed:
+            parts = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials_packed,
+                schema=(
+                    f"tgt int, dsts array<{sql_key}>, labels array<{sql_key}>,"
+                    " pcnts array<long>"
+                ),
             )
-            .persist()
-        )
+            new_state = (
+                st_keyed.groupBy("bid")
+                .cogroup(parts.groupBy("tgt"))
+                .applyInArrow(_update, schema="vid long, label long")
+                .persist()
+            )
+        else:
+            partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+                _partials, schema=f"dst {sql_key}, label {sql_key}, pcnt long"
+            )
+            counts = partials.groupBy("dst", "label").agg(F.sum("pcnt").alias("cnt"))
+            best = counts.groupBy("dst").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
+            ).select("dst", (-F.col("top.neg")).alias("new_label"))
+            new_state = (
+                state.join(best, state["vid"] == best["dst"], "left")
+                .select(
+                    state["vid"],
+                    F.coalesce("new_label", state["label"]).alias("label"),
+                )
+                .persist()
+            )
         new_state.count()
         return new_state, {}
 
