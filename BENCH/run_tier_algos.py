@@ -40,6 +40,8 @@ spark = get_spark(
         # out and kills the session — GC pauses are not liveness failures
         "spark.executor.heartbeatInterval": "120s",
         "spark.network.timeout": "600s",
+        # dead shuffle files in RAM-backed tmpfs are freed by driver GC
+        "spark.cleaner.periodicGC.interval": "45s",
     },
 )
 from pyspark.sql import functions as F
@@ -47,6 +49,10 @@ from pyspark.sql import functions as F
 from linkgraph.corpus import synth_edge_graph
 from linkgraph.csr import cdlp_csr, sssp_csr, wcc_csr
 import linkgraph.superstep as superstep
+import inspect as _inspect
+import linkgraph.csr as _csr_mod
+
+_PACKED = bool(_inspect.signature(_csr_mod.wcc_csr).parameters["packed"].default)
 
 t0 = time.time()
 g = synth_edge_graph(spark, EDGES // 8, avg_out_degree=8, seed=42, partitions=PARTS)
@@ -61,6 +67,7 @@ def record(algo, fn, checksum_fn):
     hist = superstep.LAST_RESULT.history if superstep.LAST_RESULT else []
     line = {
         "ts": time.time(), "algo": algo, "cores": cores, "n_edges": n_edges,
+        "packed": _PACKED,
         "blocks": PARTS, "wall_sec": round(wall, 2),
         "rounds": len(hist),
         "round_secs": [round(h["wall_sec"], 2) for h in hist],

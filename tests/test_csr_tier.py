@@ -167,3 +167,25 @@ def test_pagerank_csr_sparse_64bit_vid_space(spark):
     assert {k + shift for k in ref} == set(big)
     ks = sorted(ref)
     assert np.allclose([ref[k] for k in ks], [big[k + shift] for k in ks], atol=1e-12, rtol=0)
+
+
+def test_packed_paths_match_unpacked(spark):
+    """The r4 packed-partials plans must equal the r1-r3 hash-agg plans:
+    exactly for wcc/cdlp/sssp (order-free min / integer argmax),
+    allclose for pagerank (float reduction order differs)."""
+    from linkgraph.csr import cdlp_csr, pagerank_csr, sssp_csr, wcc_csr
+
+    g = graph_from_edge_vids(spark, rmat_edges(150, 700, seed=23))
+    pr_p = _d(pagerank_csr(g, max_iter=25, tol=None, num_blocks=4, packed=True))
+    pr_u = _d(pagerank_csr(g, max_iter=25, tol=None, num_blocks=4, packed=False))
+    ks = sorted(pr_p)
+    assert np.allclose([pr_p[k] for k in ks], [pr_u[k] for k in ks], atol=1e-12, rtol=0)
+    assert _d(wcc_csr(g, num_blocks=4, packed=True)) == _d(
+        wcc_csr(g, num_blocks=4, packed=False)
+    )
+    assert _d(cdlp_csr(g, max_round=4, num_blocks=4, packed=True)) == _d(
+        cdlp_csr(g, max_round=4, num_blocks=4, packed=False)
+    )
+    assert _d(sssp_csr(g, src=0, weight_col=None, num_blocks=4, packed=True)) == _d(
+        sssp_csr(g, src=0, weight_col=None, num_blocks=4, packed=False)
+    )
