@@ -159,6 +159,32 @@ def q_wcc(spark, sf_dir):
     )
 
 
+def q_wcc_csr(spark, sf_dir):
+    """The SAME WCC on the CSR fast tier with r4 packed partials
+    (csr.py wcc_csr: per-block np.minimum.at scatter, Arrow-list packed
+    minima, cogroup state update) — exact labels, same oracle as g_wcc."""
+    from linkgraph.csr import wcc_csr
+
+    return wcc_csr(_oracle_graph(spark, sf_dir), num_blocks=8).select(
+        "vid", F.col("value").cast("long").alias("comp")
+    )
+
+
+def q_bfs_csr(spark, sf_dir):
+    """The SAME BFS (unit-weight sssp_csr) on the packed CSR fast tier —
+    identical fixpoint, same oracle as g_bfs (unreachable filtered, as
+    the join tier reports them as -1)."""
+    from linkgraph.csr import sssp_csr
+
+    g = _oracle_graph(spark, sf_dir)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    return (
+        sssp_csr(g, src=src, weight_col=None, num_blocks=8)
+        .where(F.col("value") >= 0)
+        .select("vid", F.col("value").cast("long").alias("depth"))
+    )
+
+
 def q_scc(spark, sf_dir):
     from linkgraph.algorithms import scc
 
@@ -1503,6 +1529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_text_twohop": q_gie_text_twohop,
     "g_louvain_p1": q_louvain_p1,
     "gie_math": q_gie_math,
+    "g_wcc_csr": q_wcc_csr,
+    "g_bfs_csr": q_bfs_csr,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -3023,6 +3051,8 @@ ORACLE_SQL["corpus_pagerank_r3"] = f"""
 ORACLE_SQL["corpus_pagerank_dense"] = ORACLE_SQL["corpus_pagerank_r3"]
 ORACLE_SQL["g_sssp_csr"] = ORACLE_SQL["g_sssp"]
 ORACLE_SQL["g_cdlp_csr"] = ORACLE_SQL["g_cdlp_r2"]
+ORACLE_SQL["g_wcc_csr"] = ORACLE_SQL["g_wcc"]
+ORACLE_SQL["g_bfs_csr"] = ORACLE_SQL["g_bfs"]
 
 ORACLE_SQL["corpus_wcc"] = f"""
   WITH RECURSIVE ce AS ({_corpus_edges_sql()}),

@@ -22,6 +22,8 @@ PAIRS = [
     "gie_text_twohop",
     "g_sssp_csr",
     "g_cdlp_csr",
+    "g_wcc_csr",
+    "g_bfs_csr",
     "doc_repetition",
     "doc_split_counts",
     "g_kcore_20",
