@@ -34,6 +34,7 @@ from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph
 from linkgraph.corpus import synth_corpus, derive_edges, synth_edge_graph
 from linkgraph.property import PropertyGraph
 from linkgraph.gie import traversal
+from linkgraph.gremlin import gremlin
 
 __all__ = [
     "LinkGraph",
@@ -44,6 +45,7 @@ __all__ = [
     "derive_edges",
     "synth_edge_graph",
     "traversal",
+    "gremlin",
 ]
 
 __version__ = "0.1.0"
