@@ -141,6 +141,36 @@ def build_csr_blocks(edges: DataFrame, num_blocks: int) -> DataFrame:
     return e.mapInArrow(_build, schema=BLOCK_SCHEMA).repartition(num_blocks, "bid")
 
 
+def _pack_by_tgt(all_d: np.ndarray, p: int):
+    """Group partial arrays by destination partition (``pmod(dst, p)``)
+    for Arrow-list packed emission — the shared core of the four packed
+    tiers (pagerank/wcc/sssp/cdlp). Returns ``(tgt, offsets, order)``:
+    one ``tgt`` int32 per output row, int32 list offsets, and the stable
+    sort order to apply to every payload array."""
+    tgt = np.mod(all_d.astype(np.int64), p).astype(np.int32)
+    order = np.argsort(tgt, kind="stable")
+    t_s = tgt[order]
+    bounds = np.flatnonzero(np.diff(t_s)) + 1
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    offsets = pa.array(
+        np.concatenate([starts, [len(t_s)]]).astype(np.int32), pa.int32()
+    )
+    return pa.array(t_s[starts], pa.int32()), offsets, order
+
+
+def _scatter_positions(vids: np.ndarray, keys: np.ndarray):
+    """Map incoming dst ``keys`` to positions in this partition's
+    (unsorted) ``vids`` via sorted lookup; keys absent from ``vids`` are
+    masked out (the dst-side closure guard, mirroring ``_gather`` for
+    sources). Returns ``(positions, ok_mask)``."""
+    so = np.argsort(vids, kind="stable")
+    sv = vids[so]
+    pos = np.searchsorted(sv, keys)
+    safe = np.minimum(pos, len(sv) - 1)
+    ok = (pos < len(sv)) & (sv[safe] == keys)
+    return so[safe[ok]], ok
+
+
 def _gather(vids: np.ndarray, vals: np.ndarray, us: np.ndarray, fill) -> np.ndarray:
     """vals aligned to us via sorted lookup; sources absent from the state
     partition get ``fill`` (LinkGraph can be built without build_graph's
@@ -279,21 +309,12 @@ def pagerank_csr(
         all_d, all_p = _block_partials(state_tbl, block_tbl)
         if not len(all_d):
             return packed_schema.empty_table()
-        tgt = np.mod(all_d.astype(np.int64), p).astype(np.int32)  # pmod semantics
-        order = np.argsort(tgt, kind="stable")
-        d_s, p_s, t_s = all_d[order], all_p[order], tgt[order]
-        bounds = np.flatnonzero(np.diff(t_s)) + 1
-        starts = np.concatenate([[0], bounds]).astype(np.int64)
-        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
+        tgt, off, order = _pack_by_tgt(all_d, p)
         return pa.table(
             {
-                "tgt": pa.array(t_s[starts], pa.int32()),
-                "dsts": pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), pa.array(d_s, pa_dst)
-                ),
-                "psums": pa.ListArray.from_arrays(
-                    pa.array(offsets, pa.int32()), pa.array(p_s)
-                ),
+                "tgt": tgt,
+                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa_dst)),
+                "psums": pa.ListArray.from_arrays(off, pa.array(all_p[order])),
             }
         )
 
@@ -323,12 +344,8 @@ def pagerank_csr(
                     packed_tbl.column("psums").combine_chunks().flatten()
                     .to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
                 )
-                order = np.argsort(vids, kind="stable")
-                sv = vids[order]
-                pos = np.searchsorted(sv, all_d)
-                safe = np.minimum(pos, len(sv) - 1)
-                ok = (pos < len(sv)) & (sv[safe] == all_d)  # closure guard
-                np.add.at(msum, order[safe[ok]], all_p[ok])
+                idx, ok = _scatter_positions(vids, all_d)  # closure guard
+                np.add.at(msum, idx, all_p[ok])
             new_rank = (alpha * msum + base).astype(np_val)
             return pa.table(
                 {
@@ -348,7 +365,13 @@ def pagerank_csr(
             ) * alpha
         base = (1.0 - alpha) / n + dangling["mass"] / n
 
-        st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
+        # key only the live columns: from round 2 the state also carries
+        # prev_rank, which neither the scatter nor the update reads —
+        # shipping it through the per-round exchange would add dead
+        # bytes/vertex to exactly the shuffle the packed lever shrinks
+        st_keyed = state.select("vid", "deg", "rank").withColumn(
+            "bid", F.pmod(F.col("vid"), F.lit(p)).cast("int")
+        )
         if packed:
             partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
                 _partials_packed,
@@ -713,18 +736,12 @@ def wcc_csr(
             return _WCC_PACKED_SCHEMA.empty_table()
         all_d = raw.column("dst").to_numpy(zero_copy_only=False)
         all_l = raw.column("plabel").to_numpy(zero_copy_only=False)
-        tgt = np.mod(all_d, p).astype(np.int32)
-        order = np.argsort(tgt, kind="stable")
-        d_s, l_s, t_s = all_d[order], all_l[order], tgt[order]
-        bounds = np.flatnonzero(np.diff(t_s)) + 1
-        starts = np.concatenate([[0], bounds]).astype(np.int64)
-        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
-        off_arr = pa.array(offsets, pa.int32())
+        tgt, off, order = _pack_by_tgt(all_d, p)
         return pa.table(
             {
-                "tgt": pa.array(t_s[starts], pa.int32()),
-                "dsts": pa.ListArray.from_arrays(off_arr, pa.array(d_s, pa.int64())),
-                "plabels": pa.ListArray.from_arrays(off_arr, pa.array(l_s, pa.int64())),
+                "tgt": tgt,
+                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa.int64())),
+                "plabels": pa.ListArray.from_arrays(off, pa.array(all_l[order], pa.int64())),
             }
         )
 
@@ -748,12 +765,8 @@ def wcc_csr(
                 .to_numpy(zero_copy_only=False)
             )
             if len(d):
-                so = np.argsort(vids, kind="stable")
-                sv = vids[so]
-                pos = np.searchsorted(sv, d)
-                safe = np.minimum(pos, len(sv) - 1)
-                ok = (pos < len(sv)) & (sv[safe] == d)
-                np.minimum.at(incoming, so[safe[ok]], l[ok])
+                idx, ok = _scatter_positions(vids, d)
+                np.minimum.at(incoming, idx, l[ok])
         new_labels = np.minimum(labels, incoming)
         changed = incoming < labels
         return pa.table(
@@ -956,18 +969,12 @@ def sssp_csr(
             return _SSSP_PACKED_SCHEMA.empty_table()
         all_d = raw.column("dst").to_numpy(zero_copy_only=False)
         all_p = raw.column("pdist").to_numpy(zero_copy_only=False)
-        tgt = np.mod(all_d, p).astype(np.int32)
-        order = np.argsort(tgt, kind="stable")
-        d_s, p_s, t_s = all_d[order], all_p[order], tgt[order]
-        bounds = np.flatnonzero(np.diff(t_s)) + 1
-        starts = np.concatenate([[0], bounds]).astype(np.int64)
-        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
-        off_arr = pa.array(offsets, pa.int32())
+        tgt, off, order = _pack_by_tgt(all_d, p)
         return pa.table(
             {
-                "tgt": pa.array(t_s[starts], pa.int32()),
-                "dsts": pa.ListArray.from_arrays(off_arr, pa.array(d_s, pa.int64())),
-                "pdists": pa.ListArray.from_arrays(off_arr, pa.array(p_s, pa.float64())),
+                "tgt": tgt,
+                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa.int64())),
+                "pdists": pa.ListArray.from_arrays(off, pa.array(all_p[order], pa.float64())),
             }
         )
 
@@ -989,12 +996,8 @@ def sssp_csr(
                 .to_numpy(zero_copy_only=False)
             )
             if len(d):
-                so = np.argsort(vids, kind="stable")
-                sv = vids[so]
-                pos = np.searchsorted(sv, d)
-                safe = np.minimum(pos, len(sv) - 1)
-                ok = (pos < len(sv)) & (sv[safe] == d)
-                np.minimum.at(cand, so[safe[ok]], pd_[ok])
+                idx, ok = _scatter_positions(vids, d)
+                np.minimum.at(cand, idx, pd_[ok])
         new_dist = np.minimum(dists, cand)
         changed = cand < dists
         return pa.table(
@@ -1163,19 +1166,13 @@ def cdlp_csr(
         all_d = raw.column("dst").to_numpy(zero_copy_only=False)
         all_l = raw.column("label").to_numpy(zero_copy_only=False)
         all_c = raw.column("pcnt").to_numpy(zero_copy_only=False)
-        tgt = np.mod(all_d.astype(np.int64), p).astype(np.int32)
-        order = np.argsort(tgt, kind="stable")
-        d_s, l_s, c_s, t_s = all_d[order], all_l[order], all_c[order], tgt[order]
-        bounds = np.flatnonzero(np.diff(t_s)) + 1
-        starts = np.concatenate([[0], bounds]).astype(np.int64)
-        offsets = np.concatenate([starts, [len(t_s)]]).astype(np.int32)
-        off_arr = pa.array(offsets, pa.int32())
+        tgt, off, order = _pack_by_tgt(all_d, p)
         return pa.table(
             {
-                "tgt": pa.array(t_s[starts], pa.int32()),
-                "dsts": pa.ListArray.from_arrays(off_arr, pa.array(d_s, pa_key)),
-                "labels": pa.ListArray.from_arrays(off_arr, pa.array(l_s, pa_key)),
-                "pcnts": pa.ListArray.from_arrays(off_arr, pa.array(c_s, pa.int64())),
+                "tgt": tgt,
+                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa_key)),
+                "labels": pa.ListArray.from_arrays(off, pa.array(all_l[order], pa_key)),
+                "pcnts": pa.ListArray.from_arrays(off, pa.array(all_c[order], pa.int64())),
             }
         )
 
@@ -1221,12 +1218,8 @@ def cdlp_csr(
                 np.not_equal(dd2[1:], dd2[:-1], out=first[1:])
                 win_d, win_l = dd2[first], ll[order2][first]
                 # align winners to this partition's vids (sorted lookup)
-                so = np.argsort(vids, kind="stable")
-                sv = vids[so]
-                pos = np.searchsorted(sv, win_d)
-                safe = np.minimum(pos, len(sv) - 1)
-                ok = (pos < len(sv)) & (sv[safe] == win_d)
-                new_labels[so[safe[ok]]] = win_l[ok]
+                idx, ok = _scatter_positions(vids, win_d)
+                new_labels[idx] = win_l[ok]
         return pa.table(
             {"vid": pa.array(vids, pa.int64()), "label": pa.array(new_labels, pa.int64())}
         )

@@ -677,6 +677,10 @@ class Traversal:
                 F.col("__as___u").alias("oid"), F.col("__as___u_lbl").alias("label")
             )
             .dropDuplicates(["oid", "label"])
+            # materialize once: done and rest both consume this (and the
+            # body's frontier feeds it) — without the cut, the round's
+            # body + branch would re-execute when the loop output is read
+            .localCheckpoint(eager=True)
         )
         done = self.df.join(produced, ["oid", "label"], "left_semi")
         rest = self.df.join(produced, ["oid", "label"], "left_anti")
@@ -716,8 +720,15 @@ class Traversal:
         frontier (loop exit identity is keyed on (oid, label))."""
         if times is None and until is None:
             raise ValueError("repeat(): need times=n and/or until=branch")
+        if until_first and until is None:
+            raise ValueError("repeat(): until_first=True requires until=branch")
+        emit = emit or emit_first  # emit().repeat(X) implies emission
         if until is not None:
             self._require_v("repeat(until=...)")
+        if times is not None and times <= 0:
+            # zero iterations: the source frontier passes through untouched
+            # (the r1-r3 `for _ in range(times)` behavior)
+            return self
         outs: list[DataFrame] = []
         t = self
         if emit and emit_first:
@@ -735,6 +746,9 @@ class Traversal:
             rounds += 1
             exhausted = times is not None and rounds >= times
             if until is not None:
+                # materialize the round's frontier: done and rest are both
+                # filters over it, and the loop tail re-reads done later
+                t = t._next(t.df.localCheckpoint(eager=True))
                 # exit check FIRST: a traverser leaving via until is output
                 # exactly once (emit applies only to those that continue)
                 done, rest = t._until_split(until)
@@ -768,7 +782,10 @@ class Traversal:
         the frontier so branches fanning out from this point (union /
         match / repeat bodies over the same prefix) reuse one computed
         result instead of re-running the prefix per branch. The Spark
-        analog is exactly ``persist()`` on the frontier DataFrame."""
+        analog is exactly ``persist()`` on the frontier DataFrame; the
+        caller owns the residency — ``t.df.unpersist()`` when done (a
+        traversal is usually consumed once, so the default path never
+        persists anything)."""
         return self._next(self.df.persist())
 
     def math_(self, expr: str, by: dict[str, str]) -> DataFrame:
@@ -787,17 +804,27 @@ class Traversal:
         cols: dict[str, Column] = {}
         for var, prop in by.items():
             lookup_parts = [
-                t.select("oid", F.col(prop).cast("double").alias(f"__math_{var}"))
+                t.select(
+                    F.col("oid").alias(f"__math_oid_{var}"),
+                    F.lit(lbl).alias(f"__math_lbl_{var}"),
+                    F.col(prop).cast("double").alias(f"__math_{var}"),
+                )
                 for lbl, t in self.pg.v_tables.items()
                 if prop in t.columns
             ]
             if not lookup_parts:
                 raise ValueError(f"math_: no vertex label has property {prop!r}")
+            if var != "_" and f"__as_{var}" not in df.columns:
+                raise ValueError(f"math_: no as_({var!r}) upstream")
             lk = _union_all(lookup_parts)
-            key = F.col("oid") if var == "_" else tag(var)
+            # join on (oid, label), as _join_vprop does — oid values may
+            # collide across vertex labels
+            okey = F.col("oid") if var == "_" else tag(var)
+            lkey = F.col("label") if var == "_" else F.col(f"__as_{var}_lbl")
             df = df.join(
-                lk.withColumnRenamed("oid", f"__math_oid_{var}"),
-                key == F.col(f"__math_oid_{var}"),
+                lk,
+                (okey == F.col(f"__math_oid_{var}"))
+                & (lkey == F.col(f"__math_lbl_{var}")),
             )
             cols[var] = F.col(f"__math_{var}")
         return df.select(_parse_math(expr, cols).alias("value"))

@@ -212,6 +212,18 @@ def _centroid_scores(vec_col: Column, centroids: np.ndarray) -> list[Column]:
 # for plan size/compile time; a 4k-list quantizer would be ~256k literals.
 MAX_PLAN_CENTROIDS = 256
 
+# Arrow-path centroid broadcasts cannot be destroyed eagerly (the
+# returned DataFrames are lazy and read them at action time), so they are
+# registered here; call release_broadcasts() once the results of prior
+# ivf_assign/ivf_ann_topk calls are fully materialized — the same
+# explicit-ownership pattern as dedup.release_cached().
+_BROADCASTS: list = []
+
+
+def release_broadcasts() -> None:
+    while _BROADCASTS:
+        _BROADCASTS.pop().unpersist(blocking=False)
+
 
 def _ivf_assign_arrow(
     df: DataFrame, centroids: np.ndarray, vec_col: str, out: str
@@ -226,6 +238,7 @@ def _ivf_assign_arrow(
 
     c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     bc = df.sparkSession.sparkContext.broadcast(c)
+    _BROADCASTS.append(bc)
 
     @F.pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
@@ -309,6 +322,7 @@ def ivf_ann_topk(
         # argsort(-scores, stable) reproduces the struct sort order)
         cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
         bc = q.sparkSession.sparkContext.broadcast(cn)
+        _BROADCASTS.append(bc)
 
         @F.pandas_udf("array<int>")
         def _probe(v: pd.Series) -> pd.Series:

@@ -292,3 +292,48 @@ def test_text_cache(pg):
     q = gremlin(pg)
     df = q.execute("g.V('person').out('created').cache().dedup().count()")
     assert df.first()["n"] == 2
+
+
+def test_repeat_times_zero_is_identity(pg):
+    g = traversal(pg)
+    base = g.V("person")
+    assert _oids(base.repeat(lambda t: t.out(), times=0).df) == _oids(base.df)
+    # emit_first still emits the source when the loop body never runs
+    out = base.repeat(lambda t: t.out("knows"), times=0, emit_first=True)
+    assert _oids(out.df) == _oids(base.df)
+
+
+def test_emit_first_implies_emit(pg):
+    g = traversal(pg)
+    out = g.V("person").has("age", 35).repeat(
+        lambda t: t.out("knows"), times=2, emit_first=True
+    )
+    assert _oids(out.df) == ["p1", "p2", "p3", "p4"]
+
+
+def test_until_first_requires_until(pg):
+    g = traversal(pg)
+    with pytest.raises(ValueError, match="until_first"):
+        g.V().repeat(lambda t: t.out(), times=2, until_first=True)
+
+
+def test_math_joins_on_label_not_just_oid(spark):
+    """Two vertex labels sharing an oid must not cross-contaminate
+    math() property lookups (the _join_vprop (oid, label) key rule)."""
+    people = spark.createDataFrame([("x1", 10)], "pid string, score int")
+    robots = spark.createDataFrame([("x1", 99)], "rid string, score int")
+    likes = spark.createDataFrame([("x1", "x1")], "a string, b string")
+    pg2 = (
+        PropertyGraph()
+        .add_vertices(people, label="person", vid_field="pid")
+        .add_vertices(robots, label="robot", vid_field="rid")
+        .add_edges(likes, label="likes", src_label="person", dst_label="robot")
+    )
+    from linkgraph.gie import traversal as trav
+
+    rows = (
+        trav(pg2).V("person").as_("a").out("likes")
+        .math_("a + _", by={"a": "score", "_": "score"})
+        .collect()
+    )
+    assert [r["value"] for r in rows] == [109.0]  # person 10 + robot 99, once
