@@ -24,7 +24,8 @@ Supported grammar (the gie.py step vocabulary)::
 Steps: V E hasLabel has out in both outE inE bothE inV outV bothV otherV
 values valueMap properties count sum max min mean fold groupCount group
 as select where union not choose dedup order limit range sample repeat
-times until emit path simplePath by desc asc math cache identity.
+times until emit path simplePath by desc asc math cache identity
+withSack sackBy sack.
 Predicates: eq neq gt gte lt lte within without between inside outside.
 
 Modulators attach to the preceding step exactly as in Gremlin:
@@ -417,6 +418,22 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             pass
         elif s.name == "cache":
             t = t.cache()
+        elif s.name == "withSack":
+            t = t.withSack(s.args[0])
+        elif s.name == "sack":
+            # terminal sack() / sack().by(key[, agg]) — grouped emission
+            if nxt is not None and nxt.name == "by":
+                by_key = nxt.args[0]
+                agg = nxt.args[1] if len(nxt.args) > 1 else "sum"
+                i += 1
+                t = t.sack(by=by_key, agg=agg)
+            else:
+                t = t.sack()
+        elif s.name == "sackBy":
+            if len(s.args) > 1:
+                t = t.sackBy(s.args[0], op=s.args[1])
+            else:
+                t = t.sackBy(s.args[0])
         elif s.name in ("values", "valueMap", "properties"):
             t = getattr(t, s.name)(*s.args)
         elif s.name == "count":

@@ -337,3 +337,12 @@ def test_math_joins_on_label_not_just_oid(spark):
         .collect()
     )
     assert [r["value"] for r in rows] == [109.0]  # person 10 + robot 99, once
+
+
+def test_text_sack(pg):
+    q = gremlin(pg)
+    df = q.execute(
+        "g.V('person').has('age', 35).withSack(0).out('knows').sackBy('age').sack()"
+    )
+    # p4 -> p1: sack accumulates p1's age (29)
+    assert sorted(r["value"] for r in df.collect()) == [29.0]
