@@ -27,6 +27,14 @@ from linkgraph.algorithms.scc import scc
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.louvain import louvain, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
+from linkgraph.algorithms.linkpred import (
+    link_prediction,
+    jaccard_coefficient,
+    adamic_adar_index,
+    resource_allocation_index,
+    preferential_attachment,
+)
+from linkgraph.algorithms.voterank import voterank
 from linkgraph.algorithms.paths import (
     bfs_parents,
     bfs_generic,
@@ -86,4 +94,10 @@ __all__ = [
     "sampling_path",
     "louvain",
     "louvain_phase1",
+    "link_prediction",
+    "jaccard_coefficient",
+    "adamic_adar_index",
+    "resource_allocation_index",
+    "preferential_attachment",
+    "voterank",
 ]

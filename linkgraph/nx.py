@@ -426,3 +426,73 @@ def betweenness_centrality(
             weight="weight" if weight is not None else None,
         )
     )
+
+
+# ---- link prediction (reference forwards networkx's suite:
+#      nx/algorithms/tests/forward/test_link_prediction.py — undirected
+#      only; DiGraph raises, as those tests assert) ---------------------
+
+
+def _link_prediction(G: DiGraph, ebunch, col: str, fname: str) -> list[tuple]:
+    if G.directed:
+        raise ValueError(f"{fname}: not implemented for directed graphs")
+    lg = G._project()
+    spark = G._spark or SparkSession.active()
+    if ebunch is None:
+        # NetworkX default: all non-edges (driver-side is the nx
+        # contract — this surface is for driver-resident graphs; the
+        # scale path is algorithms.link_prediction's candidate join)
+        nodes = list(G._nodes)
+        have = {G._dedup_key(u, v) for (u, v) in G._edges}
+        ebunch = [
+            (u, v)
+            for i, u in enumerate(nodes)
+            for v in nodes[i + 1:]
+            if G._dedup_key(u, v) not in have
+        ]
+    ebunch = list(ebunch)
+    if not ebunch:
+        return []
+    pdf = spark.createDataFrame(
+        [(G._vid_of[u], G._vid_of[v]) for u, v in ebunch], "u long, v long"
+    )
+    got = {
+        (r["u"], r["v"]): r[col]
+        for r in A.link_prediction(lg, pdf).collect()
+    }
+    return [(u, v, got[(G._vid_of[u], G._vid_of[v])]) for u, v in ebunch]
+
+
+def jaccard_coefficient(G: DiGraph, ebunch=None) -> list[tuple]:
+    """networkx.jaccard_coefficient — [(u, v, p)] over ebunch (default:
+    all non-edges)."""
+    return _link_prediction(G, ebunch, "jaccard", "jaccard_coefficient")
+
+
+def adamic_adar_index(G: DiGraph, ebunch=None) -> list[tuple]:
+    """networkx.adamic_adar_index — [(u, v, p)]."""
+    return _link_prediction(G, ebunch, "adamic_adar", "adamic_adar_index")
+
+
+def resource_allocation_index(G: DiGraph, ebunch=None) -> list[tuple]:
+    """networkx.resource_allocation_index — [(u, v, p)]."""
+    return _link_prediction(
+        G, ebunch, "resource_allocation", "resource_allocation_index"
+    )
+
+
+def preferential_attachment(G: DiGraph, ebunch=None) -> list[tuple]:
+    """networkx.preferential_attachment — [(u, v, p)]."""
+    return _link_prediction(
+        G, ebunch, "preferential_attachment", "preferential_attachment"
+    )
+
+
+def voterank(G: DiGraph, number_of_nodes: int | None = None) -> list:
+    """networkx.voterank — ordered influencer list (reference forwards
+    nx's voterank tests; ties break by projected vid, a deterministic
+    refinement of nx's iteration order)."""
+    if G.directed:
+        raise ValueError("voterank: not implemented for directed graphs")
+    rows = A.voterank(G._project(), number_of_nodes).orderBy("rank").collect()
+    return [G._node_of[r["vid"]] for r in rows]

@@ -465,6 +465,32 @@ def q_louvain_p1(spark, sf_dir):
     )
 
 
+def q_linkpred(spark, sf_dir):
+    """Link-prediction indices (linkpred.py — the nx-forwarded suite):
+    default candidates = non-adjacent pairs with ≥1 common neighbor;
+    floats rounded to 6 so summation order can't flip the hash."""
+    from linkgraph.algorithms import link_prediction
+
+    return link_prediction(_oracle_graph(spark, sf_dir)).select(
+        "u",
+        "v",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("resource_allocation", 6).alias("resource_allocation"),
+        "preferential_attachment",
+    )
+
+
+def q_voterank(spark, sf_dir):
+    """VoteRank 5-seed election (voterank.py) — integer output
+    (rank, vid); scores rounded to 9 before each argmax in BOTH engines
+    so the election is summation-order invariant."""
+    from linkgraph.algorithms import voterank
+
+    return voterank(_oracle_graph(spark, sf_dir), 5)
+
+
 def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     from linkgraph.algorithms import louvain
 
@@ -1531,6 +1557,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
+    "g_linkpred": q_linkpred,
+    "g_voterank": q_voterank,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -2943,6 +2971,69 @@ ORACLE_SQL["stream_event_counts"] = """
 
 ORACLE_SQL["g_ppr_r3"] = _ppr_sql(PR_ROUNDS)
 ORACLE_SQL["g_louvain_p1"] = _louvain_p1_sql(4)
+
+ORACLE_SQL["g_linkpred"] = _with_graph(
+    """deg AS (SELECT src AS vid, count(*) AS d FROM und GROUP BY src),
+  byw AS (
+    SELECT u.src AS w, u.dst AS n,
+           CASE WHEN dg.d > 1 THEN 1.0 / ln(dg.d) ELSE 0.0 END AS aa,
+           1.0 / dg.d AS ra
+    FROM und u JOIN deg dg ON dg.vid = u.src),
+  cand AS (
+    SELECT a.n AS u, b.n AS v, count(*) AS cn, sum(a.aa) AS aa, sum(a.ra) AS ra
+    FROM byw a JOIN byw b ON a.w = b.w AND a.n < b.n
+    GROUP BY a.n, b.n),
+  nonadj AS (
+    SELECT c.* FROM cand c
+    LEFT JOIN simple_und s ON s.lo = c.u AND s.hi = c.v
+    WHERE s.lo IS NULL)
+  SELECT n.u, n.v, n.cn::BIGINT AS cn,
+         round(n.cn * 1.0 / (du.d + dv.d - n.cn), 6) AS jaccard,
+         round(n.aa, 6) AS adamic_adar,
+         round(n.ra, 6) AS resource_allocation,
+         (du.d * dv.d)::BIGINT AS preferential_attachment
+  FROM nonadj n JOIN deg du ON du.vid = n.u JOIN deg dv ON dv.vid = n.v"""
+)
+
+
+def _voterank_sql(k: int = 5) -> str:
+    """Unrolled SQL twin of voterank(k): per round — score = Σ neighbor
+    ability rounded to 9 (summation-order invariance, as the engine),
+    argmax with min-vid tie-break, winner ability → 0, winner's
+    neighbors' ability −= 1/⟨deg⟩ floored at 0."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SQL})",
+        "v AS MATERIALIZED (SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e)",
+        "und AS MATERIALIZED (SELECT src, dst FROM e"
+        " UNION SELECT dst AS src, src AS dst FROM e)",
+        "params AS MATERIALIZED (SELECT (SELECT count(*) FROM und) * 1.0"
+        " / (SELECT count(*) FROM v) AS ad)",
+        "ab0 AS MATERIALIZED (SELECT vid, 1.0 AS ab FROM v)",
+    ]
+    for r in range(k):
+        excl = ""
+        if r:
+            uni = " UNION ALL ".join(f"SELECT vid FROM w{j}" for j in range(r))
+            excl = f" WHERE und.src NOT IN ({uni})"
+        ctes += [
+            f"s{r} AS MATERIALIZED (SELECT und.src AS vid, round(sum(a.ab), 9) AS sc"
+            f" FROM und JOIN ab{r} a ON a.vid = und.dst{excl} GROUP BY und.src)",
+            f"w{r} AS MATERIALIZED (SELECT vid FROM s{r} WHERE sc > 0"
+            " ORDER BY sc DESC, vid LIMIT 1)",
+            f"""ab{r + 1} AS MATERIALIZED (SELECT a.vid,
+    CASE WHEN a.vid = (SELECT vid FROM w{r}) THEN 0.0
+         WHEN EXISTS (SELECT 1 FROM und u WHERE u.src = (SELECT vid FROM w{r})
+                      AND u.dst = a.vid)
+           THEN greatest(0.0, a.ab - 1.0 / (SELECT ad FROM params))
+         ELSE a.ab END AS ab FROM ab{r} a)""",
+        ]
+    final = " UNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS "rank", vid FROM w{i}' for i in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+ORACLE_SQL["g_voterank"] = _voterank_sql(5)
 ORACLE_SQL["g_betweenness_ep"] = _betweenness_sql(10, endpoints=True)
 ORACLE_SQL["g_betweenness_w"] = _betweenness_w_sql()
 

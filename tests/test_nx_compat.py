@@ -120,3 +120,39 @@ def test_hits_and_betweenness(G):
     assert set(hubs) == set(auth) == {"a", "b", "c", "d", "e"}
     bc = lnx.betweenness_centrality(G)
     assert bc["c"] >= bc["d"]
+
+
+def test_nx_link_prediction(spark):
+    from linkgraph import nx
+
+    # K5 — jaccard(0,1) = 0.6 (networkx TestJaccardCoefficient.test_K5)
+    G = nx.Graph(spark)
+    G.add_edges_from([(i, j) for i in range(5) for j in range(i + 1, 5)])
+    (u, v, p) = nx.jaccard_coefficient(G, [(0, 1)])[0]
+    assert (u, v) == (0, 1) and abs(p - 0.6) < 1e-9
+    import math
+    assert abs(nx.adamic_adar_index(G, [(0, 1)])[0][2] - 3 / math.log(4)) < 1e-9
+    assert abs(nx.resource_allocation_index(G, [(0, 1)])[0][2] - 0.75) < 1e-9
+    assert nx.preferential_attachment(G, [(0, 1)])[0][2] == 16
+
+    # default ebunch = all non-edges (P4: {(0,2),(0,3),(1,3)})
+    P = nx.Graph(spark)
+    P.add_edges_from([(0, 1), (1, 2), (2, 3)])
+    got = {(u, v): p for u, v, p in nx.jaccard_coefficient(P)}
+    assert set(got) == {(0, 2), (0, 3), (1, 3)}
+    assert got[(0, 3)] == 0.0
+
+    D = nx.DiGraph(spark)
+    D.add_edges_from([(0, 1), (1, 2)])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        nx.jaccard_coefficient(D, [(0, 2)])
+
+
+def test_nx_voterank(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    G.add_edges_from([(7, 8), (7, 5), (7, 9), (5, 0), (0, 1), (0, 2), (0, 3),
+                      (0, 4), (1, 6), (2, 6), (3, 6), (4, 6)])
+    assert nx.voterank(G, 3) == [0, 7, 6]

@@ -16,6 +16,8 @@ TABLES = (
 ).split()
 
 PAIRS = [
+    "g_linkpred",
+    "g_voterank",
     "g_louvain_p1",
     "gie_repeat_until",
     "gie_text_until",
