@@ -491,6 +491,33 @@ def q_voterank(spark, sf_dir):
     return voterank(_oracle_graph(spark, sf_dir), 5)
 
 
+def q_sample_neighbors(spark, sf_dir):
+    """GLE-style neighbor sampling (sampling.py): up to 5 out-neighbors
+    per source, md5-portable 'random' strategy — exactly replayable."""
+    from linkgraph.sampling import sample_neighbors
+
+    return sample_neighbors(_oracle_graph(spark, sf_dir), 5, seed=42)
+
+
+def q_khop_sample(spark, sf_dir):
+    """Layered GraphSAGE-style 2-hop sampling, fanouts [3, 2], seeds =
+    vids divisible by 50."""
+    from linkgraph.sampling import k_hop_sample
+
+    g = _oracle_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("vid") % 50 == 0).select("vid")
+    return k_hop_sample(g, seeds, [3, 2], seed=42)
+
+
+def q_negative_sample(spark, sf_dir):
+    """Deterministic negative sampling: 3 non-neighbors per vertex via
+    md5(src:j:seed) % V dense-index candidates, anti-joined against the
+    undirected adjacency."""
+    from linkgraph.sampling import negative_sample
+
+    return negative_sample(_oracle_graph(spark, sf_dir), 3, seed=11)
+
+
 def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     from linkgraph.algorithms import louvain
 
@@ -1559,6 +1586,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_bfs_csr": q_bfs_csr,
     "g_linkpred": q_linkpred,
     "g_voterank": q_voterank,
+    "g_sample_neighbors": q_sample_neighbors,
+    "g_khop_sample": q_khop_sample,
+    "g_negative_sample": q_negative_sample,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -2993,6 +3023,60 @@ ORACLE_SQL["g_linkpred"] = _with_graph(
          round(n.ra, 6) AS resource_allocation,
          (du.d * dv.d)::BIGINT AS preferential_attachment
   FROM nonadj n JOIN deg du ON du.vid = n.u JOIN deg dv ON dv.vid = n.v"""
+)
+
+
+ORACLE_SQL["g_sample_neighbors"] = _with_graph(
+    """ranked AS (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src
+      ORDER BY md5(src::VARCHAR || ':' || dst::VARCHAR || ':42'), dst
+    ) AS rn
+    FROM e)
+  SELECT src, dst, rn::INTEGER AS sample_rank FROM ranked WHERE rn <= 5"""
+)
+
+ORACLE_SQL["g_khop_sample"] = _with_graph(
+    """seeds AS (SELECT vid AS src FROM v WHERE vid % 50 = 0),
+  l1 AS (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src
+      ORDER BY md5(src::VARCHAR || ':' || dst::VARCHAR || ':43'), dst) AS rn
+    FROM e WHERE src IN (SELECT src FROM seeds)),
+  f2 AS (SELECT DISTINCT dst AS src FROM l1 WHERE rn <= 3),
+  l2 AS (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src
+      ORDER BY md5(src::VARCHAR || ':' || dst::VARCHAR || ':44'), dst) AS rn
+    FROM e WHERE src IN (SELECT src FROM f2))
+  SELECT 1 AS layer, src, dst FROM l1 WHERE rn <= 3
+  UNION ALL
+  SELECT 2 AS layer, src, dst FROM l2 WHERE rn <= 2"""
+)
+
+ORACLE_SQL["g_negative_sample"] = _with_graph(
+    """idx AS (SELECT vid, row_number() OVER (ORDER BY CAST(vid AS VARCHAR)) - 1 AS idx FROM v),
+  nv AS (SELECT count(*) AS n FROM v),
+  att AS (SELECT i AS j FROM range(0, 20) t(i)),
+  cand AS (
+    SELECT s.vid AS src, att.j,
+           (('0x' || substr(md5(s.vid::VARCHAR || ':' || att.j::VARCHAR || ':11'), 1, 8))::BIGINT)
+             % (SELECT n FROM nv) AS cidx
+    FROM v s, att),
+  withneg AS (
+    SELECT c.src, c.j, i.vid AS neg
+    FROM cand c JOIN idx i ON i.idx = c.cidx
+    WHERE i.vid <> c.src),
+  valid AS (
+    SELECT w.* FROM withneg w
+    LEFT JOIN und a ON a.src = w.src AND a.dst = w.neg
+    WHERE a.src IS NULL),
+  dedup AS (
+    SELECT *, row_number() OVER (PARTITION BY src, neg ORDER BY j) AS dup_rn FROM valid),
+  ranked AS (
+    SELECT src, neg, row_number() OVER (PARTITION BY src ORDER BY j) AS neg_rank
+    FROM dedup WHERE dup_rn = 1)
+  SELECT src, neg, neg_rank::INTEGER AS neg_rank FROM ranked WHERE neg_rank <= 3"""
 )
 
 

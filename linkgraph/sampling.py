@@ -1,0 +1,170 @@
+"""GNN training-data sampling (the GLE / graph-learn analog).
+
+The reference ships a learning engine (GLE, ``learning_engine/`` — the
+graph-learn submodule) whose data plane is exactly this: k-hop
+neighbor sampling with per-hop fanouts, strategy-selectable neighbor
+pickers, and negative sampling for contrastive losses. The submodule is
+empty in the checkout, so semantics here follow the public GSL surface
+(``g.V().outV(..).sample(k).by('random'|'topk')``, negative sampling);
+everything is re-expressed as Catalyst plans.
+
+Determinism (the repo-wide rule): "random" picks are ranked by the
+engine-portable ``md5(src:dst:seed)`` string — reproducible at any
+parallelism AND byte-identical in the DuckDB oracles (xxhash64 is not
+portable). Every sampler is therefore exactly replayable.
+
+Scale shape:
+- ``sample_neighbors`` — one window (hash-partitioned by src) over the
+  edge table: rank, keep k. No driver loop, no collect. Hub vertices
+  put deg(hub) rows in one partition — the same skew every top-k-per-
+  key has; AQE skew handling applies.
+- ``k_hop_sample`` — L windows over frontier-restricted edges (L =
+  len(fanouts), typically 2-3). Frontiers stay DataFrames.
+- ``negative_sample`` — candidates are generated arithmetically
+  (``md5(src:i:seed) % V`` → dense-index join), verified by one
+  anti-join against the adjacency; ``attempts`` fixed up front keeps
+  the result deterministic (per-src yield is min(n, valid attempts) —
+  documented, not silent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def _pick_hash(*cols, seed: int):
+    return F.md5(F.concat_ws(":", *[c.cast("string") for c in cols], F.lit(str(seed))))
+
+
+def sample_neighbors(
+    graph: LinkGraph,
+    k: int,
+    strategy: str = "random",
+    seed: int = 42,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Up to ``k`` out-neighbors per source — (src, dst, sample_rank).
+
+    strategy 'random': seeded md5 order; 'topk': by ``weight_col``
+    descending (GLE's edge_weight picker), ties → smallest dst.
+    """
+    e = graph.edges
+    if strategy == "random":
+        order = [_pick_hash(F.col("src"), F.col("dst"), seed=seed).asc(), F.col("dst").asc()]
+    elif strategy == "topk":
+        if weight_col not in e.columns:
+            raise ValueError(f"sample_neighbors: no {weight_col!r} column for topk")
+        order = [F.col(weight_col).desc(), F.col("dst").asc()]
+    else:
+        raise ValueError(f"sample_neighbors: unknown strategy {strategy!r}")
+    w = Window.partitionBy("src").orderBy(*order)
+    return (
+        e.select("src", "dst", *( [weight_col] if strategy == "topk" else [] ))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("src", "dst", "sample_rank")
+    )
+
+
+def k_hop_sample(
+    graph: LinkGraph,
+    seeds: DataFrame,
+    fanouts: list[int],
+    seed: int = 42,
+) -> DataFrame:
+    """Layered GraphSAGE-style sampling — (layer, src, dst).
+
+    Layer i (1-based) samples ``fanouts[i-1]`` out-neighbors of the
+    previous frontier (layer 0 frontier = ``seeds`` first column);
+    frontiers are the distinct sampled dsts, revisits allowed (GLE
+    semantics — the sampled block is a DAG of edges, not a simple set).
+    """
+    e = graph.edges.select("src", "dst")
+    frontier = seeds.select(F.col(seeds.columns[0]).cast("long").alias("src")).distinct()
+    layers = []
+    for i, f in enumerate(fanouts, start=1):
+        hop = e.join(frontier, "src")
+        w = Window.partitionBy("src").orderBy(
+            _pick_hash(F.col("src"), F.col("dst"), seed=seed + i).asc(), F.col("dst").asc()
+        )
+        picked = (
+            hop.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= f)
+            .select(F.lit(i).alias("layer"), "src", "dst")
+        )
+        layers.append(picked)
+        frontier = picked.select(F.col("dst").alias("src")).distinct()
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def negative_sample(
+    graph: LinkGraph,
+    n: int,
+    seed: int = 42,
+    attempts: int | None = None,
+) -> DataFrame:
+    """Up to ``n`` non-neighbors per vertex — (src, neg, neg_rank).
+
+    Candidate j for vertex s is the vertex at dense index
+    ``md5(s:j:seed) % V``; candidates equal to s or adjacent to s (either
+    direction) are discarded and the first ``n`` survivors by attempt
+    order are kept. ``attempts`` defaults to 4n+8; vertices whose
+    neighborhood covers most of the graph may yield fewer than n.
+    """
+    from linkgraph.graph import assign_dense_ids
+
+    m = attempts if attempts is not None else 4 * n + 8
+    verts = graph.vertices.select("vid")
+    n_v = verts.count()
+    if n_v == 0:
+        return verts.sparkSession.createDataFrame([], "src long, neg long, neg_rank int")
+    # dense index = rank of str(vid) in sorted order — assign_dense_ids
+    # range-partitions instead of a global row_number window (no
+    # single-partition bottleneck); the string ordering is the
+    # deterministic contract the SQL oracle replays (ORDER BY
+    # CAST(vid AS VARCHAR)).
+    idx = assign_dense_ids(verts.select(F.col("vid").cast("string").alias("oid"))).select(
+        F.col("oid").cast("long").alias("vid"), F.col("vid").alias("idx")
+    )
+    cand = (
+        verts.select(F.col("vid").alias("src"))
+        .crossJoin(F.broadcast(verts.sparkSession.range(m).select(F.col("id").alias("j"))))
+        .select(
+            "src",
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(_pick_hash(F.col("src"), F.col("j"), seed=seed), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_v),
+            ).alias("cidx"),
+        )
+        .join(idx.select(F.col("idx").alias("cidx"), F.col("vid").alias("neg")), "cidx")
+        .where(F.col("neg") != F.col("src"))
+    )
+    e = graph.edges.select("src", "dst")
+    adj = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    valid = cand.join(
+        adj.select("src", F.col("dst").alias("neg")), ["src", "neg"], "left_anti"
+    )
+    # two attempts may hash to the same candidate — keep the earliest
+    first = Window.partitionBy("src", "neg").orderBy("j")
+    valid = (
+        valid.withColumn("dup_rn", F.row_number().over(first))
+        .where(F.col("dup_rn") == 1)
+        .drop("dup_rn")
+    )
+    w = Window.partitionBy("src").orderBy("j")
+    return (
+        valid.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= n)
+        .select("src", "neg", "neg_rank")
+    )

@@ -18,6 +18,9 @@ TABLES = (
 PAIRS = [
     "g_linkpred",
     "g_voterank",
+    "g_sample_neighbors",
+    "g_khop_sample",
+    "g_negative_sample",
     "g_louvain_p1",
     "gie_repeat_until",
     "gie_text_until",

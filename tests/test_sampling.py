@@ -1,0 +1,80 @@
+"""GNN sampling family (sampling.py — the GLE data-plane analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph import graph_from_edge_vids
+from linkgraph.sampling import k_hop_sample, negative_sample, sample_neighbors
+
+STAR_PLUS = [(0, i) for i in range(1, 9)] + [(1, 9), (2, 9), (9, 3)]
+
+
+def test_sample_neighbors_caps_and_determinism(spark):
+    g = graph_from_edge_vids(spark, STAR_PLUS)
+    s1 = sample_neighbors(g, 3, seed=7)
+    rows = s1.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append(r["dst"])
+    assert all(len(v) <= 3 for v in per_src.values())
+    assert len(per_src[0]) == 3  # deg 8 → capped
+    assert sorted(per_src[1]) == [9]  # deg 1 → kept whole
+    # deterministic across repartitioning
+    g2 = graph_from_edge_vids(spark, STAR_PLUS)
+    g2 = type(g2)(vertices=g2.vertices, edges=g2.edges.repartition(7), directed=True)
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, sample_neighbors(g2, 3, seed=7).collect())
+    )
+    # different seed → (almost surely) different pick for the hub
+    s2 = {r["dst"] for r in sample_neighbors(g, 3, seed=8).where("src = 0").collect()}
+    assert s2 != set(per_src[0]) or len(s2) == 3
+
+
+def test_sample_neighbors_topk_by_weight(spark):
+    edges = [(0, 1, 1.0), (0, 2, 5.0), (0, 3, 3.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    from linkgraph.graph import LinkGraph
+
+    v = df.select(F.col("src").alias("vid")).union(df.select("dst")).distinct().select(
+        "vid", F.col("vid").cast("string").alias("oid")
+    )
+    g = LinkGraph(vertices=v, edges=df)
+    picks = sample_neighbors(g, 2, strategy="topk").orderBy("sample_rank").collect()
+    assert [r["dst"] for r in picks] == [2, 3]
+    with pytest.raises(ValueError):
+        sample_neighbors(g, 2, strategy="nope")
+
+
+def test_k_hop_layers(spark):
+    g = graph_from_edge_vids(spark, STAR_PLUS)
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    out = k_hop_sample(g, seeds, [2, 2], seed=1)
+    l1 = out.where("layer = 1").collect()
+    l2 = out.where("layer = 2").collect()
+    assert len(l1) == 2 and all(r["src"] == 0 for r in l1)
+    # layer-2 sources are exactly layer-1 dsts that have out-edges
+    l1_dsts = {r["dst"] for r in l1}
+    assert {r["src"] for r in l2} <= l1_dsts
+
+
+def test_negative_sample_validity(spark):
+    g = graph_from_edge_vids(spark, STAR_PLUS)
+    negs = negative_sample(g, 3, seed=11)
+    adj = {}
+    for s, d in STAR_PLUS:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rows = negs.collect()
+    per_src = {}
+    for r in rows:
+        assert r["neg"] != r["src"]
+        assert r["neg"] not in adj.get(r["src"], set())
+        per_src.setdefault(r["src"], []).append(r["neg"])
+    assert all(len(v) <= 3 for v in per_src.values())
+    assert all(len(set(v)) == len(v) for v in per_src.values())  # no dup negs
+    # vertex 9 has few non-neighbors but should still find some
+    assert len(per_src.get(9, [])) >= 1
+    # deterministic
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, negative_sample(g, 3, seed=11).collect()))
