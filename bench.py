@@ -158,6 +158,22 @@ def run_default() -> dict:
     queries["pagerank_dense_convergence"] = round(dn_sec, 3)
     if dn_rounds:
         queries["pagerank_dense_iters_per_sec"] = round(dn_rounds / dn_sec, 3)
+
+    # r4 families on the same cached corpus graph: GNN sampling data
+    # plane + link prediction (candidate join fans out Σ_w deg(w)² —
+    # hub-capped here exactly as a 100-TB run would be)
+    from linkgraph.sampling import negative_sample, sample_neighbors
+    from linkgraph.algorithms import link_prediction
+
+    t = time.time()
+    sample_neighbors(g, 5).count()
+    queries["corpus_sample_neighbors"] = round(time.time() - t, 3)
+    t = time.time()
+    negative_sample(g, 3).count()
+    queries["corpus_negative_sample"] = round(time.time() - t, 3)
+    t = time.time()
+    link_prediction(g, max_neighbor_degree=256).count()
+    queries["corpus_linkpred"] = round(time.time() - t, 3)
     g.unpersist()
 
     # secondary headline queries on the sf parquet tables
