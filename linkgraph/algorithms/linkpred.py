@@ -38,6 +38,25 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
 
+# Cache ownership (same contract as pipeline.dedup): the returned lazy
+# plan references the undirected adjacency from ~6 subtrees (deg, both
+# join sides, the anti-join); without a persist each one re-runs the
+# edge scan + union-distinct shuffle — the dominant waste at scale.
+# Each invocation releases the previous one's blocks.
+_CACHED: list[DataFrame] = []
+
+
+def _own_cache(df: DataFrame) -> DataFrame:
+    release_cached()
+    _CACHED.append(df.persist())
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist the adjacency cached by the most recent call."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 def _und_adj(graph: LinkGraph) -> DataFrame:
     """Undirected adjacency (src, dst) both directions, no self loops."""
@@ -61,7 +80,7 @@ def link_prediction(
     two columns are the pair endpoints; when None, candidates are all
     non-adjacent pairs with ≥1 common neighbor, emitted once as u < v.
     """
-    adj = _und_adj(graph)
+    adj = _own_cache(_und_adj(graph))
     deg = adj.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
 
     # adjacency keyed by the common neighbor w
@@ -96,13 +115,11 @@ def link_prediction(
             F.sum("aa_term").alias("adamic_adar"),
             F.sum("ra_term").alias("resource_allocation"),
         )
-        # drop adjacent pairs (NetworkX scores non-edges)
-        existing = (
-            graph.edges.select(
-                F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-            )
-            .where(F.col("u") != F.col("v"))
-            .distinct()
+        # drop adjacent pairs (NetworkX scores non-edges); adj holds both
+        # orientations, so src < dst picks each undirected edge once —
+        # straight from the cached adjacency, no fresh distinct shuffle
+        existing = adj.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
         )
         scored = scored.join(existing, ["u", "v"], "left_anti")
     else:
