@@ -518,6 +518,21 @@ def q_negative_sample(spark, sf_dir):
     return negative_sample(_oracle_graph(spark, sf_dir), 3, seed=11)
 
 
+def q_saveload(spark, sf_dir):
+    """Graph serialization round-trip (serde.py — Graph.save_to/
+    load_from analog, framework/graph.py:975-1060): the oracle graph is
+    saved to parquet+meta and reloaded; its edges must hash-match the
+    never-serialized g_edges oracle."""
+    import tempfile
+
+    from linkgraph.serde import load_graph, save_graph
+
+    g0 = _oracle_graph(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="lg_serde_q_")
+    save_graph(g0, d, mode="overwrite")
+    return load_graph(spark, d).edges.select("src", "dst")
+
+
 def q_louvain(spark, sf_dir):  # rows-only: multi-phase contraction not SQL
     from linkgraph.algorithms import louvain
 
@@ -1589,6 +1604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_sample_neighbors": q_sample_neighbors,
     "g_khop_sample": q_khop_sample,
     "g_negative_sample": q_negative_sample,
+    "g_saveload": q_saveload,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -2287,6 +2303,7 @@ ORACLE_SQL: dict[str, str] = {
   FROM orders o JOIN customer c
     ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'""",
     "g_edges": f"WITH e AS ({_EDGES_SQL}) SELECT src, dst FROM e",
+    "g_saveload": f"WITH e AS ({_EDGES_SQL}) SELECT src, dst FROM e",
     "g_summary": _with_graph(
         "x AS (SELECT 1) SELECT (SELECT count(*) FROM v) AS n_vertices, (SELECT count(*) FROM e) AS n_edges"
     ),

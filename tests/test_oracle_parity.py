@@ -21,6 +21,7 @@ PAIRS = [
     "g_sample_neighbors",
     "g_khop_sample",
     "g_negative_sample",
+    "g_saveload",
     "g_louvain_p1",
     "gie_repeat_until",
     "gie_text_until",
