@@ -142,6 +142,22 @@ class LinkGraph:
             .distinct()
         )
 
+    # -- result → vertex property (ADD_COLUMN,
+    #    framework/graph.py:581/892 `graph.add_column(ctx, selector)`) --
+    def add_column(self, results: DataFrame, name: str) -> "LinkGraph":
+        """New graph whose vertices carry an algorithm result as a
+        property column ``name`` — the reference's `add_column` contract
+        (app context sealed back onto the fragment). ``results`` is any
+        (vid, value) frame, e.g. an algorithms.* output; vertices with
+        no result row get null."""
+        if name in self.vertices.columns:
+            raise ValueError(f"add_column: column {name!r} already exists")
+        cols = results.columns
+        r = results.select(
+            F.col(cols[0]).cast("long").alias("vid"), F.col(cols[1]).alias(name)
+        )
+        return replace(self, vertices=self.vertices.join(r, "vid", "left"))
+
     # -- subgraph (INDUCE_SUBGRAPH, grape_instance.cc:821) ------------
     def induce_subgraph(self, vertex_set: DataFrame) -> "LinkGraph":
         vs = vertex_set.select(F.col(vertex_set.columns[0]).alias("vid")).distinct()

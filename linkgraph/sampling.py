@@ -49,7 +49,10 @@ def sample_neighbors(
     """Up to ``k`` out-neighbors per source — (src, dst, sample_rank).
 
     strategy 'random': seeded md5 order; 'topk': by ``weight_col``
-    descending (GLE's edge_weight picker), ties → smallest dst.
+    descending; 'weighted': weight-proportional sampling WITHOUT
+    replacement (GLE's edge_weight picker) via Efraimidis–Spirakis —
+    key = u^(1/w) with u a deterministic md5-derived uniform in (0,1],
+    take the k largest keys. All three are exactly replayable.
     """
     e = graph.edges
     if strategy == "random":
@@ -58,11 +61,21 @@ def sample_neighbors(
         if weight_col not in e.columns:
             raise ValueError(f"sample_neighbors: no {weight_col!r} column for topk")
         order = [F.col(weight_col).desc(), F.col("dst").asc()]
+    elif strategy == "weighted":
+        if weight_col not in e.columns:
+            raise ValueError(f"sample_neighbors: no {weight_col!r} column for weighted")
+        # u = (h32 + 1) / 2^32 ∈ (0, 1]; exponent 1/w; ties → smallest dst
+        h32 = F.conv(
+            F.substring(_pick_hash(F.col("src"), F.col("dst"), seed=seed), 1, 8), 16, 10
+        ).cast("double")
+        u = (h32 + 1.0) / F.lit(float(2**32))
+        key = F.pow(u, 1.0 / F.col(weight_col))
+        order = [key.desc(), F.col("dst").asc()]
     else:
         raise ValueError(f"sample_neighbors: unknown strategy {strategy!r}")
     w = Window.partitionBy("src").orderBy(*order)
     return (
-        e.select("src", "dst", *( [weight_col] if strategy == "topk" else [] ))
+        e.select("src", "dst", *([weight_col] if strategy in ("topk", "weighted") else []))
         .withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
         .select("src", "dst", "sample_rank")

@@ -163,3 +163,19 @@ def test_boundaries(spark):
     assert nb == [3, 4]
     eb = sorted((r["src"], r["dst"]) for r in edge_boundary(g, s).collect())
     assert eb == [(1, 3), (2, 4)]
+
+
+def test_add_column_result_onto_graph(spark):
+    """ADD_COLUMN analog (framework/graph.py:581): algorithm result
+    joins onto vertices as a property; missing vids → null."""
+    from linkgraph.algorithms import degree_centrality
+
+    g = graph_from_edge_vids(spark, [(0, 1), (1, 2)])
+    res = degree_centrality(g, "both")
+    g2 = g.add_column(res, "dc")
+    assert "dc" in g2.vertices.columns
+    got = {r["vid"]: r["dc"] for r in g2.vertices.collect()}
+    assert got[1] == max(got.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        g2.add_column(res, "dc")

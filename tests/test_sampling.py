@@ -78,3 +78,28 @@ def test_negative_sample_validity(spark):
     assert len(per_src.get(9, [])) >= 1
     # deterministic
     assert sorted(map(tuple, rows)) == sorted(map(tuple, negative_sample(g, 3, seed=11).collect()))
+
+
+def test_sample_neighbors_weighted(spark):
+    # one hub with a dominant-weight edge: over many seeds the heavy
+    # edge must be picked (rank 1) far more often than the light ones
+    edges = [(0, 1, 100.0), (0, 2, 1.0), (0, 3, 1.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    from linkgraph.graph import LinkGraph
+
+    v = df.select(F.col("src").alias("vid")).union(df.select("dst")).distinct().select(
+        "vid", F.col("vid").cast("string").alias("oid")
+    )
+    g = LinkGraph(vertices=v, edges=df)
+    wins = 0
+    for seed in range(20):
+        first = (
+            sample_neighbors(g, 1, strategy="weighted", seed=seed)
+            .where("src = 0").first()
+        )
+        wins += first["dst"] == 1
+    assert wins >= 15  # weight 100 vs 1+1 → p(win) ≈ 0.98 per draw
+    # deterministic for a fixed seed
+    a = sample_neighbors(g, 2, strategy="weighted", seed=3).collect()
+    b = sample_neighbors(g, 2, strategy="weighted", seed=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
