@@ -49,6 +49,12 @@ from linkgraph.algorithms.paths import (
     all_pairs_shortest_path_length,
     closeness_centrality,
     average_shortest_path_length,
+    eccentricity,
+    diameter,
+    radius,
+    center,
+    periphery,
+    harmonic_centrality,
 )
 
 __all__ = [
@@ -88,6 +94,12 @@ __all__ = [
     "all_pairs_shortest_path_length",
     "closeness_centrality",
     "average_shortest_path_length",
+    "eccentricity",
+    "diameter",
+    "radius",
+    "center",
+    "periphery",
+    "harmonic_centrality",
     "betweenness_centrality",
     "lpa_u2i",
     "lpa_u2i_vector",

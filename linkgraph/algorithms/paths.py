@@ -487,3 +487,65 @@ def average_shortest_path_length(graph: LinkGraph) -> float:
         F.sum("dist").alias("s"), F.count("*").alias("c")
     ).first()
     return float(row["s"] / row["c"]) if row["c"] else 0.0
+
+
+def eccentricity(graph: LinkGraph) -> DataFrame:
+    """(vid, ecc) — reachable-set eccentricity: max unweighted distance
+    from each vertex to the vertices it can reach (0 for sinks).
+
+    NetworkX raises on graphs that are not (strongly) connected; this
+    core operator instead keeps the reachable-set definition so it is
+    total — :mod:`linkgraph.nx` adds the faithful connectivity guard.
+    Reference surface: nx eccentricity/diameter forward to the APSP app
+    family (same `multi_source_bfs` O(V·V) state; use on subgraphs or
+    sampled roots at scale, as with apsp)."""
+    d = multi_source_bfs(graph)
+    return d.groupBy(F.col("root").alias("vid")).agg(
+        F.max("dist").cast("long").alias("ecc")
+    )
+
+
+def diameter(graph: LinkGraph, ecc: DataFrame | None = None) -> int:
+    """Max reachable-set eccentricity (see :func:`eccentricity`)."""
+    e = ecc if ecc is not None else eccentricity(graph)
+    row = e.agg(F.max("ecc").alias("d")).first()
+    return int(row["d"]) if row["d"] is not None else 0
+
+
+def radius(graph: LinkGraph, ecc: DataFrame | None = None) -> int:
+    """Min reachable-set eccentricity (see :func:`eccentricity`)."""
+    e = ecc if ecc is not None else eccentricity(graph)
+    row = e.agg(F.min("ecc").alias("r")).first()
+    return int(row["r"]) if row["r"] is not None else 0
+
+
+def center(graph: LinkGraph, ecc: DataFrame | None = None) -> DataFrame:
+    """(vid) — vertices whose eccentricity equals the radius."""
+    e = (ecc if ecc is not None else eccentricity(graph)).persist()
+    out = e.where(F.col("ecc") == F.lit(radius(graph, ecc=e))).select("vid")
+    return out
+
+
+def periphery(graph: LinkGraph, ecc: DataFrame | None = None) -> DataFrame:
+    """(vid) — vertices whose eccentricity equals the diameter."""
+    e = (ecc if ecc is not None else eccentricity(graph)).persist()
+    out = e.where(F.col("ecc") == F.lit(diameter(graph, ecc=e))).select("vid")
+    return out
+
+
+def harmonic_centrality(graph: LinkGraph) -> DataFrame:
+    """(vid, value) — sum of 1/d(u, v) over incoming distances
+    (NetworkX harmonic_centrality semantics: distance TO v), 0.0 for
+    vertices nothing reaches. Same reversed multi-source BFS closeness
+    uses; round(…, 6) for engine-portable comparison."""
+    d = multi_source_bfs(graph, reverse=True)
+    agg = (
+        d.where(F.col("dist") > 0)
+        .groupBy("root")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("value"))
+    )
+    return (
+        graph.vertices.select("vid")
+        .join(agg, F.col("vid") == F.col("root"), "left")
+        .select("vid", F.coalesce("value", F.lit(0.0)).alias("value"))
+    )

@@ -287,6 +287,59 @@ def closeness_centrality(G: DiGraph, wf_improved: bool = True) -> dict:
     return G._to_dict(A.closeness_centrality(G._project(), wf_improved=wf_improved))
 
 
+def _ecc_checked(G: DiGraph) -> dict:
+    """NetworkX-faithful eccentricity: raises if any vertex cannot reach
+    every other (disconnected / not strongly connected), else node→ecc.
+    Bounded collect (|V| rows), like the other nx wrappers."""
+    lg = G._project()
+    n = lg.vertices.count()
+    reach = (
+        A.multi_source_bfs(lg)
+        .groupBy("root")
+        .agg(F.count("*").alias("c"), F.max("dist").alias("ecc"))
+    )
+    rows = reach.collect()
+    if len(rows) < n or any(r["c"] < n for r in rows):
+        raise ValueError(
+            "Found infinite path length because the graph is not connected"
+        )
+    return {G._node_of[r["root"]]: int(r["ecc"]) for r in rows}
+
+
+def eccentricity(G: DiGraph) -> dict:
+    """nx.eccentricity — max distance from each node (connected only)."""
+    return _ecc_checked(G)
+
+
+def diameter(G: DiGraph) -> int:
+    """nx.diameter — max eccentricity."""
+    return max(_ecc_checked(G).values())
+
+
+def radius(G: DiGraph) -> int:
+    """nx.radius — min eccentricity."""
+    return min(_ecc_checked(G).values())
+
+
+def center(G: DiGraph) -> list:
+    """nx.center — nodes with eccentricity == radius."""
+    ecc = _ecc_checked(G)
+    r = min(ecc.values())
+    return sorted((n for n, e in ecc.items() if e == r), key=repr)
+
+
+def periphery(G: DiGraph) -> list:
+    """nx.periphery — nodes with eccentricity == diameter."""
+    ecc = _ecc_checked(G)
+    d = max(ecc.values())
+    return sorted((n for n, e in ecc.items() if e == d), key=repr)
+
+
+def harmonic_centrality(G: DiGraph) -> dict:
+    """nx.harmonic_centrality — sum of 1/d over incoming distances."""
+    return G._to_dict(A.harmonic_centrality(G._project()))
+
+
 def k_core(G: DiGraph, k: int) -> list:
     """builtin.py:509 — nodes of the k-core (membership flag collected)."""
     res = A.k_core(G._project(), k=k)

@@ -369,6 +369,28 @@ def q_apsp(spark, sf_dir):
     )
 
 
+def q_eccentricity(spark, sf_dir):
+    from linkgraph.algorithms import eccentricity
+
+    return eccentricity(_oracle_graph(spark, sf_dir))
+
+
+def q_diameter_radius(spark, sf_dir):
+    from linkgraph.algorithms import diameter, eccentricity, radius
+
+    g = _oracle_graph(spark, sf_dir)
+    ecc = eccentricity(g).persist()
+    return spark.createDataFrame(
+        [(diameter(g, ecc=ecc), radius(g, ecc=ecc))], "diameter long, radius long"
+    )
+
+
+def q_harmonic(spark, sf_dir):
+    from linkgraph.algorithms import harmonic_centrality
+
+    return harmonic_centrality(_oracle_graph(spark, sf_dir))
+
+
 def q_avg_path_length(spark, sf_dir):
     from linkgraph.algorithms import average_shortest_path_length
 
@@ -1605,6 +1627,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_khop_sample": q_khop_sample,
     "g_negative_sample": q_negative_sample,
     "g_saveload": q_saveload,
+    "g_eccentricity": q_eccentricity,
+    "g_diameter_radius": q_diameter_radius,
+    "g_harmonic": q_harmonic,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -2605,6 +2630,41 @@ ORACLE_SQL: dict[str, str] = {
     SELECT * FROM w),
   sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid)
   SELECT round(avg(dist * 1.0), 6) AS avg_path_length FROM sp WHERE dist > 0"""
+    ),
+    "g_eccentricity": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid)
+  SELECT root AS vid, CAST(max(dist) AS BIGINT) AS ecc FROM sp GROUP BY root"""
+    ),
+    "g_diameter_radius": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  ecc AS (SELECT root, max(dist) AS ecc FROM sp GROUP BY root)
+  SELECT CAST(max(ecc) AS BIGINT) AS diameter, CAST(min(ecc) AS BIGINT) AS radius
+  FROM ecc"""
+    ),
+    "g_harmonic": _with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.src, w.d + 1 FROM w JOIN e ON w.vid = e.dst WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  agg AS (SELECT root, round(sum(1.0 / dist), 6) AS value
+          FROM sp WHERE dist > 0 GROUP BY root)
+  SELECT v.vid, coalesce(agg.value, 0.0) AS value
+  FROM v LEFT JOIN agg ON v.vid = agg.root"""
     ),
     "g_bfs_tree": _with_graph(
         """walk AS (

@@ -16,6 +16,9 @@ TABLES = (
 ).split()
 
 PAIRS = [
+    "g_eccentricity",
+    "g_diameter_radius",
+    "g_harmonic",
     "g_linkpred",
     "g_voterank",
     "g_sample_neighbors",

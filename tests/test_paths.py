@@ -216,3 +216,57 @@ def test_closeness_sampled_matches_full(spark):
     assert set(got) == {v for v in full if v % 3 == 0}
     for v, val in got.items():
         assert abs(val - full[v]) < 1e-12
+
+
+def test_eccentricity_family(spark):
+    """Reachable-set eccentricity/diameter/radius/center/periphery vs a
+    plain-Python BFS oracle on a directed graph with unreachable pairs."""
+    from linkgraph.algorithms import center, diameter, eccentricity, periphery, radius
+
+    verts = range(6)
+    g = graph_from_edge_vids(spark, EDGES)
+    dist = _py_bfs_all(EDGES, verts)
+    want = {r: max(dist[r].values()) for r in verts}
+    got = {r["vid"]: r["ecc"] for r in eccentricity(g).collect()}
+    assert got == want
+    assert diameter(g) == max(want.values())
+    assert radius(g) == min(want.values())
+    rad, dia = min(want.values()), max(want.values())
+    assert {r["vid"] for r in center(g).collect()} == {v for v, e in want.items() if e == rad}
+    assert {r["vid"] for r in periphery(g).collect()} == {v for v, e in want.items() if e == dia}
+
+
+def test_harmonic_centrality_incoming(spark):
+    """harmonic(v) = sum of 1/d(u, v) over incoming distances; 0.0 when
+    nothing reaches v (vertex 5 here has in-degree 0)."""
+    from linkgraph.algorithms import harmonic_centrality
+
+    verts = range(6)
+    g = graph_from_edge_vids(spark, EDGES)
+    rdist = _py_bfs_all(EDGES, verts, reverse=True)
+    want = {
+        v: round(sum(1.0 / d for u, d in rdist[v].items() if d > 0), 6) for v in verts
+    }
+    got = {r["vid"]: r["value"] for r in harmonic_centrality(g).collect()}
+    assert got == want
+    assert got[5] == 0.0
+
+
+def test_nx_eccentricity_guard_and_cycle():
+    """nx wrappers: faithful raise on non-strongly-connected digraphs;
+    exact values on a 3-cycle (ecc 2 everywhere, harmonic 1.5)."""
+    import pytest as _pytest
+
+    from linkgraph import nx
+
+    G = nx.DiGraph()
+    G.add_edges_from([(0, 1), (1, 2), (2, 0)])
+    assert nx.eccentricity(G) == {0: 2, 1: 2, 2: 2}
+    assert nx.diameter(G) == 2 and nx.radius(G) == 2
+    assert nx.center(G) == [0, 1, 2] and nx.periphery(G) == [0, 1, 2]
+    assert nx.harmonic_centrality(G) == {0: 1.5, 1: 1.5, 2: 1.5}
+
+    H = nx.DiGraph()
+    H.add_edges_from([(0, 1)])  # 1 cannot reach 0
+    with _pytest.raises(ValueError, match="not connected"):
+        nx.eccentricity(H)
