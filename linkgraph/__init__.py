@@ -30,7 +30,7 @@ Layout
 - :mod:`linkgraph.pregel`     — vertex-centric Pregel user API with aggregators
 """
 
-from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph
+from linkgraph.graph import LinkGraph, assign_dense_ids, build_graph, quotient_graph
 from linkgraph.corpus import synth_corpus, derive_edges, synth_edge_graph
 from linkgraph.property import PropertyGraph
 from linkgraph.gie import traversal
@@ -41,6 +41,7 @@ __all__ = [
     "PropertyGraph",
     "assign_dense_ids",
     "build_graph",
+    "quotient_graph",
     "synth_corpus",
     "derive_edges",
     "synth_edge_graph",

@@ -332,6 +332,46 @@ def build_graph(
     return g
 
 
+def quotient_graph(
+    graph: LinkGraph,
+    labels: DataFrame,
+    self_loops: bool = False,
+    partitions: int | None = None,
+) -> LinkGraph:
+    """Contract a graph over a vertex partition: one quotient vertex per
+    label group, quotient edge weight = count of underlying edges (or
+    their summed ``weight`` if the input carries one).
+
+    The general form of Louvain's phase-2 contraction
+    (algorithms/louvain.py — communities become vertices, parallel edge
+    weights summed; reference analog: the pregel louvain's community
+    compaction, `analytical_engine/apps/pregel/louvain/`), exposed as a
+    first-class operator: at corpus scale it is the repo-level rollup of
+    the file-level dependency graph (10^12 file vertices → 10^7-ish repo
+    vertices), after which whole-graph algorithms become cheap.
+
+    ``labels``: (vid, group) in its first two columns; any group type
+    (cast to string for the quotient oids). Scale shape: two vid-keyed
+    broadcast-or-shuffle joins sized by |labels| ≪ |edges| payload, one
+    (group, group)-keyed aggregation whose output is |groups|²-bounded —
+    no step touches more than the edge list once.
+    """
+    vc, gc = labels.columns[0], labels.columns[1]
+    lab = labels.select(F.col(vc).alias("vid"), F.col(gc).cast("string").alias("grp"))
+    e = graph.edges
+    w = F.col("weight") if "weight" in e.columns else F.lit(1.0)
+    joined = (
+        e.select("src", "dst", w.alias("w"))
+        .join(lab.select(F.col("vid").alias("src"), F.col("grp").alias("gsrc")), "src")
+        .join(lab.select(F.col("vid").alias("dst"), F.col("grp").alias("gdst")), "dst")
+    )
+    if not self_loops:
+        joined = joined.where(F.col("gsrc") != F.col("gdst"))
+    qe = joined.groupBy("gsrc", "gdst").agg(F.sum("w").alias("weight"))
+    return build_graph(qe, src_col="gsrc", dst_col="gdst", weight_col="weight",
+                       partitions=partitions)
+
+
 def graph_from_edge_vids(spark: SparkSession, pairs: list[tuple[int, int]], directed: bool = True) -> LinkGraph:
     """Tiny fixture helper: build a LinkGraph from literal (src, dst) vids."""
     e = spark.createDataFrame(pairs or [(0, 0)], "src long, dst long")

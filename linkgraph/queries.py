@@ -1227,6 +1227,33 @@ def q_corpus_edges(spark, sf_dir):
     return derive_edges(corpus)
 
 
+def q_corpus_repo_graph(spark, sf_dir):
+    """Repo-level rollup of the file-level dependency graph via
+    quotient_graph: group = the repo prefix of the vertex oid, edge
+    weight = number of underlying file→file imports. The DuckDB oracle
+    replays the generator arithmetic (as corpus_edges does) and groups
+    by split_part(oid, ':', 1) — fully independent derivation."""
+    from linkgraph.graph import build_graph, quotient_graph
+
+    corpus = synth_corpus(spark, 2000, seed=42, hash_mode="md5")
+    g = build_graph(derive_edges(corpus))
+    labels = g.vertices.select(
+        "vid", F.split(F.col("oid"), ":").getItem(0).alias("grp")
+    )
+    q = quotient_graph(g, labels)
+    vs = q.vertices
+    out = (
+        q.edges.join(
+            vs.select(F.col("vid").alias("src"), F.col("oid").alias("src_repo")), "src"
+        )
+        .join(vs.select(F.col("vid").alias("dst"), F.col("oid").alias("dst_repo")), "dst")
+        .select("src_repo", "dst_repo", F.col("weight").cast("long").alias("weight"))
+    )
+    g.unpersist()
+    q.unpersist()
+    return out
+
+
 def q_corpus_pagerank(spark, sf_dir):
     """rows-only BY COMPOSITION: converged PageRank (unknown round count →
     not SQL-unrollable), but its input edge table is oracle-green via
@@ -1630,6 +1657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_eccentricity": q_eccentricity,
     "g_diameter_radius": q_diameter_radius,
     "g_harmonic": q_harmonic,
+    "corpus_repo_graph": q_corpus_repo_graph,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -3013,6 +3041,14 @@ ORACLE_SQL: dict[str, str] = {
   FROM v LEFT JOIN w USING (oid)""",
     # -- corpus derivation (generator replay, independent of regex path) --
     "corpus_edges": _corpus_edges_sql(),
+    "corpus_repo_graph": f"""
+  WITH base AS ({_corpus_edges_sql()})
+  SELECT split_part(src_oid, ':', 1) AS src_repo,
+         split_part(dst_oid, ':', 1) AS dst_repo,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM base
+  WHERE split_part(src_oid, ':', 1) <> split_part(dst_oid, ':', 1)
+  GROUP BY 1, 2""",
     # -- multimodal (synth_media replay: md5-portable generator, n=200, seed=42) --
     "media_features": """
   WITH m AS (

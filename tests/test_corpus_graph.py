@@ -145,3 +145,39 @@ def test_loader_uri_passthrough(spark, tmp_path):
         storage_options={"comment": "#"},
     )
     assert g.vertices.count() == 3 and g.edges.count() == 2
+
+
+def test_quotient_graph_contraction(spark):
+    """quotient_graph: group rollup sums weights, drops intra-group edges
+    by default, keeps them as self-loops when asked."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import graph_from_edge_vids, quotient_graph
+
+    # groups: {0,1} -> A, {2,3} -> B; edges A->A x1, A->B x3, B->A x1
+    g = graph_from_edge_vids(spark, [(0, 1), (0, 2), (0, 3), (1, 3), (2, 0)])
+    labels = g.vertices.select(
+        "vid", F.when(F.col("vid") < 2, "A").otherwise("B").alias("grp")
+    )
+    q = quotient_graph(g, labels)
+    vs = {r["oid"]: r["vid"] for r in q.vertices.collect()}
+    ew = {(r["src"], r["dst"]): r["weight"] for r in q.edges.collect()}
+    assert set(vs) == {"A", "B"}
+    assert ew == {(vs["A"], vs["B"]): 3.0, (vs["B"], vs["A"]): 1.0}
+
+    q2 = quotient_graph(g, labels, self_loops=True)
+    ew2 = {(r["src"], r["dst"]): r["weight"] for r in q2.edges.collect()}
+    vs2 = {r["oid"]: r["vid"] for r in q2.vertices.collect()}
+    assert ew2[(vs2["A"], vs2["A"])] == 1.0 and ew2[(vs2["A"], vs2["B"])] == 3.0
+
+    # weighted input: weights sum, not count
+    gw = g
+    gw = type(g)(vertices=g.vertices,
+                 edges=g.edges.withColumn("weight", F.lit(2.0)),
+                 directed=g.directed)
+    qw = quotient_graph(gw, labels)
+    eww = {(r["src"], r["dst"]): r["weight"] for r in qw.edges.collect()}
+    vsw = {r["oid"]: r["vid"] for r in qw.vertices.collect()}
+    assert eww[(vsw["A"], vsw["B"])] == 6.0
+    for x in (q, q2, qw):
+        x.unpersist()

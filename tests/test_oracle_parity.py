@@ -19,6 +19,7 @@ PAIRS = [
     "g_eccentricity",
     "g_diameter_radius",
     "g_harmonic",
+    "corpus_repo_graph",
     "g_linkpred",
     "g_voterank",
     "g_sample_neighbors",
