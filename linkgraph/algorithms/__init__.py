@@ -23,7 +23,7 @@ from linkgraph.algorithms.assortativity import (
     numeric_assortativity_coefficient,
 )
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
-from linkgraph.algorithms.scc import scc
+from linkgraph.algorithms.scc import scc, condensation
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.louvain import louvain, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
@@ -80,6 +80,7 @@ __all__ = [
     "node_boundary",
     "edge_boundary",
     "scc",
+    "condensation",
     "attribute_assortativity_coefficient",
     "numeric_assortativity_coefficient",
     "bfs_parents",

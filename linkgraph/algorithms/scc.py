@@ -106,3 +106,19 @@ def scc(graph: LinkGraph, max_outer: int = 100) -> DataFrame:
         member.unpersist()
         colors.unpersist()
     return assigned
+
+
+def condensation(graph: LinkGraph) -> LinkGraph:
+    """DAG of strongly connected components (nx.condensation analog).
+
+    SCC labels (canonical id = max member vid, :func:`scc`) feed
+    :func:`linkgraph.graph.quotient_graph`: one vertex per component,
+    one edge per ordered component pair with at least one underlying
+    edge (``weight`` carries the underlying-edge count — extra signal
+    NetworkX doesn't keep; nx's 0..k-1 relabeling and ``members`` node
+    sets are intentionally not reproduced, the canonical component vid
+    is the stabler id at scale). The result is always a DAG.
+    """
+    from linkgraph.graph import quotient_graph
+
+    return quotient_graph(graph, scc(graph))

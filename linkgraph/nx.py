@@ -340,6 +340,26 @@ def harmonic_centrality(G: DiGraph) -> dict:
     return G._to_dict(A.harmonic_centrality(G._project()))
 
 
+def condensation(G: DiGraph) -> DiGraph:
+    """nx.condensation — the DAG of strongly connected components.
+
+    Divergence from NetworkX (documented): component nodes are the
+    canonical component representative (the max-vid member, mapped back
+    to its original node object), not 0..k-1, and the ``members`` node
+    attribute is not materialized — at scale the membership is the
+    (vid, comp) DataFrame `linkgraph.algorithms.scc` already returns."""
+    G._project()
+    c = A.condensation(G._lg)
+    rep = {r["vid"]: G._node_of[int(r["oid"])] for r in c.vertices.collect()}
+    H = DiGraph(G._spark)
+    for n in rep.values():
+        H.add_node(n)
+    for r in c.edges.collect():
+        H.add_edge(rep[r["src"]], rep[r["dst"]])
+    c.unpersist()
+    return H
+
+
 def k_core(G: DiGraph, k: int) -> list:
     """builtin.py:509 — nodes of the k-core (membership flag collected)."""
     res = A.k_core(G._project(), k=k)

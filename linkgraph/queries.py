@@ -1254,6 +1254,38 @@ def q_corpus_repo_graph(spark, sf_dir):
     return out
 
 
+def q_condensation(spark, sf_dir):
+    """SCC condensation DAG: (src_comp, dst_comp, weight) with comp =
+    canonical SCC id (max member vid) and weight = underlying edge count.
+
+    The full oracle graph is one giant SCC (empty DAG — trivially
+    hash-equal), so the query restricts the edge set deterministically
+    (forward edges + back edges from src % 7 == 0) to 21 components /
+    35 DAG edges at sf0.01 — real structure for the comparison."""
+    from linkgraph.algorithms import condensation
+    from linkgraph.graph import LinkGraph
+
+    g0 = _oracle_graph(spark, sf_dir)
+    g = LinkGraph(
+        vertices=g0.vertices,
+        edges=g0.edges.where((F.col("src") < F.col("dst")) | (F.col("src") % 7 == 0)),
+    )
+    q = condensation(g)
+    vs = q.vertices
+    out = (
+        q.edges.join(
+            vs.select(F.col("vid").alias("src"), F.col("oid").alias("s")), "src"
+        )
+        .join(vs.select(F.col("vid").alias("dst"), F.col("oid").alias("d")), "dst")
+        .select(
+            F.col("s").cast("long").alias("src_comp"),
+            F.col("d").cast("long").alias("dst_comp"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )
+    return out
+
+
 def q_corpus_pagerank(spark, sf_dir):
     """rows-only BY COMPOSITION: converged PageRank (unknown round count →
     not SQL-unrollable), but its input edge table is oracle-green via
@@ -1658,6 +1690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_diameter_radius": q_diameter_radius,
     "g_harmonic": q_harmonic,
     "corpus_repo_graph": q_corpus_repo_graph,
+    "g_condensation": q_condensation,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -2420,6 +2453,23 @@ ORACLE_SQL: dict[str, str] = {
   mutual AS (
     SELECT r1.vid, r1.t FROM reach r1 JOIN reach r2 ON r1.vid = r2.t AND r1.t = r2.vid)
   SELECT vid, max(t) AS comp FROM mutual GROUP BY vid"""
+    ),
+    "g_condensation": _with_graph(
+        """e2 AS (SELECT src, dst FROM e WHERE src < dst OR src % 7 = 0),
+  reach AS (
+    WITH RECURSIVE r(vid, t) AS (
+      SELECT vid, vid FROM v
+      UNION
+      SELECT r.vid, e2.dst FROM r JOIN e2 ON r.t = e2.src)
+    SELECT * FROM r),
+  mutual AS (
+    SELECT r1.vid, r1.t FROM reach r1 JOIN reach r2 ON r1.vid = r2.t AND r1.t = r2.vid),
+  scc AS (SELECT vid, max(t) AS comp FROM mutual GROUP BY vid)
+  SELECT s1.comp AS src_comp, s2.comp AS dst_comp,
+         CAST(count(*) AS BIGINT) AS weight
+  FROM e2 JOIN scc s1 ON e2.src = s1.vid JOIN scc s2 ON e2.dst = s2.vid
+  WHERE s1.comp <> s2.comp
+  GROUP BY 1, 2"""
     ),
     "g_clustering": _with_graph(
         """tri AS (

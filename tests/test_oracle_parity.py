@@ -20,6 +20,7 @@ PAIRS = [
     "g_diameter_radius",
     "g_harmonic",
     "corpus_repo_graph",
+    "g_condensation",
     "g_linkpred",
     "g_voterank",
     "g_sample_neighbors",

@@ -270,3 +270,30 @@ def test_nx_eccentricity_guard_and_cycle():
     H.add_edges_from([(0, 1)])  # 1 cannot reach 0
     with _pytest.raises(ValueError, match="not connected"):
         nx.eccentricity(H)
+
+
+def test_condensation_dag(spark):
+    """Two 2-cycles bridged by one edge -> 2-node DAG with one edge;
+    weight counts the underlying cross-edges."""
+    from linkgraph.algorithms import condensation
+
+    # SCC {0,1} (max id 1), SCC {2,3} (max id 3), bridges 1->2 and 0->3
+    g = graph_from_edge_vids(spark, [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2), (0, 3)])
+    c = condensation(g)
+    comps = {int(r["oid"]) for r in c.vertices.collect()}
+    assert comps == {1, 3}
+    edges = [(int(r["src"]), int(r["dst"]), r["weight"]) for r in c.edges.collect()]
+    vid_of = {int(r["oid"]): r["vid"] for r in c.vertices.collect()}
+    assert edges == [(vid_of[1], vid_of[3], 2.0)]
+    c.unpersist()
+
+
+def test_nx_condensation():
+    from linkgraph import nx
+
+    G = nx.DiGraph()
+    G.add_edges_from([("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c")])
+    H = nx.condensation(G)
+    assert H.number_of_nodes() == 2 and H.number_of_edges() == 1
+    (u, v), = list(H.edges())
+    assert u in ("a", "b") and v in ("c", "d")
