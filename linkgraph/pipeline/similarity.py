@@ -207,10 +207,15 @@ def _centroid_scores(vec_col: Column, centroids: np.ndarray) -> list[Column]:
     return out
 
 
-# Above this many lists the centroid matrix stops being a plan literal:
-# 256 lists × 64 dims ≈ 16k literal doubles is near the practical ceiling
-# for plan size/compile time; a 4k-list quantizer would be ~256k literals.
-MAX_PLAN_CENTROIDS = 256
+# Above this many lists the centroid matrix stops being a plan literal.
+# Measured crossover (BENCH/run_ivf_probe.py, 500k×64f vectors, local[32]):
+# the literal path degrades linearly in n_centroids (16→4.2s, 64→15.8s,
+# 256→43.7s of codegen-heavy expression eval) while the Arrow broadcast
+# matmul is near-flat (256→5.3s, 1024→8.4s, 4096→10.9s) with identical
+# assignments (checksum-asserted). The literal tier is kept only for tiny
+# quantizers where an all-JVM plan (no Python workers) is worth more than
+# the constant: beyond 32 lists the broadcast matmul always wins.
+MAX_PLAN_CENTROIDS = 32
 
 # Arrow-path centroid broadcasts cannot be destroyed eagerly (the
 # returned DataFrames are lazy and read them at action time), so they are
