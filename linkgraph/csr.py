@@ -419,6 +419,227 @@ def pagerank_csr(
     return out
 
 
+def pagerank_delta_csr(
+    graph: LinkGraph,
+    alpha: float = 0.85,
+    max_iter: int = 200,
+    tol: float = 1e-06,
+    theta: float | None = None,
+    num_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Push-style (delta-propagation) PageRank on the CSR fast tier —
+    the frontier-damping bytes/round lever.
+
+    Solves the same fixpoint as :func:`pagerank_csr` /
+    ``pagerank_nx`` — ``r = (1-α)/n + α·P·r`` with dangling mass
+    redistributed uniformly (reference semantics:
+    ``analytical_engine/apps/pagerank/pagerank_networkx.h``) — but via
+    the Neumann/push formulation: state carries ``(rank, resid)`` with
+    the invariant ``r_true = rank + Σ_k (αP)^k resid``. Each round,
+    only vertices whose residual exceeds ``theta`` push
+    ``α·resid/out_deg`` along their out-edges (dangling frontier
+    residual is redistributed as one scalar, ``α·D/n`` to every
+    vertex), absorb the pushed residual into ``rank``, and collect
+    incoming pushes as new residual. Held-back residual is **never
+    dropped** — it accumulates at the vertex until it crosses
+    ``theta`` — so the result is exact up to the stopping bound, not
+    an approximation.
+
+    Why it's a scale lever: :func:`pagerank_csr` ships one partial per
+    reachable (block, dst) pair every round regardless of progress.
+    Here the per-round partial volume is proportional to the
+    *frontier's* out-edges; on skewed graphs low-rank vertices fall
+    below ``theta`` within a few rounds and the shuffle shrinks
+    monotonically (``LAST_HISTORY`` records frontier size + partial
+    rows per round).
+
+    Precision accounting (residuals are ≥ 0 throughout, P is
+    column-stochastic, so L1 is preserved exactly): remaining error
+    after the final absorb is ``Σ_{k≥1} (αP)^k resid``, i.e.
+    ``‖resid‖₁ · α/(1-α)``. The loop stops when
+    ``‖resid‖₁ ≤ tol·n·(1-α)``, giving total L1 error ≤ ``tol·n·α`` —
+    at least as tight as the iterative tiers' ``Σ|Δr| < tol·n`` stop.
+    Default ``theta = tol·(1-α)/2`` guarantees the stop always
+    triggers (an all-sub-theta state satisfies it by construction), so
+    the frontier can never stall non-converged.
+    """
+    spark = graph.edges.sparkSession
+    p = num_blocks or spark.sparkContext.defaultParallelism
+    n = graph.vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, value double")
+    if theta is None:
+        theta = tol * (1.0 - alpha) / 2.0
+    stop_l1 = tol * n * (1.0 - alpha)
+
+    min_vid, max_vid = graph.vertices.agg(F.min("vid"), F.max("vid")).first()
+    min_vid, max_vid = (min_vid or 0), (max_vid or 0)
+    compact_dst = 0 <= min_vid and max_vid < 2**31 - 1
+    np_dst = np.int32 if compact_dst else np.int64
+    pa_dst = pa.int32() if compact_dst else pa.int64()
+    sql_dst = "int" if compact_dst else "long"
+
+    blocks = build_csr_blocks(graph.edges, p).persist()
+    blocks.count()
+
+    out_deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
+    state0 = (
+        graph.vertices.select("vid")
+        .join(out_deg.withColumnRenamed("src", "vid"), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+            F.lit(0.0).alias("rank"),
+            F.lit((1.0 - alpha) / n).alias("resid"),
+        )
+    )
+
+    packed_schema = pa.schema(
+        [("tgt", pa.int32()), ("dsts", pa.list_(pa_dst)), ("pdeltas", pa.list_(pa.float64()))]
+    )
+
+    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        """Frontier-only packed emission: gather α·resid/deg for sources
+        above theta, scatter per-block sums, ship one Arrow-list row per
+        destination partition. Sub-theta sources emit nothing — that is
+        the entire lever."""
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return packed_schema.empty_table()
+        resid = _np_col(state_tbl, "resid", np.float64)
+        frontier = resid > theta
+        if not frontier.any():
+            return packed_schema.empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)[frontier]
+        deg = _np_col(state_tbl, "deg", np.float64)[frontier]
+        push = alpha * resid[frontier]
+        contrib = np.divide(push, deg, out=np.zeros_like(push), where=deg > 0)
+        outs_d, outs_p = [], []
+        for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
+            src_vals = _gather(vids, contrib, us, 0.0)
+            per_edge = np.repeat(src_vals, np.diff(indptr))
+            psum = np.bincount(dst_idx, weights=per_edge, minlength=len(udst))
+            mask = psum > 0.0  # pushes are strictly positive
+            outs_d.append(udst[mask].astype(np_dst, copy=False))
+            outs_p.append(psum[mask])
+        all_d = np.concatenate(outs_d)
+        if not len(all_d):
+            return packed_schema.empty_table()
+        all_p = np.concatenate(outs_p)
+        tgt, off, order = _pack_by_tgt(all_d, p)
+        return pa.table(
+            {
+                "tgt": tgt,
+                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa_dst)),
+                "pdeltas": pa.ListArray.from_arrays(off, pa.array(all_p[order])),
+            }
+        )
+
+    _STATE_SCHEMA = pa.schema(
+        [
+            ("vid", pa.int64()),
+            ("deg", pa.int32()),
+            ("rank", pa.float64()),
+            ("resid", pa.float64()),
+        ]
+    )
+
+    def _make_update(dang_term: float):
+        """dang_term = α·(frontier dangling residual)/n — same
+        round-lagged scalar pattern as pagerank_csr's dangling mass."""
+
+        def _update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+            if state_tbl.num_rows == 0:
+                return _STATE_SCHEMA.empty_table()
+            vids = _np_col(state_tbl, "vid", np.int64)
+            deg = _np_col(state_tbl, "deg", np.int32)
+            rank = _np_col(state_tbl, "rank", np.float64).copy()
+            resid = _np_col(state_tbl, "resid", np.float64).copy()
+            incoming = np.full(len(vids), dang_term, dtype=np.float64)
+            if packed_tbl.num_rows:
+                all_d = (
+                    packed_tbl.column("dsts").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                )
+                all_p = (
+                    packed_tbl.column("pdeltas").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                )
+                idx, ok = _scatter_positions(vids, all_d)
+                np.add.at(incoming, idx, all_p[ok])
+            pushed = resid > theta
+            rank[pushed] += resid[pushed]
+            resid[pushed] = 0.0
+            resid += incoming
+            return pa.table(
+                {
+                    "vid": pa.array(vids, pa.int64()),
+                    "deg": pa.array(deg, pa.int32()),
+                    "rank": pa.array(rank),
+                    "resid": pa.array(resid),
+                }
+            )
+
+        return _update
+
+    dang = {"term": None}
+
+    def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        if dang["term"] is None:
+            d0 = (
+                state.where((F.col("deg") == 0) & (F.col("resid") > theta))
+                .agg(F.sum("resid"))
+                .first()[0]
+                or 0.0
+            )
+            dang["term"] = alpha * d0 / n
+        st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
+        partials = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+            _partials_packed,
+            schema=f"tgt int, dsts array<{sql_dst}>, pdeltas array<double>",
+        )
+        new_state = (
+            st_keyed.groupBy("bid")
+            .cogroup(partials.groupBy("tgt"))
+            .applyInArrow(
+                _make_update(dang["term"]),
+                schema="vid long, deg int, rank double, resid double",
+            )
+            .persist()
+        )
+        row = new_state.agg(
+            F.sum("resid").alias("l1"),
+            F.sum(
+                F.when(
+                    (F.col("deg") == 0) & (F.col("resid") > theta), F.col("resid")
+                ).otherwise(F.lit(0.0))
+            ).alias("dg"),
+            F.sum((F.col("resid") > theta).cast("long")).alias("frontier"),
+        ).first()
+        dang["term"] = alpha * (row["dg"] or 0.0) / n
+        return new_state, {
+            "l1": row["l1"] or 0.0,
+            "frontier": int(row["frontier"] or 0),
+        }
+
+    result = run_supersteps(
+        state0,
+        step,
+        converged=lambda s: s["l1"] <= stop_l1 or s["frontier"] == 0,
+        max_rounds=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
+    global LAST_ROUNDS, LAST_HISTORY
+    LAST_ROUNDS = result.rounds
+    LAST_HISTORY = result.history
+    # final absorb: rank + resid (the k=0 term of the remaining series)
+    out = result.state.select(
+        "vid", (F.col("rank") + F.col("resid")).alias("value")
+    )
+    blocks.unpersist()
+    return out
+
+
 def _multi_row_list(arrays: list[np.ndarray], typ) -> pa.ListArray:
     """Pack numpy arrays as one arrow list column (one row per array)."""
     lens = np.array([len(a) for a in arrays], dtype=np.int64)

@@ -312,9 +312,14 @@ def build_graph(
     resolution joins), so it is persisted here — without the pin, a
     derived input (e.g. regex extraction over the 10^12-file corpus)
     would replay its whole upstream scan per pass. The pin is registered
-    in the returned graph's cache list: ``g.unpersist()`` frees it (and
-    recomputation stays deterministic, so a freed cache is a slowdown,
-    never a correctness hazard).
+    in the returned graph's cache list. ``g.unpersist()`` is safe only
+    AFTER every DataFrame derived from this graph is materialized: the
+    vid map's per-partition offsets (assign_dense_ids) are collected
+    against the persisted range-partition layout, and a recompute may
+    resample different range boundaries — stale offsets over a new
+    layout yield colliding vids, a correctness hazard, not just a
+    slowdown (observed: duplicate rows in an oid-resolution join after a
+    premature unpersist).
     """
     cols = [F.col(src_col), F.col(dst_col)] + ([F.col(weight_col)] if weight_col else [])
     e_in = edge_oids.select(*cols).persist()

@@ -220,6 +220,32 @@ def q_pagerank_rounds(spark, sf_dir):
     )
 
 
+# Fixed-round replay parameters for the delta-push tier: theta is the
+# production default for (tol=1e-6, alpha=0.85); 6 rounds keeps the
+# unrolled oracle cheap while exercising the frontier rule on every round.
+DELTA_ROUNDS = 6
+DELTA_THETA = 1e-06 * (1.0 - ALPHA) / 2.0
+
+
+def q_pagerank_delta(spark, sf_dir):
+    """Push-style (frontier-damped) PageRank on the CSR fast tier, run
+    for a FIXED round count so the deterministic push schedule —
+    frontier = resid > theta each round, held-back residual accumulating
+    — replays exactly in the unrolled DuckDB twin. Hash-green here means
+    the bytes/round lever (csr.pagerank_delta_csr) computes the same
+    (rank, resid) trajectory the SQL does, not merely the same limit."""
+    from linkgraph.csr import pagerank_delta_csr
+
+    pr = pagerank_delta_csr(
+        _oracle_graph(spark, sf_dir),
+        alpha=ALPHA,
+        max_iter=DELTA_ROUNDS,
+        tol=0.0,
+        theta=DELTA_THETA,
+    )
+    return pr.select("vid", F.round("value", 6).alias("value"))
+
+
 def q_append_pagerank(spark, sf_dir):
     """Incremental append (append_only_arrow_fragment.h analog): build the
     graph from half the oracle edges, append the other half as a delta
@@ -1233,25 +1259,26 @@ def q_corpus_repo_graph(spark, sf_dir):
     weight = number of underlying file→file imports. The DuckDB oracle
     replays the generator arithmetic (as corpus_edges does) and groups
     by split_part(oid, ':', 1) — fully independent derivation."""
-    from linkgraph.graph import build_graph, quotient_graph
+    from linkgraph.graph import quotient_graph
 
-    corpus = synth_corpus(spark, 2000, seed=42, hash_mode="md5")
-    g = build_graph(derive_edges(corpus))
+    # NOTE: no unpersist here — the returned DataFrame still reads both
+    # graphs' dense-vid maps, and releasing them before the driver
+    # collects lets the maps recompute inconsistently between the two
+    # oid-join branches (observed as duplicate repo-pair rows). Queries
+    # follow the _corpus_graph pattern: residency lives until session end.
+    g = _corpus_graph(spark)
     labels = g.vertices.select(
         "vid", F.split(F.col("oid"), ":").getItem(0).alias("grp")
     )
     q = quotient_graph(g, labels)
     vs = q.vertices
-    out = (
+    return (
         q.edges.join(
             vs.select(F.col("vid").alias("src"), F.col("oid").alias("src_repo")), "src"
         )
         .join(vs.select(F.col("vid").alias("dst"), F.col("oid").alias("dst_repo")), "dst")
         .select("src_repo", "dst_repo", F.col("weight").cast("long").alias("weight"))
     )
-    g.unpersist()
-    q.unpersist()
-    return out
 
 
 def q_condensation(spark, sf_dir):
@@ -1677,6 +1704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_text_until": q_gie_text_until,
     "gie_text_twohop": q_gie_text_twohop,
     "g_louvain_p1": q_louvain_p1,
+    "g_pagerank_delta": q_pagerank_delta,
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
@@ -1895,6 +1923,41 @@ def _pagerank_body(rounds: int, out_col: str = "vid") -> str:
 def _pagerank_sql(rounds: int) -> str:
     """Unrolled fixed-round PageRank with dangling redistribution."""
     return _with_graph(_pagerank_body(rounds))
+
+
+def _pagerank_delta_body(rounds: int, theta: float) -> str:
+    """Unrolled fixed-round PUSH-style PageRank over ``e``/``v`` —
+    replays csr.pagerank_delta_csr's deterministic schedule exactly:
+    each round, vertices with ``resid > theta`` push ``α·resid/deg``
+    (dangling frontier residual redistributes uniformly), absorb the
+    pushed residual into rank, and keep sub-theta residual in place.
+    Final value = rank + resid (the Spark tier's final absorb)."""
+    th = repr(float(theta))
+    pre = f"""
+  deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid),
+  s0 AS (SELECT vid, d, 0.0 AS rank, (1 - {ALPHA}) / (SELECT n FROM nv) AS resid FROM vd)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  dang{i} AS (SELECT coalesce(sum(resid), 0) AS m FROM s{p} WHERE d = 0 AND resid > {th}),
+  msg{i} AS (SELECT e.dst AS vid, sum({ALPHA} * r.resid / r.d) AS s
+             FROM e JOIN s{p} r ON e.src = r.vid
+             WHERE r.d > 0 AND r.resid > {th} GROUP BY e.dst),
+  s{i} AS (SELECT r.vid, r.d,
+                  r.rank + CASE WHEN r.resid > {th} THEN r.resid ELSE 0.0 END AS rank,
+                  CASE WHEN r.resid > {th} THEN 0.0 ELSE r.resid END
+                  + coalesce(m.s, 0)
+                  + {ALPHA} * (SELECT m FROM dang{i}) / (SELECT n FROM nv) AS resid
+           FROM s{p} r LEFT JOIN msg{i} m ON r.vid = m.vid)"""
+        )
+    return (
+        pre + "," + ",".join(steps)
+        + f"\n  SELECT vid, round(rank + resid, 6) AS value FROM s{rounds}"
+    )
 
 
 def _ppr_sql(rounds: int, seed_mod: int = 20) -> str:
@@ -3390,6 +3453,10 @@ ORACLE_SQL["corpus_pagerank_dense"] = ORACLE_SQL["corpus_pagerank_r3"]
 ORACLE_SQL["g_sssp_csr"] = ORACLE_SQL["g_sssp"]
 ORACLE_SQL["g_cdlp_csr"] = ORACLE_SQL["g_cdlp_r2"]
 ORACLE_SQL["g_wcc_csr"] = ORACLE_SQL["g_wcc"]
+# delta-push tier: the oracle unrolls the SAME fixed-round push schedule
+ORACLE_SQL["g_pagerank_delta"] = _with_graph(
+    _pagerank_delta_body(DELTA_ROUNDS, DELTA_THETA)
+)
 ORACLE_SQL["g_bfs_csr"] = ORACLE_SQL["g_bfs"]
 
 ORACLE_SQL["corpus_wcc"] = f"""

@@ -189,3 +189,47 @@ def test_packed_paths_match_unpacked(spark):
     assert _d(sssp_csr(g, src=0, weight_col=None, num_blocks=4, packed=True)) == _d(
         sssp_csr(g, src=0, weight_col=None, num_blocks=4, packed=False)
     )
+
+
+def test_pagerank_delta_converges_to_reference(spark):
+    """The push tier's fixpoint equals the iterative tiers': stopping at
+    resid L1 <= tol*n*(1-a) bounds the final L1 error by tol*n*alpha
+    (csr.pagerank_delta_csr docstring), so at tol=1e-9 both tiers agree
+    well inside 1e-7 per vertex."""
+    from linkgraph.csr import pagerank_delta_csr
+
+    for edges in (LANGVILLE_MEYER, rmat_edges(120, 600)):
+        g = graph_from_edge_vids(spark, edges)
+        ref = _d(pagerank_nx(g, alpha=0.85, max_iter=200, tol=1e-9))
+        fast = _d(pagerank_delta_csr(g, alpha=0.85, max_iter=400, tol=1e-9, num_blocks=4))
+        assert set(ref) == set(fast)
+        ks = sorted(ref)
+        assert np.allclose([fast[k] for k in ks], [ref[k] for k in ks], atol=1e-7, rtol=0)
+
+
+def test_pagerank_delta_block_count_invariance(spark):
+    """Block count changes partial grouping (reduction order) but never
+    the push schedule: values agree to float-reduction noise."""
+    from linkgraph.csr import pagerank_delta_csr
+
+    g = graph_from_edge_vids(spark, rmat_edges(150, 700, seed=17))
+    a = _d(pagerank_delta_csr(g, alpha=0.85, max_iter=12, tol=0.0, theta=7.5e-8, num_blocks=3))
+    b = _d(pagerank_delta_csr(g, alpha=0.85, max_iter=12, tol=0.0, theta=7.5e-8, num_blocks=8))
+    ks = sorted(a)
+    assert np.allclose([a[k] for k in ks], [b[k] for k in ks], atol=1e-12, rtol=0)
+
+
+def test_pagerank_delta_frontier_shrinks(spark):
+    """The lever itself: as residuals fall below theta the per-round
+    frontier (and with it the partial shuffle) must shrink; by the last
+    rounds it is a strict subset of the vertex set."""
+    from linkgraph import csr
+    from linkgraph.csr import pagerank_delta_csr
+
+    g = graph_from_edge_vids(spark, rmat_edges(200, 900, seed=7))
+    n = g.vertices.count()
+    pagerank_delta_csr(g, alpha=0.85, max_iter=300, tol=1e-6).count()
+    frontiers = [h["frontier"] for h in csr.LAST_HISTORY]
+    assert frontiers[0] == n  # round 1 pushes everything
+    assert frontiers[-1] < n  # converged tail pushes a strict subset
+    assert min(frontiers) == frontiers[-1] or frontiers[-1] <= sorted(frontiers)[1]

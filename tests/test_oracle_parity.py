@@ -28,6 +28,7 @@ PAIRS = [
     "g_negative_sample",
     "g_saveload",
     "g_louvain_p1",
+    "g_pagerank_delta",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
