@@ -427,6 +427,7 @@ def pagerank_delta_csr(
     theta: float | None = None,
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Push-style (delta-propagation) PageRank on the CSR fast tier —
     the frontier-damping bytes/round lever.
@@ -454,15 +455,29 @@ def pagerank_delta_csr(
     monotonically (``LAST_HISTORY`` records frontier size + partial
     rows per round).
 
-    Precision accounting (residuals are ≥ 0 throughout, P is
-    column-stochastic, so L1 is preserved exactly): remaining error
-    after the final absorb is ``Σ_{k≥1} (αP)^k resid``, i.e.
+    Precision accounting (P is column-stochastic and nonnegative, so
+    ``‖Px‖₁ ≤ ‖x‖₁`` — equality for the nonnegative cold-start
+    residuals, inequality for signed warm-start ones): remaining error
+    after the final absorb is ``Σ_{k≥1} (αP)^k resid``, i.e. at most
     ``‖resid‖₁ · α/(1-α)``. The loop stops when
     ``‖resid‖₁ ≤ tol·n·(1-α)``, giving total L1 error ≤ ``tol·n·α`` —
     at least as tight as the iterative tiers' ``Σ|Δr| < tol·n`` stop.
     Default ``theta = tol·(1-α)/2`` guarantees the stop always
     triggers (an all-sub-theta state satisfies it by construction), so
     the frontier can never stall non-converged.
+
+    **When the lever pays** (measured, BENCH/delta_probe.jsonl): a COLD
+    start is the tier's worst case — the nonnegative residual L1 decays
+    by exactly ``α`` per full-frontier round with zero cancellation,
+    while the iterative tiers' signed difference contracts at the
+    graph's mixing rate (94 vs 17 rounds to 1e-12 accuracy on the 2e6
+    synthetic expander; the two results still agree to 1.2e-10). The
+    tier exists for the WARM start: pass ``init_ranks`` (vid, value —
+    e.g. the converged ranks from before an edge append) and the seed
+    residual is ``b + αP'·r_init − r_init``, which is ≈ 0 everywhere
+    the graph didn't change — the frontier starts at the blast radius
+    of the delta, not at n, and recomputation touches only the part of
+    the graph the append actually perturbed.
     """
     spark = graph.edges.sparkSession
     p = num_blocks or spark.sparkContext.defaultParallelism
@@ -484,56 +499,57 @@ def pagerank_delta_csr(
     blocks.count()
 
     out_deg = graph.edges.groupBy("src").agg(F.count("*").alias("deg"))
-    state0 = (
-        graph.vertices.select("vid")
-        .join(out_deg.withColumnRenamed("src", "vid"), "vid", "left")
-        .select(
-            "vid",
-            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
-            F.lit(0.0).alias("rank"),
-            F.lit((1.0 - alpha) / n).alias("resid"),
-        )
+    base_state = graph.vertices.select("vid").join(
+        out_deg.withColumnRenamed("src", "vid"), "vid", "left"
     )
 
     packed_schema = pa.schema(
         [("tgt", pa.int32()), ("dsts", pa.list_(pa_dst)), ("pdeltas", pa.list_(pa.float64()))]
     )
 
-    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
-        """Frontier-only packed emission: gather α·resid/deg for sources
-        above theta, scatter per-block sums, ship one Arrow-list row per
-        destination partition. Sub-theta sources emit nothing — that is
-        the entire lever."""
-        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
-            return packed_schema.empty_table()
-        resid = _np_col(state_tbl, "resid", np.float64)
-        frontier = resid > theta
-        if not frontier.any():
-            return packed_schema.empty_table()
-        vids = _np_col(state_tbl, "vid", np.int64)[frontier]
-        deg = _np_col(state_tbl, "deg", np.float64)[frontier]
-        push = alpha * resid[frontier]
-        contrib = np.divide(push, deg, out=np.zeros_like(push), where=deg > 0)
-        outs_d, outs_p = [], []
-        for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
-            src_vals = _gather(vids, contrib, us, 0.0)
-            per_edge = np.repeat(src_vals, np.diff(indptr))
-            psum = np.bincount(dst_idx, weights=per_edge, minlength=len(udst))
-            mask = psum > 0.0  # pushes are strictly positive
-            outs_d.append(udst[mask].astype(np_dst, copy=False))
-            outs_p.append(psum[mask])
-        all_d = np.concatenate(outs_d)
-        if not len(all_d):
-            return packed_schema.empty_table()
-        all_p = np.concatenate(outs_p)
-        tgt, off, order = _pack_by_tgt(all_d, p)
-        return pa.table(
-            {
-                "tgt": tgt,
-                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa_dst)),
-                "pdeltas": pa.ListArray.from_arrays(off, pa.array(all_p[order])),
-            }
-        )
+    def _make_partials(src_col: str, th: float):
+        """Frontier-only packed emission: gather α·src/deg for sources
+        with |src| above ``th``, scatter per-block sums, ship one
+        Arrow-list row per destination partition. Sub-theta sources emit
+        nothing — that is the entire lever. ``src_col='resid'`` for loop
+        rounds; ``('rank', -1.0)`` for the warm-start seeding pass
+        (push everything once to compute αP'·r_init)."""
+
+        def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+            if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+                return packed_schema.empty_table()
+            src = _np_col(state_tbl, src_col, np.float64)
+            frontier = np.abs(src) > th
+            if not frontier.any():
+                return packed_schema.empty_table()
+            vids = _np_col(state_tbl, "vid", np.int64)[frontier]
+            deg = _np_col(state_tbl, "deg", np.float64)[frontier]
+            push = alpha * src[frontier]
+            contrib = np.divide(push, deg, out=np.zeros_like(push), where=deg > 0)
+            outs_d, outs_p = [], []
+            for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
+                src_vals = _gather(vids, contrib, us, 0.0)
+                per_edge = np.repeat(src_vals, np.diff(indptr))
+                psum = np.bincount(dst_idx, weights=per_edge, minlength=len(udst))
+                mask = psum != 0.0  # warm-start residuals are signed
+                outs_d.append(udst[mask].astype(np_dst, copy=False))
+                outs_p.append(psum[mask])
+            all_d = np.concatenate(outs_d)
+            if not len(all_d):
+                return packed_schema.empty_table()
+            all_p = np.concatenate(outs_p)
+            tgt, off, order = _pack_by_tgt(all_d, p)
+            return pa.table(
+                {
+                    "tgt": tgt,
+                    "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa_dst)),
+                    "pdeltas": pa.ListArray.from_arrays(off, pa.array(all_p[order])),
+                }
+            )
+
+        return _partials_packed
+
+    _partials_packed = _make_partials("resid", theta)
 
     _STATE_SCHEMA = pa.schema(
         [
@@ -567,7 +583,7 @@ def pagerank_delta_csr(
                 )
                 idx, ok = _scatter_positions(vids, all_d)
                 np.add.at(incoming, idx, all_p[ok])
-            pushed = resid > theta
+            pushed = np.abs(resid) > theta
             rank[pushed] += resid[pushed]
             resid[pushed] = 0.0
             resid += incoming
@@ -582,12 +598,76 @@ def pagerank_delta_csr(
 
         return _update
 
+    if init_ranks is None:
+        state0 = base_state.select(
+            "vid",
+            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+            F.lit(0.0).alias("rank"),
+            F.lit((1.0 - alpha) / n).alias("resid"),
+        )
+    else:
+        # warm-start seeding: rank = r_init, resid = b + αP'·r_init − r_init
+        # (the defect of the old ranks under the NEW operator) — one
+        # full-push pass through the same cogroup machinery, after which
+        # the loop's frontier is the blast radius of the graph change.
+        seeded = base_state.join(
+            init_ranks.select("vid", F.col(init_ranks.columns[1]).alias("r0")),
+            "vid",
+            "left",
+        ).select(
+            "vid",
+            F.coalesce("deg", F.lit(0)).cast("int").alias("deg"),
+            F.coalesce("r0", F.lit(0.0)).alias("rank"),
+        )
+        d_init = (
+            seeded.where(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+        )
+        seed_base = (1.0 - alpha) / n + alpha * d_init / n
+
+        def _seed_update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+            if state_tbl.num_rows == 0:
+                return _STATE_SCHEMA.empty_table()
+            vids = _np_col(state_tbl, "vid", np.int64)
+            deg = _np_col(state_tbl, "deg", np.int32)
+            rank = _np_col(state_tbl, "rank", np.float64)
+            incoming = np.full(len(vids), seed_base, dtype=np.float64)
+            if packed_tbl.num_rows:
+                all_d = (
+                    packed_tbl.column("dsts").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                )
+                all_p = (
+                    packed_tbl.column("pdeltas").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                )
+                idx, ok = _scatter_positions(vids, all_d)
+                np.add.at(incoming, idx, all_p[ok])
+            return pa.table(
+                {
+                    "vid": pa.array(vids, pa.int64()),
+                    "deg": pa.array(deg, pa.int32()),
+                    "rank": pa.array(rank),
+                    "resid": pa.array(incoming - rank),
+                }
+            )
+
+        sk = seeded.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
+        seed_parts = sk.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+            _make_partials("rank", -1.0),
+            schema=f"tgt int, dsts array<{sql_dst}>, pdeltas array<double>",
+        )
+        state0 = (
+            sk.groupBy("bid")
+            .cogroup(seed_parts.groupBy("tgt"))
+            .applyInArrow(_seed_update, schema="vid long, deg int, rank double, resid double")
+        )
+
     dang = {"term": None}
 
     def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
         if dang["term"] is None:
             d0 = (
-                state.where((F.col("deg") == 0) & (F.col("resid") > theta))
+                state.where((F.col("deg") == 0) & (F.abs(F.col("resid")) > theta))
                 .agg(F.sum("resid"))
                 .first()[0]
                 or 0.0
@@ -608,13 +688,14 @@ def pagerank_delta_csr(
             .persist()
         )
         row = new_state.agg(
-            F.sum("resid").alias("l1"),
+            F.sum(F.abs(F.col("resid"))).alias("l1"),
             F.sum(
                 F.when(
-                    (F.col("deg") == 0) & (F.col("resid") > theta), F.col("resid")
+                    (F.col("deg") == 0) & (F.abs(F.col("resid")) > theta),
+                    F.col("resid"),
                 ).otherwise(F.lit(0.0))
             ).alias("dg"),
-            F.sum((F.col("resid") > theta).cast("long")).alias("frontier"),
+            F.sum((F.abs(F.col("resid")) > theta).cast("long")).alias("frontier"),
         ).first()
         dang["term"] = alpha * (row["dg"] or 0.0) / n
         return new_state, {

@@ -246,6 +246,43 @@ def q_pagerank_delta(spark, sf_dir):
     return pr.select("vid", F.round("value", 6).alias("value"))
 
 
+def q_pagerank_incr(spark, sf_dir):
+    """Incremental PageRank, the delta tier's flagship composition:
+    converge (fixed-round) on the parity-0 half-graph, append the
+    parity-1 half with stable vids (extend_graph), warm-start the push
+    tier with the old ranks — seed residual = the old solution's defect
+    under the new operator — and run a fixed number of push rounds. The
+    oracle unrolls ALL of it (old rounds → seed → push rounds) in one
+    DuckDB CTE chain; hash-green means the entire incremental pipeline
+    replays deterministically, not just its final fixpoint."""
+    from linkgraph import build_graph
+    from linkgraph.algorithms import pagerank
+    from linkgraph.csr import pagerank_delta_csr
+    from linkgraph.incremental import extend_graph
+
+    full = _oracle_graph(spark, sf_dir).edges.select(
+        F.col("src").cast("string").alias("src_oid"),
+        F.col("dst").cast("string").alias("dst_oid"),
+    )
+    parity = F.pmod(
+        F.col("src_oid").cast("long") + F.col("dst_oid").cast("long"), F.lit(2)
+    )
+    g1 = build_graph(full.where(parity == 0))
+    r_old = pagerank(g1, delta=ALPHA, max_round=PR_ROUNDS)
+    g2 = extend_graph(g1, full.where(parity == 1))
+    pr = pagerank_delta_csr(
+        g2,
+        alpha=ALPHA,
+        max_iter=DELTA_ROUNDS,
+        tol=0.0,
+        theta=DELTA_THETA,
+        init_ranks=r_old,
+    )
+    return pr.join(g2.vertices, "vid").select(
+        F.col("oid").cast("long").alias("vid"), F.round("value", 6).alias("value")
+    )
+
+
 def q_append_pagerank(spark, sf_dir):
     """Incremental append (append_only_arrow_fragment.h analog): build the
     graph from half the oracle edges, append the other half as a delta
@@ -1705,6 +1742,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_text_twohop": q_gie_text_twohop,
     "g_louvain_p1": q_louvain_p1,
     "g_pagerank_delta": q_pagerank_delta,
+    "g_pagerank_incr": q_pagerank_incr,
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
@@ -1925,38 +1963,104 @@ def _pagerank_sql(rounds: int) -> str:
     return _with_graph(_pagerank_body(rounds))
 
 
-def _pagerank_delta_body(rounds: int, theta: float) -> str:
-    """Unrolled fixed-round PUSH-style PageRank over ``e``/``v`` —
-    replays csr.pagerank_delta_csr's deterministic schedule exactly:
-    each round, vertices with ``resid > theta`` push ``α·resid/deg``
-    (dangling frontier residual redistributes uniformly), absorb the
-    pushed residual into rank, and keep sub-theta residual in place.
-    Final value = rank + resid (the Spark tier's final absorb)."""
+def _delta_push_steps(rounds: int, theta: float, edge_tbl: str = "e") -> str:
+    """The per-round CTEs of the push schedule (assumes ``nv``, the edge
+    table and a seeded ``s0(vid, d, rank, resid)`` are already defined):
+    vertices with ``abs(resid) > theta`` push ``α·resid/deg`` (dangling
+    frontier residual redistributes uniformly), absorb the pushed
+    residual into rank, and keep sub-theta residual in place. abs()
+    because warm-start residuals (the old solution's defect) are
+    signed; cold-start residuals are nonnegative, so abs is a no-op
+    there."""
     th = repr(float(theta))
-    pre = f"""
-  deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
-  nv AS (SELECT count(*) AS n FROM v),
-  vd AS (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid),
-  s0 AS (SELECT vid, d, 0.0 AS rank, (1 - {ALPHA}) / (SELECT n FROM nv) AS resid FROM vd)"""
+    e = edge_tbl
     steps = []
     for i in range(1, rounds + 1):
         p = i - 1
         steps.append(
             f"""
-  dang{i} AS (SELECT coalesce(sum(resid), 0) AS m FROM s{p} WHERE d = 0 AND resid > {th}),
-  msg{i} AS (SELECT e.dst AS vid, sum({ALPHA} * r.resid / r.d) AS s
-             FROM e JOIN s{p} r ON e.src = r.vid
-             WHERE r.d > 0 AND r.resid > {th} GROUP BY e.dst),
-  s{i} AS (SELECT r.vid, r.d,
-                  r.rank + CASE WHEN r.resid > {th} THEN r.resid ELSE 0.0 END AS rank,
-                  CASE WHEN r.resid > {th} THEN 0.0 ELSE r.resid END
+  dang{i} AS MATERIALIZED (SELECT coalesce(sum(resid), 0) AS m FROM s{p} WHERE d = 0 AND abs(resid) > {th}),
+  msg{i} AS MATERIALIZED (SELECT {e}.dst AS vid, sum({ALPHA} * r.resid / r.d) AS s
+             FROM {e} JOIN s{p} r ON {e}.src = r.vid
+             WHERE r.d > 0 AND abs(r.resid) > {th} GROUP BY {e}.dst),
+  s{i} AS MATERIALIZED (SELECT r.vid, r.d,
+                  r.rank + CASE WHEN abs(r.resid) > {th} THEN r.resid ELSE 0.0 END AS rank,
+                  CASE WHEN abs(r.resid) > {th} THEN 0.0 ELSE r.resid END
                   + coalesce(m.s, 0)
                   + {ALPHA} * (SELECT m FROM dang{i}) / (SELECT n FROM nv) AS resid
            FROM s{p} r LEFT JOIN msg{i} m ON r.vid = m.vid)"""
         )
+    return ",".join(steps)
+
+
+def _pagerank_delta_body(rounds: int, theta: float) -> str:
+    """Unrolled fixed-round PUSH-style PageRank over ``e``/``v`` —
+    replays csr.pagerank_delta_csr's deterministic cold-start schedule
+    exactly. Final value = rank + resid (the Spark tier's final
+    absorb)."""
+    pre = f"""
+  deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS MATERIALIZED (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid),
+  s0 AS MATERIALIZED (SELECT vid, d, 0.0 AS rank, (1 - {ALPHA}) / (SELECT n FROM nv) AS resid FROM vd)"""
     return (
-        pre + "," + ",".join(steps)
+        pre + "," + _delta_push_steps(rounds, theta)
         + f"\n  SELECT vid, round(rank + resid, 6) AS value FROM s{rounds}"
+    )
+
+
+def _pagerank_incr_body(old_rounds: int, delta_rounds: int, theta: float) -> str:
+    """Unrolled incremental-PageRank replay: fixed-round PageRank on the
+    parity-0 half-graph (``o`` chain, old degrees), then the warm-start
+    seed on the FULL graph — ``resid0 = b + αP'·r_old − r_old``, the
+    defect of the old solution under the new operator — then
+    ``delta_rounds`` of the push schedule. Mirrors
+    csr.pagerank_delta_csr(init_ranks=...) after incremental.extend_graph.
+    The full edge set is MATERIALIZED once (``em``): DuckDB inlines
+    plain CTEs per reference, and this chain references the edges once
+    per unrolled round — without the pin it re-opens the parquet until
+    it exhausts file handles."""
+    pre = f"""
+  em AS MATERIALIZED (SELECT src, dst FROM e),
+  e1 AS MATERIALIZED (SELECT src, dst FROM em WHERE (src + dst) % 2 = 0),
+  v1 AS (SELECT src AS vid FROM e1 UNION SELECT dst AS vid FROM e1),
+  deg1 AS (SELECT src AS vid, count(*) AS d FROM e1 GROUP BY src),
+  nv1 AS (SELECT count(*) AS n FROM v1),
+  vd1 AS (SELECT v1.vid, coalesce(deg1.d, 0) AS d FROM v1 LEFT JOIN deg1 ON v1.vid = deg1.vid),
+  o0 AS (SELECT vid, d, 1.0 / (SELECT n FROM nv1) AS rank FROM vd1)"""
+    old_steps = []
+    for i in range(1, old_rounds + 1):
+        p = i - 1
+        old_steps.append(
+            f"""
+  dango{i} AS MATERIALIZED (SELECT {ALPHA} * coalesce(sum(rank), 0) AS m FROM o{p} WHERE d = 0),
+  msgo{i} AS MATERIALIZED (SELECT e1.dst AS vid, sum(r.rank / r.d) AS s
+              FROM e1 JOIN o{p} r ON e1.src = r.vid WHERE r.d > 0 GROUP BY e1.dst),
+  o{i} AS MATERIALIZED (SELECT vd1.vid, vd1.d,
+                  {ALPHA} * coalesce(m.s, 0)
+                  + (1 - {ALPHA}) / (SELECT n FROM nv1)
+                  + (SELECT m FROM dango{i}) / (SELECT n FROM nv1) AS rank
+           FROM vd1 LEFT JOIN msgo{i} m ON vd1.vid = m.vid)"""
+        )
+    seed = f"""
+  deg AS (SELECT src AS vid, count(*) AS d FROM em GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid),
+  ri AS MATERIALIZED (SELECT vd.vid, vd.d, coalesce(o.rank, 0.0) AS rank
+         FROM vd LEFT JOIN o{old_rounds} o ON vd.vid = o.vid),
+  di AS (SELECT coalesce(sum(rank), 0) AS m FROM ri WHERE d = 0),
+  sm AS MATERIALIZED (SELECT em.dst AS vid, sum({ALPHA} * r.rank / r.d) AS s
+         FROM em JOIN ri r ON em.src = r.vid WHERE r.d > 0 GROUP BY em.dst),
+  s0 AS MATERIALIZED (SELECT ri.vid, ri.d, ri.rank,
+                coalesce(sm.s, 0)
+                + (1 - {ALPHA}) / (SELECT n FROM nv)
+                + {ALPHA} * (SELECT m FROM di) / (SELECT n FROM nv)
+                - ri.rank AS resid
+         FROM ri LEFT JOIN sm ON ri.vid = sm.vid)"""
+    return (
+        pre + "," + ",".join(old_steps) + "," + seed + ","
+        + _delta_push_steps(delta_rounds, theta, edge_tbl="em")
+        + f"\n  SELECT vid, round(rank + resid, 6) AS value FROM s{delta_rounds}"
     )
 
 
@@ -3456,6 +3560,9 @@ ORACLE_SQL["g_wcc_csr"] = ORACLE_SQL["g_wcc"]
 # delta-push tier: the oracle unrolls the SAME fixed-round push schedule
 ORACLE_SQL["g_pagerank_delta"] = _with_graph(
     _pagerank_delta_body(DELTA_ROUNDS, DELTA_THETA)
+)
+ORACLE_SQL["g_pagerank_incr"] = _with_graph(
+    _pagerank_incr_body(PR_ROUNDS, DELTA_ROUNDS, DELTA_THETA)
 )
 ORACLE_SQL["g_bfs_csr"] = ORACLE_SQL["g_bfs"]
 

@@ -233,3 +233,35 @@ def test_pagerank_delta_frontier_shrinks(spark):
     assert frontiers[0] == n  # round 1 pushes everything
     assert frontiers[-1] < n  # converged tail pushes a strict subset
     assert min(frontiers) == frontiers[-1] or frontiers[-1] <= sorted(frontiers)[1]
+
+
+def test_pagerank_delta_warm_start_incremental(spark):
+    """The tier's raison d'etre: after an edge append, seeding with the
+    old converged ranks makes the initial residual the *defect* of the
+    old solution under the new operator — near zero outside the blast
+    radius of the change — so recomputation starts from a small
+    frontier and still lands on the full-graph fixpoint."""
+    from linkgraph import csr
+    from linkgraph.csr import pagerank_delta_csr
+    from linkgraph.graph import graph_from_edge_vids
+
+    edges = rmat_edges(200, 900, seed=7)
+    extra = [(1, 190), (190, 3), (5, 191)]
+    g1 = graph_from_edge_vids(spark, edges)
+    g2 = graph_from_edge_vids(spark, edges + extra)
+    old = pagerank_delta_csr(g1, alpha=0.85, max_iter=400, tol=1e-9, num_blocks=4)
+
+    warm = _d(
+        pagerank_delta_csr(
+            g2, alpha=0.85, max_iter=400, tol=1e-9, num_blocks=4, init_ranks=old
+        )
+    )
+    frontiers = [h["frontier"] for h in csr.LAST_HISTORY]
+    ref = _d(pagerank_nx(g2, alpha=0.85, max_iter=300, tol=1e-10))
+    assert set(ref) == set(warm)
+    ks = sorted(ref)
+    assert np.allclose([warm[k] for k in ks], [ref[k] for k in ks], atol=1e-7, rtol=0)
+    n = g2.vertices.count()
+    # the warm frontier never reaches the whole graph: the append's
+    # blast radius is what gets recomputed
+    assert max(frontiers) < n

@@ -29,6 +29,7 @@ PAIRS = [
     "g_saveload",
     "g_louvain_p1",
     "g_pagerank_delta",
+    "g_pagerank_incr",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
