@@ -12,6 +12,7 @@ from linkgraph.algorithms.cdlp import cdlp
 from linkgraph.algorithms.triangles import triangles, triangle_total
 from linkgraph.algorithms.traversal import bfs, sssp
 from linkgraph.algorithms.degrees import degree_centrality
+from linkgraph.algorithms.globals import density, reciprocity, average_neighbor_degree
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.cores import k_core, k_shell
 from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity
@@ -113,4 +114,7 @@ __all__ = [
     "resource_allocation_index",
     "preferential_attachment",
     "voterank",
+    "density",
+    "reciprocity",
+    "average_neighbor_degree",
 ]

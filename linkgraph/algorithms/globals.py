@@ -1,0 +1,89 @@
+"""Whole-graph scalar statistics: density, reciprocity, degree moments.
+
+NetworkX-parity extensions of the §2.3 family (the reference exposes
+graph-level scalars through its NetworkX-compat layer,
+/root/reference/python/graphscope/nx/, e.g. nx.density/reciprocity
+forwarding to builtin contexts where available). Each is one Catalyst
+aggregation — no iteration, no Python in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph
+
+
+def density(graph: LinkGraph) -> DataFrame:
+    """Directed density ``|E| / (n·(n-1))`` as a one-row DataFrame.
+
+    ``n`` and ``|E|`` are independent aggregates joined by crossJoin of
+    two one-row frames — no shuffle of either table.
+    """
+    nv = graph.vertices.agg(F.count("*").alias("n"))
+    ne = graph.edges.agg(F.count("*").alias("m"))
+    return ne.crossJoin(nv).select(
+        F.when(
+            F.col("n") > 1,
+            F.col("m") / (F.col("n").cast("double") * (F.col("n") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("value")
+    )
+
+
+def reciprocity(graph: LinkGraph) -> DataFrame:
+    """Fraction of directed edges whose reverse edge also exists
+    (nx.reciprocity over the whole graph), excluding self-loops from
+    neither side (nx counts self-loops as reciprocal pairs — matched).
+
+    Scale shape: one self-equi-join of the edge table on (src,dst) ↔
+    (dst,src) — both sides shuffle on the same composite key once; the
+    result is two scalar counts.
+    """
+    e = graph.edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.intersect(rev).agg(F.count("*").alias("r"))
+    total = e.agg(F.count("*").alias("m"))
+    return recip.crossJoin(total).select(
+        F.when(F.col("m") > 0, F.col("r") / F.col("m").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("value")
+    )
+
+
+def average_neighbor_degree(
+    graph: LinkGraph, source: str = "out", target: str = "out"
+) -> DataFrame:
+    """nx.average_neighbor_degree: for each vertex, the mean ``target``-
+    degree of its ``source``-neighborhood (directed semantics; nx's
+    source/target parameters).
+
+    Scale shape: one degree aggregation (|V|-sized), one join of the
+    edge list against it on the neighbor key, one groupBy(vid) mean —
+    all shuffles are keyed on vertex ids, never wider than the edge
+    list.
+    """
+    if source not in ("in", "out"):
+        raise ValueError(f"source must be 'in' or 'out', got {source!r}")
+    if target not in ("in", "out"):
+        raise ValueError(f"target must be 'in' or 'out', got {target!r}")
+    e = graph.edges.select("src", "dst")
+    # neighborhood pairs (vid, nbr) per `source`
+    pairs = (
+        e.select(F.col("src").alias("vid"), F.col("dst").alias("nbr"))
+        if source == "out"
+        else e.select(F.col("dst").alias("vid"), F.col("src").alias("nbr"))
+    )
+    deg_key = "src" if target == "out" else "dst"
+    deg = e.groupBy(F.col(deg_key).alias("nbr")).agg(F.count("*").alias("tdeg"))
+    avg = (
+        pairs.join(deg, "nbr", "left")
+        .groupBy("vid")
+        .agg(F.avg(F.coalesce("tdeg", F.lit(0))).alias("value"))
+    )
+    # vertices with an empty source-neighborhood get 0.0 (nx semantics)
+    return graph.vertices.select("vid").join(avg, "vid", "left").select(
+        "vid", F.coalesce("value", F.lit(0.0)).alias("value")
+    )

@@ -283,6 +283,24 @@ def q_pagerank_incr(spark, sf_dir):
     )
 
 
+def q_density(spark, sf_dir):
+    from linkgraph.algorithms import density
+
+    return density(_oracle_graph(spark, sf_dir))
+
+
+def q_reciprocity(spark, sf_dir):
+    from linkgraph.algorithms import reciprocity
+
+    return reciprocity(_oracle_graph(spark, sf_dir))
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    from linkgraph.algorithms import average_neighbor_degree
+
+    return average_neighbor_degree(_oracle_graph(spark, sf_dir), "out", "out")
+
+
 def q_append_pagerank(spark, sf_dir):
     """Incremental append (append_only_arrow_fragment.h analog): build the
     graph from half the oracle edges, append the other half as a delta
@@ -1743,6 +1761,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_louvain_p1": q_louvain_p1,
     "g_pagerank_delta": q_pagerank_delta,
     "g_pagerank_incr": q_pagerank_incr,
+    "g_density": q_density,
+    "g_reciprocity": q_reciprocity,
+    "g_avg_neighbor_degree": q_avg_neighbor_degree,
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
@@ -3563,6 +3584,26 @@ ORACLE_SQL["g_pagerank_delta"] = _with_graph(
 )
 ORACLE_SQL["g_pagerank_incr"] = _with_graph(
     _pagerank_incr_body(PR_ROUNDS, DELTA_ROUNDS, DELTA_THETA)
+)
+# whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
+# so the doubles are bit-identical between engines
+ORACLE_SQL["g_density"] = _with_graph(
+    """nv AS (SELECT count(*) AS n FROM v), ne AS (SELECT count(*) AS m FROM e)
+  SELECT CASE WHEN n > 1 THEN m / (n::DOUBLE * (n - 1)) ELSE 0.0 END AS value
+  FROM ne, nv"""
+)
+ORACLE_SQL["g_reciprocity"] = _with_graph(
+    """rc AS (SELECT count(*) AS r FROM (SELECT src, dst FROM e
+                                         INTERSECT SELECT dst, src FROM e)),
+  tot AS (SELECT count(*) AS m FROM e)
+  SELECT CASE WHEN m > 0 THEN r / m::DOUBLE ELSE 0.0 END AS value FROM rc, tot"""
+)
+ORACLE_SQL["g_avg_neighbor_degree"] = _with_graph(
+    """deg AS (SELECT src AS nbr, count(*) AS tdeg FROM e GROUP BY src),
+  pairs AS (SELECT src AS vid, dst AS nbr FROM e),
+  a AS (SELECT vid, avg(coalesce(tdeg, 0)) AS value
+        FROM pairs LEFT JOIN deg USING (nbr) GROUP BY vid)
+  SELECT v.vid, coalesce(a.value, 0.0) AS value FROM v LEFT JOIN a ON v.vid = a.vid"""
 )
 ORACLE_SQL["g_bfs_csr"] = ORACLE_SQL["g_bfs"]
 

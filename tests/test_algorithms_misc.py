@@ -179,3 +179,27 @@ def test_add_column_result_onto_graph(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         g2.add_column(res, "dc")
+
+
+def test_global_scalars_density_reciprocity(spark):
+    """density = |E|/(n(n-1)); reciprocity counts mutual directed pairs.
+    Fixture: edges 0->1, 1->0, 1->2 over vids {0,1,2}:
+    density = 3/6, reciprocity = 2/3 (the 0<->1 pair both ways)."""
+    from linkgraph.algorithms import density, reciprocity
+
+    g = graph_from_edge_vids(spark, [(0, 1), (1, 0), (1, 2)])
+    assert density(g).first()["value"] == pytest.approx(3 / 6)
+    assert reciprocity(g).first()["value"] == pytest.approx(2 / 3)
+
+
+def test_average_neighbor_degree_out_out(spark):
+    """nx.average_neighbor_degree(source='out', target='out') on
+    0->1, 0->2, 1->2, 2->0: out-degrees are {0:2, 1:1, 2:1};
+    v0's out-nbrs {1,2} -> mean 1.0; v1's {2} -> 1.0; v2's {0} -> 2.0."""
+    from linkgraph.algorithms import average_neighbor_degree
+
+    g = graph_from_edge_vids(spark, [(0, 1), (0, 2), (1, 2), (2, 0)])
+    got = {r["vid"]: r["value"] for r in average_neighbor_degree(g).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 2.0}
+    with pytest.raises(ValueError):
+        average_neighbor_degree(g, source="total")

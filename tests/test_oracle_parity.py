@@ -30,6 +30,9 @@ PAIRS = [
     "g_louvain_p1",
     "g_pagerank_delta",
     "g_pagerank_incr",
+    "g_density",
+    "g_reciprocity",
+    "g_avg_neighbor_degree",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
