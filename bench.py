@@ -159,6 +159,26 @@ def run_default() -> dict:
     if dn_rounds:
         queries["pagerank_dense_iters_per_sec"] = round(dn_rounds / dn_sec, 3)
 
+    # incremental maintenance headline (delta-push warm start): converge
+    # on 99% of the corpus edges (held ~1e3 tighter than the maintenance
+    # target, the warm-start requirement — BENCH/BASELINE.md r4), then
+    # recompute on the full graph from the old ranks. The recorded cost
+    # is the incremental step only; compare against pagerank_convergence
+    # (the cold full-graph run above).
+    from pyspark.sql import functions as F
+
+    from linkgraph.csr import pagerank_csr, pagerank_delta_csr
+    from linkgraph.graph import LinkGraph as _LG
+
+    keep = F.pmod(F.xxhash64(F.col("src"), F.col("dst"), F.lit(11)), F.lit(100)) != 0
+    g_base = _LG(vertices=g.vertices, edges=g.edges.where(keep))
+    old_ranks = pagerank_csr(g_base, alpha=0.85, max_iter=100, tol=1e-9).persist()
+    old_ranks.count()  # converge the base outside the timed window
+    t = time.time()
+    pagerank_delta_csr(g, alpha=0.85, max_iter=400, tol=1e-6, init_ranks=old_ranks).count()
+    queries["corpus_pagerank_incr"] = round(time.time() - t, 3)
+    old_ranks.unpersist()
+
     # r4 families on the same cached corpus graph: GNN sampling data
     # plane + link prediction (candidate join fans out Σ_w deg(w)² —
     # hub-capped here exactly as a 100-TB run would be)
