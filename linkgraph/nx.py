@@ -390,6 +390,24 @@ def average_clustering(G: DiGraph) -> float:
     return A.average_clustering(G._project())
 
 
+def density(G: DiGraph) -> float:
+    """nx.density — |E| / (n(n-1)) for directed, 2|E|/(n(n-1)) for
+    undirected (the Graph subclass projects each undirected edge once
+    per direction, so the directed formula over the projection already
+    matches nx's undirected value)."""
+    return float(A.density(G._project()).first()["value"])
+
+
+def reciprocity(G: DiGraph) -> float:
+    """nx.overall_reciprocity."""
+    return float(A.reciprocity(G._project()).first()["value"])
+
+
+def average_neighbor_degree(G: DiGraph, source: str = "out", target: str = "out") -> dict:
+    """nx.average_neighbor_degree (directed source/target semantics)."""
+    return G._to_dict(A.average_neighbor_degree(G._project(), source, target))
+
+
 def weakly_connected_components(G: DiGraph):
     """builtin.py:600 — yields node sets, as NetworkX does."""
     comp = G._to_dict(A.wcc(G._project()))

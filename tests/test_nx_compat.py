@@ -156,3 +156,23 @@ def test_nx_voterank(spark):
     G.add_edges_from([(7, 8), (7, 5), (7, 9), (5, 0), (0, 1), (0, 2), (0, 3),
                       (0, 4), (1, 6), (2, 6), (3, 6), (4, 6)])
     assert nx.voterank(G, 3) == [0, 7, 6]
+
+
+def test_nx_density_reciprocity_avg_neighbor(spark):
+    import linkgraph.nx as nx
+
+    G = nx.DiGraph(spark=spark)
+    G.add_edges_from([(0, 1), (1, 0), (1, 2)])
+    assert G.number_of_nodes() == 3
+    assert abs(nx.density(G) - 3 / 6) < 1e-12
+    assert abs(nx.reciprocity(G) - 2 / 3) < 1e-12
+
+    H = nx.Graph(spark=spark)
+    H.add_edges_from([(0, 1), (1, 2)])
+    # nx undirected density: 2*2/(3*2) = 2/3
+    assert abs(nx.density(H) - 2 / 3) < 1e-12
+
+    G2 = nx.DiGraph(spark=spark)
+    G2.add_edges_from([(0, 1), (0, 2), (1, 2), (2, 0)])
+    got = nx.average_neighbor_degree(G2)
+    assert got == {0: 1.0, 1: 1.0, 2: 2.0}

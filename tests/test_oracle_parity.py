@@ -33,6 +33,7 @@ PAIRS = [
     "g_density",
     "g_reciprocity",
     "g_avg_neighbor_degree",
+    "stream_pagerank",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",

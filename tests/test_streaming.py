@@ -130,3 +130,42 @@ def test_wcc_warm_start_equals_cold(spark):
     init = g.vertices.select("vid", F.col("vid").alias("label"))
     warm = {(r["vid"], r["value"]) for r in wcc(g, init_labels=init).collect()}
     assert warm == cold
+
+
+def test_streaming_pagerank_matches_batch(spark, tmpdir):
+    """Ranks maintained across micro-batches (delta-push warm start per
+    batch) converge to the same fixpoint as a static run on the final
+    graph, regardless of arrival order."""
+    import numpy as np
+
+    from linkgraph.streaming import streaming_pagerank
+    from linkgraph.algorithms import pagerank_nx
+
+    rows = [
+        ("1", "2"), ("2", "3"), ("3", "1"), ("10", "11"),
+        ("11", "12"), ("3", "10"), ("12", "1"), ("2", "10"),
+    ]
+    df = spark.createDataFrame(rows, "src_oid string, dst_oid string")
+    path = f"{tmpdir}/predges"
+    for chunk in [rows[5:6], rows[0:3], rows[6:8], rows[3:5]]:
+        spark.createDataFrame(chunk, "src_oid string, dst_oid string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    sdf = stream_parquet(spark, path, "src_oid string, dst_oid string")
+    g, ranks = streaming_pagerank(sdf, tol=1e-6, maintain_factor=1e-3)
+    got = {
+        r["oid"]: r["value"]
+        for r in ranks.join(g.vertices, "vid").select("oid", "value").collect()
+    }
+
+    gb = build_graph(df)
+    exp = {
+        r["oid"]: r["value"]
+        for r in pagerank_nx(gb, alpha=0.85, max_iter=300, tol=1e-10)
+        .join(gb.vertices, "vid")
+        .select("oid", "value")
+        .collect()
+    }
+    assert set(got) == set(exp)
+    ks = sorted(exp)
+    assert np.allclose([got[k] for k in ks], [exp[k] for k in ks], atol=1e-7, rtol=0)

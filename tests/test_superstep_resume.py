@@ -146,3 +146,24 @@ def test_csr_and_dense_tier_checkpoint_resume(spark, tmp_path):
     resumed_d = _d(pagerank_csr_dense(gd, tol=1e-8, max_iter=60, num_blocks=4, checkpoint_dir=ck2))
     ksd = sorted(full_d)
     assert np.allclose([full_d[k] for k in ksd], [resumed_d[k] for k in ksd], atol=1e-7, rtol=1e-5)
+
+
+def test_delta_tier_checkpoint_resume(spark, tmp_path):
+    """The delta-push tier's (rank, resid) state resumes from checkpoint
+    exactly like the other tiers: interrupt mid-push, resume, land on
+    the uninterrupted result (comparison at convergence scale, same
+    rationale as the csr/dense test above)."""
+    from linkgraph.csr import pagerank_delta_csr
+
+    g = graph_from_edge_vids(spark, rmat_edges(120, 400, seed=11))
+    full = _d(pagerank_delta_csr(g, tol=1e-8, max_iter=300, num_blocks=4))
+
+    ck = str(tmp_path / "delta")
+    _ = pagerank_delta_csr(g, tol=1e-8, max_iter=6, num_blocks=4, checkpoint_dir=ck)
+    resumed = _d(
+        pagerank_delta_csr(g, tol=1e-8, max_iter=300, num_blocks=4, checkpoint_dir=ck)
+    )
+    ks = sorted(full)
+    assert np.allclose(
+        [resumed[k] for k in ks], [full[k] for k in ks], atol=1e-6, rtol=0
+    )
