@@ -1208,6 +1208,8 @@ def sssp_csr(
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
     packed: bool = True,
+    init_dists: DataFrame | None = None,
+    frontier: DataFrame | None = None,
 ) -> DataFrame:
     """SSSP (and BFS via unit weights) on the CSR fast tier.
 
@@ -1218,6 +1220,19 @@ def sssp_csr(
     a global ``groupBy(dst).min`` finishes. ≤P partial rows per
     destination regardless of in-degree — the same heavy-hitter bound
     the PageRank tier has. Unreachable → -1.0, as the join tier reports.
+
+    **Incremental warm start** (edge APPENDS only — old distances stay
+    valid upper bounds because added edges can only shorten paths):
+    pass ``init_dists`` = the previous run's (vid, value) output (its
+    -1.0 unreachable marker maps back to +inf) and ``frontier`` = the
+    src endpoints of the appended edges. Label correcting from that
+    frontier reaches the exact full-graph fixpoint (induction on the
+    number of new edges on a shortest path: cascaded improvements
+    re-mark their vertex changed), and each path's float sum is the
+    same left-to-right fold either way, so the result is bit-identical
+    to a cold run — not approximately equal. With ``init_dists`` but no
+    ``frontier``, every finite-dist vertex re-relaxes (a correct, more
+    expensive fallback for unknown deltas).
     """
     spark = graph.edges.sparkSession
     p = num_blocks or spark.sparkContext.defaultParallelism
@@ -1226,11 +1241,33 @@ def sssp_csr(
     blocks.count()
 
     inf = float("inf")
-    state0 = graph.vertices.select(
-        "vid",
-        F.when(F.col("vid") == src, F.lit(0.0)).otherwise(F.lit(inf)).alias("dist"),
-        (F.col("vid") == src).alias("changed"),
-    )
+    if init_dists is None:
+        state0 = graph.vertices.select(
+            "vid",
+            F.when(F.col("vid") == src, F.lit(0.0)).otherwise(F.lit(inf)).alias("dist"),
+            (F.col("vid") == src).alias("changed"),
+        )
+    else:
+        d0 = init_dists.select(
+            "vid", F.col(init_dists.columns[1]).alias("_d0")
+        )
+        dist = F.when(F.col("vid") == src, F.lit(0.0)).otherwise(
+            F.when(F.col("_d0") >= 0, F.col("_d0")).otherwise(F.lit(inf))
+        )
+        st = graph.vertices.select("vid").join(d0, "vid", "left")
+        if frontier is None:
+            state0 = st.select("vid", dist.alias("dist"), (dist < inf).alias("changed"))
+        else:
+            fr = (
+                frontier.select(F.col(frontier.columns[0]).alias("vid"))
+                .distinct()
+                .withColumn("_fr", F.lit(True))
+            )
+            state0 = st.join(fr, "vid", "left").select(
+                "vid",
+                dist.alias("dist"),
+                (F.coalesce("_fr", F.lit(False)) & (dist < inf)).alias("changed"),
+            )
 
     def _partials(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
         if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:

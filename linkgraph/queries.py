@@ -406,6 +406,38 @@ def q_sssp_csr(spark, sf_dir):
     )
 
 
+def q_sssp_incr(spark, sf_dir):
+    """Incremental SSSP: solve on the parity-0 half of the weighted
+    edges, append the parity-1 half, warm-start relaxation with the old
+    distances and frontier = the appended edges' srcs
+    (csr.sssp_csr(init_dists=…, frontier=…)). The oracle is the plain
+    full-graph g_sssp recursive CTE: a hash match proves the
+    incremental result is BIT-identical to solving from scratch — old
+    distances are upper bounds, label correcting closes the gap
+    exactly."""
+    from linkgraph.csr import sssp_csr
+
+    g = _oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src",
+        "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("weight"),
+    )
+    parity = F.pmod(F.col("src") + F.col("dst"), F.lit(2))
+    e1, e2 = e.where(parity == 0), e.where(parity == 1)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    g1 = LinkGraph(vertices=g.vertices, edges=e1)
+    d_old = sssp_csr(g1, src=src, num_blocks=8)
+    g_full = LinkGraph(vertices=g.vertices, edges=e)
+    warm = sssp_csr(
+        g_full, src=src, num_blocks=8, init_dists=d_old, frontier=e2.select("src")
+    )
+    return (
+        warm.where(F.col("value") >= 0)
+        .select("vid", F.col("value").cast("long").alias("dist"))
+    )
+
+
 def q_closeness(spark, sf_dir):
     from linkgraph.algorithms import closeness_centrality
 
@@ -1800,6 +1832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_reciprocity": q_reciprocity,
     "g_avg_neighbor_degree": q_avg_neighbor_degree,
     "stream_pagerank": q_stream_pagerank,
+    "g_sssp_incr": q_sssp_incr,
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
@@ -3624,6 +3657,8 @@ ORACLE_SQL["g_pagerank_incr"] = _with_graph(
 # streaming-maintained PageRank vs 100 static unrolled rounds: both
 # sides sit ~1e-10/L1-1e-8 from the true fixpoint, far inside round(6)
 ORACLE_SQL["stream_pagerank"] = _pagerank_sql(100)
+# incremental SSSP lands on the exact full-graph fixpoint
+ORACLE_SQL["g_sssp_incr"] = ORACLE_SQL["g_sssp"]
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

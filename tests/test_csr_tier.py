@@ -265,3 +265,36 @@ def test_pagerank_delta_warm_start_incremental(spark):
     # the warm frontier never reaches the whole graph: the append's
     # blast radius is what gets recomputed
     assert max(frontiers) < n
+
+
+def test_sssp_incremental_warm_start_exact(spark):
+    """Warm-started SSSP after an edge append is BIT-identical to the
+    cold full-graph run: old distances are upper bounds, label
+    correcting from the appended srcs closes the gap exactly."""
+    from linkgraph.csr import sssp_csr
+    from linkgraph.graph import LinkGraph
+
+    edges = rmat_edges(150, 600, seed=23)
+    extra = [(5, 149), (149, 7), (11, 148), (148, 5)]
+    g_old = graph_from_edge_vids(spark, edges)
+    g_new = graph_from_edge_vids(spark, edges + extra)
+
+    def weighted(g):
+        e = g.edges.select(
+            "src", "dst",
+            (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1)
+            .cast("double").alias("weight"),
+        )
+        return LinkGraph(vertices=g.vertices, edges=e)
+
+    cold = _d(sssp_csr(weighted(g_new), src=0, num_blocks=4))
+    d_old = sssp_csr(weighted(g_old), src=0, num_blocks=4)
+    fr = spark.createDataFrame([(s,) for s, _ in extra], "vid long")
+    warm = _d(
+        sssp_csr(weighted(g_new), src=0, num_blocks=4, init_dists=d_old, frontier=fr)
+    )
+    assert warm == cold  # bit-identical, not allclose
+
+    # no-frontier fallback (full re-relax sweep) is equally exact
+    sweep = _d(sssp_csr(weighted(g_new), src=0, num_blocks=4, init_dists=d_old))
+    assert sweep == cold

@@ -34,6 +34,7 @@ PAIRS = [
     "g_reciprocity",
     "g_avg_neighbor_degree",
     "stream_pagerank",
+    "g_sssp_incr",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
