@@ -973,6 +973,8 @@ def wcc_csr(
     num_blocks: int | None = None,
     checkpoint_dir: str | None = None,
     packed: bool = True,
+    init_labels: DataFrame | None = None,
+    frontier: DataFrame | None = None,
 ) -> DataFrame:
     """WCC (min-label propagation, §2.4) on the CSR fast tier.
 
@@ -980,6 +982,18 @@ def wcc_csr(
     labels, scatters per-block **minima** (np.minimum.at on the compacted
     dst dictionary), and a global ``groupBy(dst).min`` finishes. Exact
     same fixpoint as :func:`linkgraph.algorithms.wcc`.
+
+    **Incremental warm start** (edge APPENDS only — components can only
+    merge, so old labels are valid upper bounds on the new min-labels):
+    pass ``init_labels`` = the previous run's (vid, value) output and
+    ``frontier`` = BOTH endpoints of every appended edge — the side
+    holding the smaller label must push it across the new edge, and
+    either side may be the holder, so one-sided frontiers deadlock a
+    merge. Min-propagation from that frontier reaches the exact merged
+    fixpoint; vertices absent from ``init_labels`` (new arrivals) start
+    at their own vid.
+    With ``init_labels`` but no ``frontier``, every vertex re-propagates
+    once (correct fallback for unknown deltas).
     """
     spark = graph.edges.sparkSession
     p = num_blocks or spark.sparkContext.defaultParallelism
@@ -992,9 +1006,27 @@ def wcc_csr(
     blocks = build_csr_blocks(und, p).persist()
     blocks.count()
 
-    state0 = graph.vertices.select(
-        "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
-    )
+    if init_labels is None:
+        state0 = graph.vertices.select(
+            "vid", F.col("vid").alias("label"), F.lit(True).alias("changed")
+        )
+    else:
+        l0 = init_labels.select("vid", F.col(init_labels.columns[1]).alias("_l0"))
+        st = graph.vertices.select("vid").join(l0, "vid", "left")
+        label = F.coalesce("_l0", F.col("vid"))
+        if frontier is None:
+            state0 = st.select("vid", label.alias("label"), F.lit(True).alias("changed"))
+        else:
+            fr = (
+                frontier.select(F.col(frontier.columns[0]).alias("vid"))
+                .distinct()
+                .withColumn("_fr", F.lit(True))
+            )
+            state0 = st.join(fr, "vid", "left").select(
+                "vid",
+                label.alias("label"),
+                F.coalesce("_fr", F.lit(False)).alias("changed"),
+            )
 
     imax = np.iinfo(np.int64).max
 

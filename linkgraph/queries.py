@@ -170,6 +170,25 @@ def q_wcc_csr(spark, sf_dir):
     )
 
 
+def q_wcc_incr(spark, sf_dir):
+    """Incremental WCC: solve on the parity-0 half of the edges, append
+    the parity-1 half, warm-start min-propagation with the old labels
+    and frontier = BOTH endpoints of the appended edges
+    (csr.wcc_csr(init_labels=…, frontier=…)). Oracle is the plain
+    full-graph g_wcc recursive CTE: components can only merge under
+    appends, so the warm start lands on the exact merged labels."""
+    from linkgraph.csr import wcc_csr
+
+    g = _oracle_graph(spark, sf_dir)
+    parity = F.pmod(F.col("src") + F.col("dst"), F.lit(2))
+    e1, e2 = g.edges.where(parity == 0), g.edges.where(parity == 1)
+    g1 = LinkGraph(vertices=g.vertices, edges=e1)
+    old = wcc_csr(g1, num_blocks=8)
+    fr = e2.select(F.col("src").alias("vid")).union(e2.select(F.col("dst").alias("vid")))
+    warm = wcc_csr(g, num_blocks=8, init_labels=old, frontier=fr)
+    return warm.select("vid", F.col("value").cast("long").alias("comp"))
+
+
 def q_bfs_csr(spark, sf_dir):
     """The SAME BFS (unit-weight sssp_csr) on the packed CSR fast tier —
     identical fixpoint, same oracle as g_bfs (unreachable filtered, as
@@ -1833,6 +1852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_avg_neighbor_degree": q_avg_neighbor_degree,
     "stream_pagerank": q_stream_pagerank,
     "g_sssp_incr": q_sssp_incr,
+    "g_wcc_incr": q_wcc_incr,
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
@@ -3659,6 +3679,7 @@ ORACLE_SQL["g_pagerank_incr"] = _with_graph(
 ORACLE_SQL["stream_pagerank"] = _pagerank_sql(100)
 # incremental SSSP lands on the exact full-graph fixpoint
 ORACLE_SQL["g_sssp_incr"] = ORACLE_SQL["g_sssp"]
+ORACLE_SQL["g_wcc_incr"] = ORACLE_SQL["g_wcc"]
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

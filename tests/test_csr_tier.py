@@ -298,3 +298,26 @@ def test_sssp_incremental_warm_start_exact(spark):
     # no-frontier fallback (full re-relax sweep) is equally exact
     sweep = _d(sssp_csr(weighted(g_new), src=0, num_blocks=4, init_dists=d_old))
     assert sweep == cold
+
+
+def test_wcc_incremental_warm_start_exact(spark):
+    """Warm-started WCC after an append equals the cold run exactly;
+    components only merge, old labels are upper bounds."""
+    from linkgraph.csr import wcc_csr
+
+    edges = TWO_COMPONENTS + [(10, 11)]
+    extra = [(0, 10)]  # merges the two components
+    g_old = graph_from_edge_vids(spark, edges)
+    g_new = graph_from_edge_vids(spark, edges + extra)
+    cold = _d(wcc_csr(g_new, num_blocks=3))
+    old = wcc_csr(g_old, num_blocks=3)
+    fr = spark.createDataFrame([(u,) for e in extra for u in e], "vid long")
+    warm = _d(wcc_csr(g_new, num_blocks=3, init_labels=old, frontier=fr))
+    assert warm == cold
+
+    # the BOTH-endpoints requirement is real: the appended edge's
+    # smaller-label side (vid 0) holds the label that must cross it —
+    # a frontier of only the larger side (vid 10) deadlocks the merge
+    one_sided = spark.createDataFrame([(10,)], "vid long")
+    stuck = _d(wcc_csr(g_new, num_blocks=3, init_labels=old, frontier=one_sided))
+    assert stuck != cold

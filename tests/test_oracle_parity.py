@@ -35,6 +35,7 @@ PAIRS = [
     "g_avg_neighbor_degree",
     "stream_pagerank",
     "g_sssp_incr",
+    "g_wcc_incr",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
