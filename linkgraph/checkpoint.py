@@ -41,11 +41,26 @@ class CheckpointStore:
             .agg(F.count("*").alias("rows"))
             .collect()
         }
+        # shuffle/skew metrics derived from the lineage counts just
+        # collected (no extra Spark pass): a heavy-hitter key shows up as
+        # skew = max/mean partition rows >> 1 before it OOMs an executor.
+        counts = list(lineage.values())
+        total = int(sum(counts))
+        n_parts = max(len(counts), 1)
+        mean = total / n_parts
+        skew = {
+            "partitions": n_parts,
+            "max_rows": int(max(counts, default=0)),
+            "min_rows": int(min(counts, default=0)),
+            "mean_rows": round(mean, 1),
+            "skew_ratio": round(max(counts, default=0) / mean, 3) if mean else 0.0,
+        }
         entry = {
             "round": round_num,
             "path": path,
-            "rows": int(sum(lineage.values())),
+            "rows": total,
             "partition_lineage": lineage,
+            "skew": skew,
             "schema": state.schema.json(),
             "metrics": metrics or {},
             "wall_time": time.time(),

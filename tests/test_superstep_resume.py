@@ -52,9 +52,15 @@ def test_manifest_records_lineage_and_metrics(spark, tmp_path):
     entries = CheckpointStore(ck).entries()
     assert entries, "manifest must not be empty"
     for e in entries:
-        assert set(e) >= {"round", "path", "rows", "partition_lineage", "schema", "metrics"}
+        assert set(e) >= {"round", "path", "rows", "partition_lineage", "schema", "metrics", "skew"}
         assert sum(e["partition_lineage"].values()) == e["rows"] == 6
         assert "l1" in e["metrics"]
+        # skew metrics are derived from the same lineage counts
+        sk = e["skew"]
+        assert sk["partitions"] == len(e["partition_lineage"])
+        assert sk["max_rows"] >= sk["min_rows"] >= 0
+        assert sk["skew_ratio"] >= 1.0 or sk["max_rows"] == 0
+        assert abs(sk["mean_rows"] * sk["partitions"] - e["rows"]) < 1.0
     # manifest is valid JSONL
     with open(CheckpointStore(ck).manifest_path) as f:
         for line in f:
