@@ -9,7 +9,7 @@ Join ``LinkGraph.vertices`` on ``vid`` for oids (ADD_COLUMN analog).
 from linkgraph.algorithms.pagerank import pagerank, pagerank_nx
 from linkgraph.algorithms.wcc import wcc
 from linkgraph.algorithms.cdlp import cdlp
-from linkgraph.algorithms.triangles import triangles, triangle_total
+from linkgraph.algorithms.triangles import triangles, triangle_total, triangle_total_incr
 from linkgraph.algorithms.traversal import bfs, sssp
 from linkgraph.algorithms.degrees import degree_centrality
 from linkgraph.algorithms.globals import density, reciprocity, average_neighbor_degree
@@ -65,6 +65,7 @@ __all__ = [
     "cdlp",
     "triangles",
     "triangle_total",
+    "triangle_total_incr",
     "bfs",
     "sssp",
     "degree_centrality",

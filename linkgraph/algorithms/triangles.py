@@ -79,3 +79,95 @@ def triangle_total(graph: LinkGraph) -> int:
     """Total number of triangles in the graph (Σ per-vertex / 3)."""
     row = triangles(graph).agg((F.sum("value") / 3).cast("long").alias("t")).first()
     return int(row["t"] or 0)
+
+
+# breakdown of the most recent triangle_total_incr call (bench/tests)
+LAST_INCR: dict | None = None
+
+
+def triangle_total_incr(
+    graph: LinkGraph, extra_edges: DataFrame, base_total: int | None = None
+) -> int:
+    """Exact triangle-count maintenance after edge APPENDS.
+
+    Every new triangle contains ≥1 appended edge, so the delta is
+    computable by joins *driven by the tiny append set* instead of
+    re-scanning all wedges. With Δ = appended undirected pairs (deduped,
+    minus pairs already present) and G2 = G ∪ Δ, inclusion–exclusion on
+    how many of a triangle's edges are new gives
+
+        ΔT = S − W + T3
+
+    - ``S``  = Σ over (u,v)∈Δ of |N₂(u) ∩ N₂(v)|   (counts a triangle
+      once per its new edges: T1 + 2·T2 + 3·T3);
+    - ``W``  = wedges with BOTH arms in Δ closed by any G2 edge
+      (T2 + 3·T3);
+    - ``T3`` = triangles entirely inside Δ.
+
+    Scale shape: Δ is broadcast; the two ``S`` joins stream the G2
+    adjacency exactly twice (no wedge self-join of the big edge table —
+    that is the cold path's cost); ``W``/``T3`` touch only Δ-sized
+    tables. A hub endpoint in Δ inflates the candidate set to its
+    degree — AQE picks the second join's strategy at runtime rather
+    than a forced broadcast. Mirrors the reference's triangle app
+    (analytical_engine/apps/clustering/triangles.h) composed with its
+    append-only fragment
+    (analytical_engine/core/fragment/append_only_arrow_fragment.h).
+
+    ``base_total`` is the already-known T(G); computed cold when omitted.
+    Returns T(G2) exactly. Breakdown lands in ``LAST_INCR``.
+    """
+    global LAST_INCR
+    und_old = graph.simple_undirected_edges()
+    delta = (
+        extra_edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .join(und_old, ["lo", "hi"], "left_anti")
+        .persist()
+    )
+    n_new = delta.count()
+    if base_total is None:
+        base_total = triangle_total(graph)
+    if n_new == 0:
+        LAST_INCR = {"n_appended": 0, "S": 0, "W": 0, "T3": 0, "delta_triangles": 0}
+        delta.unpersist()
+        return base_total
+
+    und2 = und_old.unionByName(delta)
+    adj2 = und2.select(F.col("lo").alias("u"), F.col("hi").alias("w")).unionByName(
+        und2.select(F.col("hi").alias("u"), F.col("lo").alias("w"))
+    )
+
+    # S: neighbors of each appended pair's lo endpoint, then close at hi
+    cand = adj2.join(F.broadcast(delta), adj2["u"] == delta["lo"]).select(
+        "hi", F.col("w").alias("cw")
+    )
+    s = adj2.join(cand, (adj2["u"] == cand["hi"]) & (adj2["w"] == cand["cw"])).count()
+
+    # W and T3: wedges with both arms in Δ (center = shared vertex)
+    dsym = delta.select(F.col("lo").alias("u"), F.col("hi").alias("w")).unionByName(
+        delta.select(F.col("hi").alias("u"), F.col("lo").alias("w"))
+    )
+    a, b = dsym.alias("a"), dsym.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.w") == F.col("b.u")) & (F.col("a.u") < F.col("b.w")))
+        .select(F.col("a.u").alias("lo"), F.col("b.w").alias("hi"))
+        .persist()
+    )
+    w_closed = und2.join(F.broadcast(wedges), ["lo", "hi"]).count()
+    t3_times3 = delta.join(F.broadcast(wedges), ["lo", "hi"]).count()
+    t3 = t3_times3 // 3
+
+    wedges.unpersist()
+    delta.unpersist()
+    LAST_INCR = {
+        "n_appended": n_new,
+        "S": s,
+        "W": w_closed,
+        "T3": t3,
+        "delta_triangles": s - w_closed + t3,
+    }
+    return base_total + s - w_closed + t3

@@ -170,6 +170,23 @@ def q_wcc_csr(spark, sf_dir):
     )
 
 
+def q_triangles_incr(spark, sf_dir):
+    """Incremental triangle maintenance: count on the 2/3 of edges with
+    (src+dst)%3 != 0, append the rest, and update via the Δ-driven
+    inclusion–exclusion (triangle_total_incr: ΔT = S − W + T3 — joins
+    stream the adjacency only against the broadcast append set). The
+    oracle is the plain full-graph ordered-wedge count, so a hash match
+    proves the maintained total is exactly the cold total."""
+    from linkgraph.algorithms import triangle_total_incr
+
+    g = _oracle_graph(spark, sf_dir)
+    parity = F.pmod(F.col("src") + F.col("dst"), F.lit(3))
+    base = LinkGraph(vertices=g.vertices, edges=g.edges.where(parity != 0))
+    extra = g.edges.where(parity == 0)
+    total = triangle_total_incr(base, extra)
+    return spark.createDataFrame([(total,)], "total_triangles long")
+
+
 def q_wcc_incr(spark, sf_dir):
     """Incremental WCC: solve on the parity-0 half of the edges, append
     the parity-1 half, warm-start min-propagation with the old labels
@@ -1853,6 +1870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pagerank": q_stream_pagerank,
     "g_sssp_incr": q_sssp_incr,
     "g_wcc_incr": q_wcc_incr,
+    "g_triangles_incr": q_triangles_incr,
     "gie_math": q_gie_math,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
@@ -3680,6 +3698,7 @@ ORACLE_SQL["stream_pagerank"] = _pagerank_sql(100)
 # incremental SSSP lands on the exact full-graph fixpoint
 ORACLE_SQL["g_sssp_incr"] = ORACLE_SQL["g_sssp"]
 ORACLE_SQL["g_wcc_incr"] = ORACLE_SQL["g_wcc"]
+ORACLE_SQL["g_triangles_incr"] = ORACLE_SQL["g_triangle_total"]
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

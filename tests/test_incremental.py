@@ -83,3 +83,63 @@ def test_pagerank_resume_from_checkpoint_snapshot(spark, tmp_path):
     c = {r["vid"]: r["value"] for r in cold.collect()}
     ks = sorted(c)
     assert np.allclose([w[k] for k in ks], [c[k] for k in ks], atol=1e-8, rtol=0)
+
+
+# ---- incremental triangle maintenance -----------------------------------
+
+
+def test_triangle_total_incr_matches_cold(spark):
+    from linkgraph.algorithms import triangle_total, triangle_total_incr
+    from linkgraph.graph import LinkGraph, graph_from_edge_vids
+
+    for seed in (1, 7):
+        edges = rmat_edges(n_vertices=60, n_edges=400, seed=seed)
+        g2 = graph_from_edge_vids(spark, edges)
+        parity = F.pmod(F.col("src") + F.col("dst"), F.lit(3))
+        base = LinkGraph(vertices=g2.vertices, edges=g2.edges.where(parity != 0))
+        extra = g2.edges.where(parity == 0)
+        got = triangle_total_incr(base, extra)
+        assert got == triangle_total(g2)
+
+
+def test_triangle_total_incr_edge_cases(spark):
+    """Self-loops, reversed duplicates, already-present pairs, new
+    vertices, and 2-/3-new-edge triangles all hit the S/W/T3 terms."""
+    import importlib
+
+    from linkgraph.algorithms import triangle_total_incr
+    from linkgraph.graph import graph_from_edge_vids
+
+    # the package re-exports the `triangles` function under the same name
+    # as the submodule, so fetch the module itself for LAST_INCR
+    tri_mod = importlib.import_module("linkgraph.algorithms.triangles")
+
+    # base: path 0-1-2 plus isolated edge 3-4
+    base = graph_from_edge_vids(spark, [(0, 1), (1, 2), (3, 4)])
+    extra = spark.createDataFrame(
+        [
+            (2, 0),   # closes 0-1-2: one new-edge triangle (S term)
+            (0, 2),   # reversed duplicate of the same pair
+            (5, 5),   # self loop — dropped
+            (1, 0),   # already present (reversed) — dropped by anti-join
+            (3, 5), (4, 5),       # two new arms closed by old 3-4 (W term)
+            (6, 7), (7, 8), (8, 6),  # all-new triangle (T3 term)
+        ],
+        "src long, dst long",
+    )
+    total = triangle_total_incr(base, extra, base_total=0)
+    assert total == 3
+    m = tri_mod.LAST_INCR
+    assert m["n_appended"] == 6
+    # S counts each triangle once per new edge: 1 + 2 + 3
+    assert m["S"] == 6 and m["W"] == 4 and m["T3"] == 1
+    assert m["delta_triangles"] == 3
+
+
+def test_triangle_total_incr_empty_delta(spark):
+    from linkgraph.algorithms import triangle_total, triangle_total_incr
+    from linkgraph.graph import graph_from_edge_vids
+
+    g = graph_from_edge_vids(spark, [(0, 1), (1, 2), (2, 0)])
+    extra = g.edges.limit(0)
+    assert triangle_total_incr(g, extra) == triangle_total(g) == 1

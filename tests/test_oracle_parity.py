@@ -36,6 +36,7 @@ PAIRS = [
     "stream_pagerank",
     "g_sssp_incr",
     "g_wcc_incr",
+    "g_triangles_incr",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
