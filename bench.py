@@ -179,6 +179,30 @@ def run_default() -> dict:
     queries["corpus_pagerank_incr"] = round(time.time() - t, 3)
     old_ranks.unpersist()
 
+    # discrete incremental maintenance on the same 1%-append recipe:
+    # warm WCC (labels only merge) and delta-driven triangle count —
+    # both exactly equal to cold (checksum/oracle-asserted elsewhere)
+    from linkgraph.algorithms import triangle_total, triangle_total_incr
+    from linkgraph.csr import wcc_csr
+
+    old_labels = wcc_csr(g_base).persist()
+    old_labels.count()
+    extra = g.edges.where(~keep).persist()
+    extra.count()
+    fr = extra.select(F.col("src").alias("vid")).union(
+        extra.select(F.col("dst").alias("vid"))
+    )
+    t = time.time()
+    wcc_csr(g, init_labels=old_labels, frontier=fr).count()
+    queries["corpus_wcc_incr"] = round(time.time() - t, 3)
+    old_labels.unpersist()
+
+    base_tri = triangle_total(g_base)  # known count, outside the window
+    t = time.time()
+    triangle_total_incr(g_base, extra, base_total=base_tri)
+    queries["corpus_triangles_incr"] = round(time.time() - t, 3)
+    extra.unpersist()
+
     # r4 families on the same cached corpus graph: GNN sampling data
     # plane + link prediction (candidate join fans out Σ_w deg(w)² —
     # hub-capped here exactly as a 100-TB run would be)
