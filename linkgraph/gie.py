@@ -446,6 +446,25 @@ class Traversal:
         out.tracked = t_out.tracked and f_out.tracked
         return out
 
+    def choose_traversal(self, predicate, true_branch, false_branch=None) -> "Traversal":
+        """Gremlin's native ``choose(traversal, t, f)`` form: the
+        predicate is an existential sub-traversal (≥1 result routes the
+        traverser to the true branch). Routing = one :meth:`filter_`
+        semi-join and one :meth:`not_` anti-join over the shared deduped
+        predicate result, then the same bag-union merge as
+        :meth:`choose`."""
+        t_out = true_branch(self.filter_(predicate))
+        f_in = self.not_(predicate)
+        f_out = false_branch(f_in) if false_branch is not None else f_in
+        if t_out.kind != f_out.kind:
+            raise ValueError(
+                f"choose(): branches end in mixed kinds ({t_out.kind!r} vs {f_out.kind!r})"
+            )
+        merged = t_out.df.unionByName(f_out.df, allowMissingColumns=True)
+        out = self._next(merged, t_out.kind)
+        out.tracked = t_out.tracked and f_out.tracked
+        return out
+
     # -- sack (per-traverser scratch value; SACK_OUT :106) -------------
     def withSack(self, init) -> "Traversal":
         """Attach a per-traverser sack (Gremlin withSack): ``init`` is a
@@ -657,6 +676,29 @@ class Traversal:
             .dropDuplicates(["oid", "label"])
         )
         return self._next(self.df.join(produced, ["oid", "label"], "left_anti"))
+
+    def filter_(self, branch) -> "Traversal":
+        """Existential filter — Gremlin's ``where(__.out('x'))``: keep
+        traversers whose sub-traversal produces ≥1 result. The positive
+        twin of :meth:`not_` (the runtime routes both through the same
+        keyed join, query_flow.proto:113): the branch runs once over the
+        deduped (oid, label) element set and survivors are kept with a
+        left-semi hash join, preserving the frontier's multiplicity."""
+        self._require_v("filter_")
+        src = (
+            self.df.select("oid", "label")
+            .dropDuplicates(["oid", "label"])
+            .withColumn("__as___flt", F.col("oid"))
+            .withColumn("__as___flt_lbl", F.col("label"))
+        )
+        produced = (
+            branch(Traversal(self.pg, src, "v", False))
+            .df.select(
+                F.col("__as___flt").alias("oid"), F.col("__as___flt_lbl").alias("label")
+            )
+            .dropDuplicates(["oid", "label"])
+        )
+        return self._next(self.df.join(produced, ["oid", "label"], "left_semi"))
 
     # -- iteration -----------------------------------------------------
     def _until_split(self, branch) -> tuple[DataFrame, DataFrame]:

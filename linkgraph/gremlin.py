@@ -462,11 +462,25 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             if isinstance(a, _Pred) and len(a.args) == 1 and isinstance(a.args[0], str):
                 # where(P.eq('a')): compare current element id to tag 'a'
                 t = t.where(_where_tag(a))
+            elif isinstance(a, _Anon):
+                # where(__.out('x')): existential filter by sub-traversal
+                t = t.filter_(_anon_body(a, text))
             else:
                 raise GremlinParseError(
-                    "where() takes P.eq/neq('tag'); use not() for the "
-                    "negated-traversal form"
+                    "where() takes P.eq/neq('tag') or a sub-traversal; "
+                    "use not() for the negated-traversal form"
                 )
+        elif s.name == "choose":
+            if len(s.args) not in (2, 3):
+                raise GremlinParseError(
+                    "choose() takes (predicate, trueBranch[, falseBranch])"
+                )
+            pred = _anon_body(s.args[0], text)
+            tb = _anon_body(s.args[1], text)
+            fb = _anon_body(s.args[2], text) if len(s.args) == 3 else None
+            t = t.choose_traversal(pred, tb, fb)
+        elif s.name == "match":
+            t = t.match(*[_match_pattern(a, text) for a in s.args])
         elif s.name == "union":
             branches = [_anon_body(a, text) for a in s.args]
             t = t.union(*branches)
@@ -484,6 +498,32 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             raise GremlinParseError(f"unsupported step {s.name!r}")
         i += 1
     return t
+
+
+def _match_pattern(a, text: str):
+    """``__.as('a').out('x').as('b')`` → the fluent match() triple
+    ``('a', body, 'b')``: first and last steps must be as() bindings, the
+    body between them is applied like any sub-traversal."""
+    if not isinstance(a, _Anon) or len(a.steps) < 2:
+        raise GremlinParseError(
+            f"match() patterns must be __.as(start)...as(end) sub-traversals: {text!r}"
+        )
+    head, tail = a.steps[0], a.steps[-1]
+    if head.name != "as" or tail.name != "as":
+        raise GremlinParseError(
+            f"match() pattern must start and end with as(tag): {text!r}"
+        )
+    mid = a.steps[1:-1]
+
+    def body(t: Traversal) -> Traversal:
+        r = _apply_chain(t, mid, text)
+        if isinstance(r, DataFrame):
+            raise GremlinParseError(
+                f"match() pattern body must not end in a terminal step: {text!r}"
+            )
+        return r
+
+    return (head.args[0], body, tail.args[0])
 
 
 def _where_tag(p: _Pred):

@@ -1384,6 +1384,34 @@ def q_gie_text_twohop(spark, sf_dir):
     )
 
 
+def q_gie_text_match(spark, sf_dir):
+    """TEXT match(): conjunctive patterns with as-bindings, parsed from a
+    string into the fluent match() triples — customers (BUILDING) with
+    their orders and the parts those orders contain, all three bindings
+    read out with a terminal select."""
+    from linkgraph.gremlin import gremlin
+
+    q = gremlin(_gie_graph(spark, sf_dir))
+    return q.execute(
+        "g.V('customer').has('c_mktsegment', 'BUILDING')"
+        ".match(__.as('c').out('placed').as('o'), __.as('o').out('contains').as('p'))"
+        ".select('c', 'o', 'p')"
+    )
+
+
+def q_gie_text_choose(spark, sf_dir):
+    """TEXT choose(traversal, t, f): existential predicate routes each
+    customer either to its orders or (no orders) passes it through —
+    the bag union is counted. filter_/not_ routing over one shared
+    deduped predicate scan."""
+    from linkgraph.gremlin import gremlin
+
+    q = gremlin(_gie_graph(spark, sf_dir))
+    return q.execute(
+        "g.V('customer').choose(__.out('placed'), __.out('placed'), __.identity()).count()"
+    )
+
+
 def q_gie_math(spark, sf_dir):
     """math() step (MATH, query_flow.proto:150): per-traverser arithmetic
     over tagged-element properties, lowered to one Catalyst expression —
@@ -1872,6 +1900,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_wcc_incr": q_wcc_incr,
     "g_triangles_incr": q_triangles_incr,
     "gie_math": q_gie_math,
+    "gie_text_match": q_gie_text_match,
+    "gie_text_choose": q_gie_text_choose,
     "g_wcc_csr": q_wcc_csr,
     "g_bfs_csr": q_bfs_csr,
     "g_linkpred": q_linkpred,
@@ -3297,6 +3327,16 @@ ORACLE_SQL: dict[str, str] = {
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'""",
+    "gie_text_match": """
+  SELECT 'c' || c.c_custkey AS c, 'o' || o.o_orderkey AS o, 'p' || l.l_partkey AS p
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey""",
+    "gie_text_choose": """
+  SELECT ((SELECT count(*) FROM orders)
+        + (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey)))::BIGINT AS n""",
     "gie_top_edges": """
   SELECT round(o_totalprice, 2) AS value
   FROM orders ORDER BY o_totalprice DESC LIMIT 10""",

@@ -346,3 +346,80 @@ def test_text_sack(pg):
     )
     # p4 -> p1: sack accumulates p1's age (29)
     assert sorted(r["value"] for r in df.collect()) == [29.0]
+
+
+def _sorted_oids(df):
+    return sorted(r["oid"] for r in df.collect())
+
+
+def test_text_where_subtraversal_filter(pg):
+    # existential filter: people who created something = p1, p3, p4
+    got = gremlin(pg).execute("g.V().hasLabel('person').where(__.out('created'))")
+    assert _sorted_oids(got) == ["p1", "p3", "p4"]
+    # fluent twin via filter_
+    flu = traversal(pg).V("person").filter_(lambda t: t.out("created"))
+    assert sorted(r["oid"] for r in flu.df.collect()) == ["p1", "p3", "p4"]
+
+
+def test_filter_preserves_bag_multiplicity(pg):
+    # out('knows') frontier = p2, p3, p1 (bag); creators among them: p1, p3
+    t = traversal(pg).V("person").out("knows")
+    kept = t.filter_(lambda x: x.out("created"))
+    assert sorted(r["oid"] for r in kept.df.collect()) == ["p1", "p3"]
+
+
+def test_text_choose_routes_both_branches(pg):
+    # creators hop to their software; non-creators stay put
+    got = gremlin(pg).execute(
+        "g.V().hasLabel('person').choose(__.out('created'), __.out('created'), __.identity())"
+    )
+    # p1 -> s1; p3 -> s1, s2; p4 -> s2; p2 stays p2
+    assert _sorted_oids(got) == ["p2", "s1", "s1", "s2", "s2"]
+    # fluent twin
+    flu = traversal(pg).V("person").choose_traversal(
+        lambda t: t.out("created"), lambda t: t.out("created")
+    )
+    assert sorted(r["oid"] for r in flu.df.collect()) == ["p2", "s1", "s1", "s2", "s2"]
+
+
+def test_text_choose_without_false_branch(pg):
+    got = gremlin(pg).execute(
+        "g.V().hasLabel('person').choose(__.out('knows'), __.out('knows')).count()"
+    )
+    # p1 -> p2,p3; p4 -> p1; p2,p3 (no out-knows) pass through = 5
+    assert got.collect()[0][0] == 5
+
+
+def test_text_match_matches_fluent(pg):
+    got = gremlin(pg).execute(
+        "g.V().hasLabel('person')"
+        ".match(__.as('a').out('knows').as('b'), __.as('b').out('created').as('c'))"
+        ".select('a', 'b', 'c')"
+    )
+    rows = sorted((r["a"], r["b"], r["c"]) for r in got.collect())
+    assert rows == [("p1", "p3", "s1"), ("p1", "p3", "s2"), ("p4", "p1", "s1")]
+
+
+def test_text_match_bound_tag_is_join_constraint(pg):
+    got = gremlin(pg).execute(
+        "g.V().hasLabel('person')"
+        ".match(__.as('a').out('created').as('c'),"
+        " __.as('a').both('knows').as('b'),"
+        " __.as('b').out('created').as('c'))"
+        ".select('a', 'b', 'c')"
+    )
+    rows = sorted((r["a"], r["b"], r["c"]) for r in got.collect())
+    # includes a==b self rows (no tag-inequality filter in the text form)
+    assert ("p1", "p3", "s1") in rows and ("p3", "p1", "s1") in rows
+
+
+def test_text_match_pattern_shape_errors(pg):
+    with pytest.raises(GremlinParseError, match="as"):
+        gremlin(pg).execute("g.V().match(__.out('knows').as('b'))")
+    with pytest.raises(GremlinParseError, match="sub-traversal"):
+        gremlin(pg).execute("g.V().match('nope')")
+
+
+def test_text_choose_arity_error(pg):
+    with pytest.raises(GremlinParseError, match="choose"):
+        gremlin(pg).execute("g.V().choose(__.out('knows'))")

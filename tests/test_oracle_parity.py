@@ -40,6 +40,8 @@ PAIRS = [
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
+    "gie_text_match",
+    "gie_text_choose",
     "g_sssp_csr",
     "g_cdlp_csr",
     "g_wcc_csr",
