@@ -45,9 +45,23 @@ def _oriented_edges(graph: LinkGraph) -> DataFrame:
     )
 
 
+# bounded residency (dedup.py pattern): the most recent triangles() call
+# owns the oriented-edge cache; freeing an older one forces a
+# deterministic recompute, never wrong data — without this, every call
+# leaked one persisted edge-sized table for the session's lifetime.
+_CACHED: list[DataFrame] = []
+
+
+def _own_cache(df: DataFrame) -> DataFrame:
+    while _CACHED:
+        _CACHED.pop().unpersist()
+    _CACHED.append(df.persist())
+    return df
+
+
 def triangles(graph: LinkGraph) -> DataFrame:
     """Per-vertex triangle counts ``(vid, value)``; zero rows included."""
-    o = _oriented_edges(graph).persist()
+    o = _own_cache(_oriented_edges(graph))
     a, b, c = o.alias("a"), o.alias("b"), o.alias("c")
     # wedge: v→u (a), u→w (b); triangle iff v→w oriented edge exists (c)
     tri = (
