@@ -579,6 +579,18 @@ def preferential_attachment(G: DiGraph, ebunch=None) -> list[tuple]:
     )
 
 
+def maximal_independent_set(G: DiGraph, seed: int = 42) -> list:
+    """networkx.maximal_independent_set analog: a valid MIS (independence
+    and maximality are exact), selected by deterministic Luby rounds with
+    md5(vid:seed) priorities rather than nx's mutable-RNG greedy order —
+    same contract (SOME maximal independent set), reproducible at any
+    parallelism. ``nodes`` pre-seeding is not supported."""
+    if G.directed:
+        raise ValueError("maximal_independent_set: not implemented for directed graphs")
+    rows = A.maximal_independent_set(G._project(), seed=seed).collect()
+    return sorted(G._node_of[r["vid"]] for r in rows)
+
+
 def voterank(G: DiGraph, number_of_nodes: int | None = None) -> list:
     """networkx.voterank — ordered influencer list (reference forwards
     nx's voterank tests; ties break by projected vid, a deterministic

@@ -170,6 +170,20 @@ def q_wcc_csr(spark, sf_dir):
     )
 
 
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set (beyond-reference,
+    flagged like g_scc): md5-string priorities make every round
+    engine-portable, so the DuckDB oracle replays the identical rounds
+    (unrolled below) — a hash match proves the exact same set AND the
+    same per-vertex selection round."""
+    from linkgraph.algorithms import maximal_independent_set
+
+    g = _oracle_graph(spark, sf_dir)
+    return maximal_independent_set(g, seed=42).select(
+        "vid", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_triangles_incr(spark, sf_dir):
     """Incremental triangle maintenance: count on the 2/3 of edges with
     (src+dst)%3 != 0, append the rest, and update via the Δ-driven
@@ -1899,6 +1913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_sssp_incr": q_sssp_incr,
     "g_wcc_incr": q_wcc_incr,
     "g_triangles_incr": q_triangles_incr,
+    "g_mis": q_mis,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -3739,6 +3754,45 @@ ORACLE_SQL["stream_pagerank"] = _pagerank_sql(100)
 ORACLE_SQL["g_sssp_incr"] = ORACLE_SQL["g_sssp"]
 ORACLE_SQL["g_wcc_incr"] = ORACLE_SQL["g_wcc"]
 ORACLE_SQL["g_triangles_incr"] = ORACLE_SQL["g_triangle_total"]
+
+
+def _mis_oracle_sql(rounds: int = 25, seed: int = 42) -> str:
+    """Unrolled Luby rounds (same shape as the unrolled PageRank oracles):
+    w{k} = undecided strict (p, vid)-minima among undecided neighbors;
+    u{k} = u{k-1} minus winners minus their neighborhoods. Extra rounds
+    past convergence are empty — the unroll count only needs to be an
+    upper bound (the Spark side raises if it ever exceeds its own cap)."""
+    # MATERIALIZED: DuckDB inlines plain CTEs, and u{k} references
+    # u{k-1} three times — unmaterialized the expansion is 3^rounds and
+    # the replicated parquet scans exhaust the fd limit.
+    ctes = [
+        "und_m AS MATERIALIZED (SELECT src, dst FROM und WHERE src <> dst)",
+        f"u0 AS MATERIALIZED (SELECT vid, md5(vid::VARCHAR || ':{seed}') AS p FROM v)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+    SELECT x.vid, {k}::BIGINT AS value FROM u{k - 1} x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM und_m e JOIN u{k - 1} y ON y.vid = e.dst
+      WHERE e.src = x.vid
+        AND (y.p < x.p OR (y.p = x.p AND y.vid < x.vid))))"""
+        )
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+    SELECT x.vid, x.p FROM u{k - 1} x
+    WHERE NOT EXISTS (SELECT 1 FROM w{k} w WHERE w.vid = x.vid)
+      AND NOT EXISTS (
+        SELECT 1 FROM und_m e JOIN w{k} w ON w.vid = e.src
+        WHERE e.dst = x.vid))"""
+        )
+    union = " UNION ALL ".join(f"SELECT vid, value FROM w{k}" for k in range(1, rounds + 1))
+    return _with_graph(
+        ",\n  ".join(ctes) + f"\n  SELECT vid, value FROM ({union}) AS mis"
+    )
+
+
+ORACLE_SQL["g_mis"] = _mis_oracle_sql()
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

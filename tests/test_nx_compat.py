@@ -176,3 +176,21 @@ def test_nx_density_reciprocity_avg_neighbor(spark):
     G2.add_edges_from([(0, 1), (0, 2), (1, 2), (2, 0)])
     got = nx.average_neighbor_degree(G2)
     assert got == {0: 1.0, 1: 1.0, 2: 2.0}
+
+
+def test_nx_maximal_independent_set(spark):
+    import pytest as _pytest
+
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    G.add_edges_from([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    s = set(nx.maximal_independent_set(G))
+    edges = {(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)}
+    assert not any((a, b) in edges or (b, a) in edges for a in s for b in s if a != b)
+    for v in (0, 1, 2, 3):
+        assert v in s or any((min(v, u), max(v, u)) in edges for u in s)
+    D = nx.DiGraph(spark)
+    D.add_edge(0, 1)
+    with _pytest.raises(ValueError):
+        nx.maximal_independent_set(D)

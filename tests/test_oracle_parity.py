@@ -37,6 +37,7 @@ PAIRS = [
     "g_sssp_incr",
     "g_wcc_incr",
     "g_triangles_incr",
+    "g_mis",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
