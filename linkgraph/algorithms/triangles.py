@@ -150,7 +150,10 @@ def triangle_total_incr(
         delta.unpersist()
         return base_total
 
-    und2 = und_old.unionByName(delta)
+    # pin the deduped closure: S and W are separate count jobs, and S
+    # streams the adjacency twice within one job — without this the
+    # edge-distinct shuffle replays once per scan
+    und2 = und_old.unionByName(delta).persist()
     adj2 = und2.select(F.col("lo").alias("u"), F.col("hi").alias("w")).unionByName(
         und2.select(F.col("hi").alias("u"), F.col("lo").alias("w"))
     )
@@ -176,6 +179,7 @@ def triangle_total_incr(
     t3 = t3_times3 // 3
 
     wedges.unpersist()
+    und2.unpersist()
     delta.unpersist()
     LAST_INCR = {
         "n_appended": n_new,
