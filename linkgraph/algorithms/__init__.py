@@ -24,7 +24,7 @@ from linkgraph.algorithms.assortativity import (
     numeric_assortativity_coefficient,
 )
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
-from linkgraph.algorithms.mis import maximal_independent_set
+from linkgraph.algorithms.mis import greedy_color, maximal_independent_set
 from linkgraph.algorithms.scc import scc, condensation
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.louvain import louvain, louvain_phase1
@@ -64,6 +64,7 @@ __all__ = [
     "pagerank_nx",
     "wcc",
     "cdlp",
+    "greedy_color",
     "maximal_independent_set",
     "triangles",
     "triangle_total",

@@ -110,3 +110,101 @@ def maximal_independent_set(
     if winners_acc is None:
         return graph.vertices.select("vid", F.lit(0).alias("value")).limit(0)
     return winners_acc.localCheckpoint(eager=True)
+
+
+def greedy_color(
+    graph: LinkGraph, seed: int = 42, max_rounds: int = 200
+) -> DataFrame:
+    """Deterministic Jones–Plassmann greedy coloring.
+
+    A vertex colors itself once every *smaller-(p, vid)* neighbor is
+    colored, taking the smallest color unused by already-colored
+    neighbors (the mex). Each round's ready set is exactly Luby's winner
+    rule — an independent set — so same-round vertices can never
+    conflict, the coloring is proper, uses ≤ Δ+1 colors, and is
+    identical at any parallelism (same md5 priorities as
+    :func:`maximal_independent_set`, so the DuckDB oracle replays it
+    round for round).
+
+    Scale shape per round: one edge-sized join against the undecided
+    set (min-struct, map-side combinable) + one against the colored set
+    (``collect_set`` of neighbor colors, bounded by degree); rounds =
+    the longest priority-decreasing path, O(log n) w.h.p.
+
+    Returns ``(vid, value)`` with value = the assigned color (every
+    vertex present).
+    """
+    spark = graph.edges.sparkSession
+    e = graph.edges.select("src", "dst")
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    und.count()
+
+    undecided = graph.vertices.select(
+        "vid", _priority(F.col("vid"), seed).alias("p")
+    ).localCheckpoint(eager=True)
+    colored: DataFrame | None = None
+
+    for _ in range(1, max_rounds + 1):
+        nbr_min = (
+            und.join(undecided.select(F.col("vid").alias("dst"), "p"), "dst")
+            .groupBy("src")
+            .agg(F.min(F.struct("p", F.col("dst").alias("vid"))).alias("m"))
+            .select(F.col("src").alias("vid"), "m")
+        )
+        ready = (
+            undecided.join(nbr_min, "vid", "left")
+            .where(F.col("m").isNull() | (F.struct("p", "vid") < F.col("m")))
+            .select("vid")
+        )
+        if colored is not None:
+            nbr_colors = (
+                und.join(colored.select(F.col("vid").alias("dst"), "value"), "dst")
+                .groupBy("src")
+                .agg(F.collect_set("value").alias("cs"))
+                .select(F.col("src").alias("vid"), "cs")
+            )
+            newly = (
+                ready.join(nbr_colors, "vid", "left")
+                .select(
+                    "vid",
+                    F.when(F.col("cs").isNull(), F.lit(0))
+                    .otherwise(
+                        F.array_min(
+                            F.array_except(
+                                F.sequence(F.lit(0), F.size("cs")), F.col("cs")
+                            )
+                        )
+                    )
+                    .alias("value"),
+                )
+            )
+        else:
+            newly = ready.select("vid", F.lit(0).alias("value"))
+        newly = newly.localCheckpoint(eager=True)
+        if newly.limit(1).count() == 0:
+            break
+        colored = (
+            newly
+            if colored is None
+            else colored.unionByName(newly).localCheckpoint(eager=True)
+        )
+        undecided = undecided.join(newly, "vid", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        if undecided.limit(1).count() != 0:
+            und.unpersist()
+            raise RuntimeError(
+                f"greedy_color: not converged after {max_rounds} rounds — "
+                "raise max_rounds"
+            )
+
+    und.unpersist()
+    if colored is None:
+        return graph.vertices.select("vid", F.lit(0).alias("value")).limit(0)
+    return colored

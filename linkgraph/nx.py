@@ -591,6 +591,18 @@ def maximal_independent_set(G: DiGraph, seed: int = 42) -> list:
     return sorted(G._node_of[r["vid"]] for r in rows)
 
 
+def greedy_color(G: DiGraph, seed: int = 42) -> dict:
+    """networkx.greedy_color analog: a proper coloring with ≤ Δ+1 colors
+    via deterministic Jones–Plassmann rounds (md5 priorities) instead of
+    nx's sequential strategy orders — same contract (proper, greedy-mex),
+    reproducible at any parallelism. Strategy arguments are not
+    supported."""
+    if G.directed:
+        raise ValueError("greedy_color: not implemented for directed graphs")
+    rows = A.greedy_color(G._project(), seed=seed).collect()
+    return {G._node_of[r["vid"]]: r["value"] for r in rows}
+
+
 def voterank(G: DiGraph, number_of_nodes: int | None = None) -> list:
     """networkx.voterank — ordered influencer list (reference forwards
     nx's voterank tests; ties break by projected vid, a deterministic

@@ -184,6 +184,19 @@ def q_mis(spark, sf_dir):
     )
 
 
+def q_coloring(spark, sf_dir):
+    """Deterministic Jones–Plassmann greedy coloring (beyond-reference,
+    flagged like g_scc/g_mis): ready sets are Luby winner rounds, color =
+    mex over already-colored neighbors. The md5 priorities make the
+    DuckDB oracle an exact round-for-round replay (unrolled below)."""
+    from linkgraph.algorithms import greedy_color
+
+    g = _oracle_graph(spark, sf_dir)
+    return greedy_color(g, seed=42).select(
+        "vid", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_triangles_incr(spark, sf_dir):
     """Incremental triangle maintenance: count on the 2/3 of edges with
     (src+dst)%3 != 0, append the rest, and update via the Δ-driven
@@ -1914,6 +1927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_wcc_incr": q_wcc_incr,
     "g_triangles_incr": q_triangles_incr,
     "g_mis": q_mis,
+    "g_coloring": q_coloring,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -3793,6 +3807,54 @@ def _mis_oracle_sql(rounds: int = 25, seed: int = 42) -> str:
 
 
 ORACLE_SQL["g_mis"] = _mis_oracle_sql()
+
+
+def _coloring_oracle_sql(rounds: int = 110, seed: int = 42) -> str:
+    """Unrolled Jones–Plassmann rounds: r{k} = Luby-ready vertices of
+    u{k-1}; n{k} assigns each the mex of its already-colored neighbors'
+    colors; colored and undecided sets roll forward. MATERIALIZED for
+    the same fan-out reason as the MIS oracle."""
+    ctes = [
+        "und_m AS MATERIALIZED (SELECT src, dst FROM und WHERE src <> dst)",
+        f"u0 AS MATERIALIZED (SELECT vid, md5(vid::VARCHAR || ':{seed}') AS p FROM v)",
+        "c0 AS MATERIALIZED (SELECT vid, 0::BIGINT AS value FROM v WHERE 1 = 0)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+    SELECT x.vid FROM u{k - 1} x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM und_m e JOIN u{k - 1} y ON y.vid = e.dst
+      WHERE e.src = x.vid
+        AND (y.p < x.p OR (y.p = x.p AND y.vid < x.vid))))"""
+        )
+        ctes.append(
+            f"""n{k} AS MATERIALIZED (
+    SELECT r.vid, coalesce((
+      SELECT min(cand.c) FROM (
+        SELECT 0 AS c
+        UNION ALL
+        SELECT c2.value + 1 FROM und_m e2 JOIN c{k - 1} c2 ON c2.vid = e2.dst
+        WHERE e2.src = r.vid) cand
+      WHERE cand.c NOT IN (
+        SELECT c3.value FROM und_m e3 JOIN c{k - 1} c3 ON c3.vid = e3.dst
+        WHERE e3.src = r.vid)), 0)::BIGINT AS value
+    FROM r{k} r)"""
+        )
+        ctes.append(
+            f"c{k} AS MATERIALIZED (SELECT * FROM c{k - 1} UNION ALL SELECT * FROM n{k})"
+        )
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+    SELECT x.vid, x.p FROM u{k - 1} x
+    WHERE NOT EXISTS (SELECT 1 FROM r{k} r WHERE r.vid = x.vid))"""
+        )
+    return _with_graph(
+        ",\n  ".join(ctes) + f"\n  SELECT vid, value FROM c{rounds}"
+    )
+
+
+ORACLE_SQL["g_coloring"] = _coloring_oracle_sql()
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

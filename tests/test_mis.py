@@ -96,3 +96,64 @@ def test_mis_isolated_and_empty(spark):
     tri_members = {v for v in got if v in (0, 1, 2)}
     assert len(tri_members) == 1
     assert 3 in got and got[3] == 1  # isolate wins round 1 (no neighbors)
+
+
+def py_jones_plassmann(vertices, und_edges, seed=42):
+    nbrs = {v: set() for v in vertices}
+    for a, b in und_edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    undecided = set(vertices)
+    color = {}
+    while undecided:
+        ready = {
+            v
+            for v in undecided
+            if all(
+                (_md5(v, seed), v) < (_md5(u, seed), u)
+                for u in nbrs[v]
+                if u in undecided
+            )
+        }
+        assert ready
+        for v in ready:
+            used = {color[u] for u in nbrs[v] if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        undecided -= ready
+    return color
+
+
+def test_greedy_color_matches_python_replay_and_proper(spark):
+    from linkgraph.algorithms import greedy_color
+
+    for gseed in (1, 7):
+        edges = rmat_edges(n_vertices=70, n_edges=420, seed=gseed)
+        g = graph_from_edge_vids(spark, edges)
+        vertices = [r["vid"] for r in g.vertices.collect()]
+        got = {r["vid"]: r["value"] for r in greedy_color(g).collect()}
+        want = py_jones_plassmann(vertices, edges)
+        assert got == want
+        # properness + Delta+1 bound
+        nbrs = {v: set() for v in vertices}
+        for a, b in edges:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        for v in vertices:
+            assert all(got[v] != got[u] for u in nbrs[v])
+            assert got[v] <= len(nbrs[v])
+
+
+def test_greedy_color_parallelism_invariance(spark):
+    from linkgraph.algorithms import greedy_color
+
+    edges = rmat_edges(n_vertices=50, n_edges=250, seed=5)
+    g = graph_from_edge_vids(spark, edges)
+    a = sorted((r["vid"], r["value"]) for r in greedy_color(g).collect())
+    g2 = graph_from_edge_vids(spark, edges)
+    g2 = type(g2)(vertices=g2.vertices.repartition(9), edges=g2.edges.repartition(5))
+    b = sorted((r["vid"], r["value"]) for r in greedy_color(g2).collect())
+    assert a == b

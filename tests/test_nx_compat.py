@@ -194,3 +194,15 @@ def test_nx_maximal_independent_set(spark):
     D.add_edge(0, 1)
     with _pytest.raises(ValueError):
         nx.maximal_independent_set(D)
+
+
+def test_nx_greedy_color(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    G.add_edges_from([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    colors = nx.greedy_color(G)
+    assert set(colors) == {"a", "b", "c", "d"}
+    for u, v in [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]:
+        assert colors[u] != colors[v]
+    assert max(colors.values()) <= 3  # Delta+1 with Delta=3

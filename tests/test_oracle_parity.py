@@ -38,6 +38,7 @@ PAIRS = [
     "g_wcc_incr",
     "g_triangles_incr",
     "g_mis",
+    "g_coloring",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
