@@ -50,7 +50,10 @@ def _load_graph(spark, args):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="linkgraph")
-    ap.add_argument("algo", choices=["pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs"])
+    ap.add_argument(
+        "algo",
+        choices=["pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "mis", "coloring"],
+    )
     ap.add_argument("--corpus-path", default=None, help="parquet corpus table")
     ap.add_argument("--corpus-files", type=int, default=10_000)
     ap.add_argument("--seed", type=int, default=42)
@@ -118,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
             from linkgraph.algorithms import cdlp
 
             res = cdlp(g, max_round=args.rounds, checkpoint_dir=args.checkpoint_dir)
+    elif args.algo == "mis":
+        from linkgraph.algorithms import maximal_independent_set
+
+        res = maximal_independent_set(g, seed=args.seed)
+    elif args.algo == "coloring":
+        from linkgraph.algorithms import greedy_color
+
+        res = greedy_color(g, seed=args.seed)
     else:
         from linkgraph.algorithms import triangles
 
