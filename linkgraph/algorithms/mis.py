@@ -1,4 +1,8 @@
-"""Maximal independent set — deterministic Luby rounds.
+"""Maximal independent set + greedy coloring — deterministic Luby /
+Jones–Plassmann rounds (public formulas: Luby, SIAM J. Comput. 1986,
+"A simple parallel algorithm for the maximal independent set problem";
+Jones & Plassmann, SIAM J. Sci. Comput. 1993, "A parallel graph coloring
+heuristic").
 
 Beyond the reference's builtin registry (like scc.py — flagged as such in
 SURVEY §2), but the same superstep fabric as its label-propagation apps
