@@ -159,3 +159,65 @@ def test_parquet_scan_prunes_and_pushes_through_pipeline_ops(spark):
     plan2 = _explain_str(out2)
     rs2 = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
     assert rs2 and "lang" not in rs2[0] and "source" not in rs2[0], rs2
+
+
+def test_triangle_incr_broadcasts_delta_no_cartesian(spark):
+    """triangle_total_incr's S-term must stream the adjacency against the
+    BROADCAST append set (no wedge self-join of the big table, no
+    cartesian product anywhere in the incremental path)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph import graph_from_edge_vids
+
+    g = graph_from_edge_vids(spark, LANGVILLE_MEYER)
+    extra = spark.createDataFrame([(0, 5), (5, 2)], "src long, dst long")
+
+    und_old = g.simple_undirected_edges()
+    delta = (
+        extra.select(F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .join(und_old, ["lo", "hi"], "left_anti")
+    )
+    und2 = und_old.unionByName(delta)
+    adj2 = und2.select(F.col("lo").alias("u"), F.col("hi").alias("w")).unionByName(
+        und2.select(F.col("hi").alias("u"), F.col("lo").alias("w"))
+    )
+    cand = adj2.join(F.broadcast(delta), adj2["u"] == delta["lo"]).select(
+        "hi", F.col("w").alias("cw")
+    )
+    s_plan = _explain_str(
+        adj2.join(cand, (adj2["u"] == cand["hi"]) & (adj2["w"] == cand["cw"]))
+    )
+    assert "BroadcastHashJoin" in s_plan
+    assert "CartesianProduct" not in s_plan and "BroadcastNestedLoopJoin" not in s_plan
+
+
+def test_mis_round_plan_no_cartesian(spark):
+    """One Luby round = equi joins + a map-side-combinable min(struct)
+    aggregate; never a cartesian/nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.mis import _priority
+    from linkgraph.graph import graph_from_edge_vids
+
+    g = graph_from_edge_vids(spark, LANGVILLE_MEYER)
+    e = g.edges.select("src", "dst")
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    undecided = g.vertices.select("vid", _priority(F.col("vid"), 42).alias("p"))
+    nbr_min = (
+        und.join(undecided.select(F.col("vid").alias("dst"), "p"), "dst")
+        .groupBy("src")
+        .agg(F.min(F.struct("p", F.col("dst").alias("vid"))).alias("m"))
+        .select(F.col("src").alias("vid"), "m")
+    )
+    winners = undecided.join(nbr_min, "vid", "left").where(
+        F.col("m").isNull() | (F.struct("p", "vid") < F.col("m"))
+    )
+    plan = _explain_str(winners)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
