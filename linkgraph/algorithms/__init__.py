@@ -26,6 +26,7 @@ from linkgraph.algorithms.assortativity import (
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.mis import greedy_color, maximal_independent_set
 from linkgraph.algorithms.scc import scc, condensation
+from linkgraph.algorithms.truss import k_truss
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.louvain import louvain, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
@@ -65,6 +66,7 @@ __all__ = [
     "wcc",
     "cdlp",
     "greedy_color",
+    "k_truss",
     "maximal_independent_set",
     "triangles",
     "triangle_total",

@@ -368,6 +368,17 @@ def k_core(G: DiGraph, k: int) -> list:
     )
 
 
+def k_truss(G: DiGraph, k: int) -> list:
+    """networkx.k_truss analog: the surviving edge list (node pairs) of
+    the k-truss, from the synchronous peel in algorithms/truss.py."""
+    if G.directed:
+        raise ValueError("k_truss: not implemented for directed graphs")
+    rows = A.k_truss(G._project(), k=k).collect()
+    return sorted(
+        (G._node_of[r["lo"]], G._node_of[r["hi"]]) for r in rows
+    )
+
+
 def clustering(G: DiGraph) -> dict:
     """builtin.py:538."""
     return G._to_dict(A.clustering(G._project()))

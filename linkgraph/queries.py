@@ -184,6 +184,22 @@ def q_mis(spark, sf_dir):
     )
 
 
+def q_ktruss(spark, sf_dir):
+    """4-truss by synchronous edge peeling (beyond-reference cohesive
+    subgraph, sibling of k_core). Runs on an arithmetically sparsified
+    edge set ((src*31+dst)%10 < 2 — portable to DuckDB, unlike xxhash)
+    because the full oracle graph is too dense to peel (avg degree ~68:
+    its 5-truss still keeps 99.9% of edges); the sparsified graph
+    cascades through 7 peel rounds down to 163 edges. Oracle replays the
+    synchronous rounds exactly (canonical fixpoint)."""
+    from linkgraph.algorithms import k_truss
+
+    g = _oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    sparse = LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+    return k_truss(sparse, k=4)
+
+
 def q_coloring(spark, sf_dir):
     """Deterministic Jones–Plassmann greedy coloring (beyond-reference,
     flagged like g_scc/g_mis): ready sets are Luby winner rounds, color =
@@ -1928,6 +1944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_triangles_incr": q_triangles_incr,
     "g_mis": q_mis,
     "g_coloring": q_coloring,
+    "g_ktruss": q_ktruss,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -3855,6 +3872,41 @@ def _coloring_oracle_sql(rounds: int = 110, seed: int = 42) -> str:
 
 
 ORACLE_SQL["g_coloring"] = _coloring_oracle_sql()
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled synchronous truss peeling on the sparsified edge set:
+    a{i} = symmetric adjacency of the surviving edges, s{i} = per-edge
+    triangle support, e{i} = edges with support ≥ k-2 (edges closing no
+    triangle have no s-row and drop via the inner join). Extra rounds
+    past the fixpoint are no-ops."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM e WHERE (src * 31 + dst) % 10 < 2 AND src <> dst)"""
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+    SELECT lo AS u, hi AS w FROM e{i - 1}
+    UNION ALL SELECT hi AS u, lo AS w FROM e{i - 1})"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+    SELECT c.lo, c.hi, count(*) AS sup FROM (
+      SELECT ed.lo, ed.hi, x.w FROM e{i - 1} ed JOIN a{i} x ON x.u = ed.lo
+      WHERE EXISTS (SELECT 1 FROM a{i} y WHERE y.u = ed.hi AND y.w = x.w)) c
+    GROUP BY c.lo, c.hi)"""
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
+    SELECT ed.lo, ed.hi FROM e{i - 1} ed
+    JOIN s{i} s ON s.lo = ed.lo AND s.hi = ed.hi WHERE s.sup >= {k - 2})"""
+        )
+    return _with_graph(",\n  ".join(ctes) + f"\n  SELECT lo, hi FROM e{rounds}")
+
+
+ORACLE_SQL["g_ktruss"] = _ktruss_oracle_sql()
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

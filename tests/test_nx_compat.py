@@ -206,3 +206,15 @@ def test_nx_greedy_color(spark):
     for u, v in [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]:
         assert colors[u] != colors[v]
     assert max(colors.values()) <= 3  # Delta+1 with Delta=3
+
+
+def test_nx_k_truss(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    # K4 + pendant triangle at node "a"
+    G.add_edges_from([("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                      ("b", "d"), ("c", "d"), ("a", "x"), ("x", "y"), ("y", "a")])
+    kept = nx.k_truss(G, 4)
+    nodes = {n for e in kept for n in e}
+    assert nodes == {"a", "b", "c", "d"} and len(kept) == 6

