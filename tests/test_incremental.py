@@ -143,3 +143,45 @@ def test_triangle_total_incr_empty_delta(spark):
     g = graph_from_edge_vids(spark, [(0, 1), (1, 2), (2, 0)])
     extra = g.edges.limit(0)
     assert triangle_total_incr(g, extra) == triangle_total(g) == 1
+
+
+def test_triangle_total_incr_hypothesis(spark):
+    """Property: for ANY base graph and ANY delta (dups, reversals,
+    self-loops, already-present pairs, new vertices), incremental ==
+    cold on the union. Deterministic example set via hypothesis."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from linkgraph.algorithms import triangle_total, triangle_total_incr
+    from linkgraph.graph import LinkGraph, graph_from_edge_vids
+
+    pair = st.tuples(st.integers(0, 14), st.integers(0, 14))
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        base=st.lists(pair, min_size=1, max_size=40),
+        delta=st.lists(pair, min_size=0, max_size=15),
+    )
+    def check(base, delta):
+        base = [(a, b) for a, b in base if a != b]
+        if not base:
+            return
+        g = graph_from_edge_vids(spark, base)
+        extra = spark.createDataFrame(
+            delta or [(0, 0)], "src long, dst long"
+        )
+        got = triangle_total_incr(g, extra)
+        g2_edges = base + [(a, b) for a, b in delta if a != b]
+        want = triangle_total(
+            LinkGraph(
+                vertices=graph_from_edge_vids(spark, g2_edges).vertices,
+                edges=spark.createDataFrame(g2_edges, "src long, dst long"),
+            )
+        )
+        assert got == want
+
+    check()
