@@ -368,6 +368,13 @@ def k_core(G: DiGraph, k: int) -> list:
     )
 
 
+def core_number(G: DiGraph) -> dict:
+    """networkx.core_number — max k with the node in the k-core (0 for
+    isolated nodes), via the canonical iterate-k peel (order-independent,
+    unlike nx's sequential Matula–Beck order; values are identical)."""
+    return G._to_dict(A.core_number(G._project()))
+
+
 def k_truss(G: DiGraph, k: int) -> list:
     """networkx.k_truss analog: the surviving edge list (node pairs) of
     the k-truss, from the synchronous peel in algorithms/truss.py."""

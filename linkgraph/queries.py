@@ -200,6 +200,22 @@ def q_ktruss(spark, sf_dir):
     return k_truss(sparse, k=4)
 
 
+def q_core_number(spark, sf_dir):
+    """core_number (max k with v in the k-core) by the canonical
+    iterate-k peel, on the same sparsified edge set as g_ktruss (the
+    full oracle graph's min degree is high enough that levels barely
+    cascade). Max core 9 there, worst inner cascade 18 rounds — the
+    oracle unrolls 12 levels × 20 rounds (extra rounds/levels no-op)."""
+    from linkgraph.algorithms import core_number
+
+    g = _oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    sparse = LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+    return core_number(sparse).select(
+        "vid", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_coloring(spark, sf_dir):
     """Deterministic Jones–Plassmann greedy coloring (beyond-reference,
     flagged like g_scc/g_mis): ready sets are Luby winner rounds, color =
@@ -1945,6 +1961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_mis": q_mis,
     "g_coloring": q_coloring,
     "g_ktruss": q_ktruss,
+    "g_core_number": q_core_number,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -3907,6 +3924,51 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 12) -> str:
 
 
 ORACLE_SQL["g_ktruss"] = _ktruss_oracle_sql()
+
+
+def _core_number_oracle_sql(levels: int = 12, rounds: int = 20) -> str:
+    """Unrolled iterate-k core peel on the sparsified edge set: level k
+    starts from level k-1's fixpoint edge set; each inner round keeps
+    edges whose both endpoints have degree ≥ k. Vertices present in the
+    final edge set of level k are in the k-core; core_number = max such
+    k (0 for vertices peeled before level 1)."""
+    ctes = [
+        """a0_0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM e WHERE (src * 31 + dst) % 10 < 2 AND src <> dst)"""
+    ]
+    prev = "a0_0"
+    member_sel = []
+    for k in range(1, levels + 1):
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""d{k}_{r} AS MATERIALIZED (
+    SELECT vid, count(*) AS deg FROM (
+      SELECT lo AS vid FROM {prev} UNION ALL SELECT hi AS vid FROM {prev}) t
+    GROUP BY vid)"""
+            )
+            ctes.append(
+                f"""a{k}_{r} AS MATERIALIZED (
+    SELECT e2.lo, e2.hi FROM {prev} e2
+    JOIN d{k}_{r} dl ON dl.vid = e2.lo AND dl.deg >= {k}
+    JOIN d{k}_{r} dh ON dh.vid = e2.hi AND dh.deg >= {k})"""
+            )
+            prev = f"a{k}_{r}"
+        member_sel.append(
+            f"SELECT lo AS vid, {k}::BIGINT AS value FROM {prev} "
+            f"UNION ALL SELECT hi AS vid, {k}::BIGINT AS value FROM {prev}"
+        )
+    union = " UNION ALL ".join(member_sel)
+    return _with_graph(
+        ",\n  ".join(ctes)
+        + f""",
+  lvl AS MATERIALIZED (SELECT vid, max(value) AS value FROM ({union}) u GROUP BY vid)
+  SELECT v.vid, coalesce(l.value, 0)::BIGINT AS value
+  FROM v LEFT JOIN lvl l ON l.vid = v.vid"""
+    )
+
+
+ORACLE_SQL["g_core_number"] = _core_number_oracle_sql()
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

@@ -218,3 +218,12 @@ def test_nx_k_truss(spark):
     kept = nx.k_truss(G, 4)
     nodes = {n for e in kept for n in e}
     assert nodes == {"a", "b", "c", "d"} and len(kept) == 6
+
+
+def test_nx_core_number(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    # triangle (core 2) + tail (core 1)
+    G.add_edges_from([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
+    assert nx.core_number(G) == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}

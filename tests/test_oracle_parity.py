@@ -40,6 +40,7 @@ PAIRS = [
     "g_mis",
     "g_coloring",
     "g_ktruss",
+    "g_core_number",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",

@@ -63,3 +63,49 @@ def test_k_truss_guard(spark):
     g = graph_from_edge_vids(spark, [(0, 1)])
     with pytest.raises(ValueError, match="k >= 3"):
         k_truss(g, 2)
+
+
+def py_core_number(edges):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    vids = {v for e in es for v in e}
+    core = {v: 0 for v in vids}
+    k = 0
+    while es:
+        k += 1
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            kept = {(a, b) for a, b in es if deg[a] >= k and deg[b] >= k}
+            if kept == es:
+                break
+            es = kept
+            if not es:
+                break
+        for e in es:
+            core[e[0]] = k
+            core[e[1]] = k
+    return core
+
+
+def test_core_number_matches_python_replay(spark):
+    from linkgraph.algorithms import core_number
+
+    for gseed in (1, 7):
+        edges = rmat_edges(n_vertices=50, n_edges=300, seed=gseed)
+        g = graph_from_edge_vids(spark, edges)
+        got = {r["vid"]: r["value"] for r in core_number(g).collect()}
+        want = py_core_number(edges)
+        assert got == want
+
+
+def test_core_number_consistent_with_k_core(spark):
+    from linkgraph.algorithms import core_number, k_core
+
+    edges = rmat_edges(n_vertices=40, n_edges=200, seed=3)
+    g = graph_from_edge_vids(spark, edges)
+    cn = {r["vid"]: r["value"] for r in core_number(g).collect()}
+    for k in (1, 2, 3):
+        members = {r["vid"] for r in k_core(g, k).collect() if r["value"] == 1}
+        assert members == {v for v, c in cn.items() if c >= k}
