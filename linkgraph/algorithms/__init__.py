@@ -14,7 +14,7 @@ from linkgraph.algorithms.traversal import bfs, sssp
 from linkgraph.algorithms.degrees import degree_centrality
 from linkgraph.algorithms.globals import density, reciprocity, average_neighbor_degree
 from linkgraph.algorithms.hits import hits
-from linkgraph.algorithms.cores import core_number, k_core, k_shell
+from linkgraph.algorithms.cores import core_number, k_core, k_shell, onion_layers
 from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity
 from linkgraph.algorithms.centrality import eigenvector_centrality, katz_centrality
 from linkgraph.algorithms.assortativity import (
@@ -78,6 +78,7 @@ __all__ = [
     "core_number",
     "k_core",
     "k_shell",
+    "onion_layers",
     "clustering",
     "average_clustering",
     "transitivity",

@@ -133,3 +133,57 @@ def core_number(graph: LinkGraph, max_rounds: int = 10_000) -> DataFrame:
     return out.join(best, "vid", "left").select(
         "vid", F.coalesce("value", F.lit(0)).alias("value")
     )
+
+
+def onion_layers(graph: LinkGraph, max_layers: int = 100_000) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Allard & Young 2016 — the
+    layer ORDER of the core peel; networkx.onion_layers analog).
+
+    Synchronous batch rule, deterministic and order-independent: per
+    layer, raise the running threshold k to the minimum remaining
+    degree, peel ALL vertices with degree ≤ k at once, repeat. Vertices
+    absent from every edge (isolated) land in layer 1. Exactly
+    replayable by an unrolled SQL oracle (g_onion). Correctness tier,
+    same shape as core_number.
+
+    Returns ``(vid, value)`` with value = the 1-based layer.
+    """
+    alive = graph.simple_undirected_edges().localCheckpoint(eager=True)
+    remaining = graph.vertices.select("vid").localCheckpoint(eager=True)
+    n_remaining = remaining.count()
+    out: DataFrame | None = None
+    k = 1
+    layer = 0
+    while n_remaining > 0:
+        layer += 1
+        if layer > max_layers:  # pragma: no cover
+            raise RuntimeError("onion_layers: did not converge")
+        edeg = (
+            alive.select(F.col("lo").alias("vid"))
+            .union(alive.select(F.col("hi").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count("*").alias("d"))
+        )
+        deg = remaining.join(edeg, "vid", "left").select(
+            "vid", F.coalesce("d", F.lit(0)).alias("d")
+        ).localCheckpoint(eager=True)
+        k = max(k, int(deg.agg(F.min("d")).first()[0]))
+        peeled = deg.where(F.col("d") <= k).select(
+            "vid", F.lit(layer).alias("value")
+        ).localCheckpoint(eager=True)
+        out = peeled if out is None else out.unionByName(peeled).localCheckpoint(
+            eager=True
+        )
+        remaining = remaining.join(peeled, "vid", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_remaining = remaining.count()
+        alive = (
+            alive.join(remaining.withColumnRenamed("vid", "lo"), "lo", "left_semi")
+            .join(remaining.withColumnRenamed("vid", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+    if out is None:
+        return graph.vertices.select("vid", F.lit(0).alias("value")).limit(0)
+    return out

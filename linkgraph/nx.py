@@ -375,6 +375,12 @@ def core_number(G: DiGraph) -> dict:
     return G._to_dict(A.core_number(G._project()))
 
 
+def onion_layers(G: DiGraph) -> dict:
+    """networkx.onion_layers analog — the 1-based peel layer per node
+    (synchronous batch rule, order-independent)."""
+    return G._to_dict(A.onion_layers(G._project()))
+
+
 def k_truss(G: DiGraph, k: int) -> list:
     """networkx.k_truss analog: the surviving edge list (node pairs) of
     the k-truss, from the synchronous peel in algorithms/truss.py."""

@@ -216,6 +216,20 @@ def q_core_number(spark, sf_dir):
     )
 
 
+def q_onion(spark, sf_dir):
+    """Onion decomposition (layer order of the core peel) on the same
+    sparsified edge set as g_ktruss/g_core_number — 24 layers there; the
+    oracle unrolls 30 (extras no-op)."""
+    from linkgraph.algorithms import onion_layers
+
+    g = _oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    sparse = LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+    return onion_layers(sparse).select(
+        "vid", F.col("value").cast("long").alias("value")
+    )
+
+
 def q_coloring(spark, sf_dir):
     """Deterministic Jones–Plassmann greedy coloring (beyond-reference,
     flagged like g_scc/g_mis): ready sets are Luby winner rounds, color =
@@ -1962,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_coloring": q_coloring,
     "g_ktruss": q_ktruss,
     "g_core_number": q_core_number,
+    "g_onion": q_onion,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -3969,6 +3984,54 @@ def _core_number_oracle_sql(levels: int = 12, rounds: int = 20) -> str:
 
 
 ORACLE_SQL["g_core_number"] = _core_number_oracle_sql()
+
+
+def _onion_oracle_sql(layers: int = 30) -> str:
+    """Unrolled onion layers: per layer, raise the scalar threshold k to
+    the minimum remaining degree, peel every vertex with degree ≤ k,
+    drop their edges. Empty layers past convergence are no-ops."""
+    ctes = [
+        """a0 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM e WHERE (src * 31 + dst) % 10 < 2 AND src <> dst)""",
+        "r0 AS MATERIALIZED (SELECT vid FROM v)",
+        "k0 AS MATERIALIZED (SELECT 1 AS k)",
+    ]
+    for i in range(1, layers + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+    SELECT r.vid, coalesce(c.d, 0) AS d FROM r{i - 1} r
+    LEFT JOIN (SELECT vid, count(*) AS d FROM (
+      SELECT lo AS vid FROM a{i - 1} UNION ALL SELECT hi AS vid FROM a{i - 1}) t
+      GROUP BY vid) c ON c.vid = r.vid)"""
+        )
+        ctes.append(
+            f"""k{i} AS MATERIALIZED (
+    SELECT greatest((SELECT k FROM k{i - 1}),
+                    coalesce((SELECT min(d) FROM d{i}), 0)) AS k)"""
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+    SELECT vid, {i}::BIGINT AS value FROM d{i}
+    WHERE d <= (SELECT k FROM k{i}))"""
+        )
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+    SELECT r.vid FROM r{i - 1} r
+    WHERE NOT EXISTS (SELECT 1 FROM l{i} l WHERE l.vid = r.vid))"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+    SELECT e2.lo, e2.hi FROM a{i - 1} e2
+    JOIN r{i} x ON x.vid = e2.lo JOIN r{i} y ON y.vid = e2.hi)"""
+        )
+    union = " UNION ALL ".join(f"SELECT vid, value FROM l{i}" for i in range(1, layers + 1))
+    return _with_graph(
+        ",\n  ".join(ctes) + f"\n  SELECT vid, value FROM ({union}) AS onion"
+    )
+
+
+ORACLE_SQL["g_onion"] = _onion_oracle_sql()
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

@@ -227,3 +227,15 @@ def test_nx_core_number(spark):
     # triangle (core 2) + tail (core 1)
     G.add_edges_from([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
     assert nx.core_number(G) == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_nx_onion_layers(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    # triangle (peels last) + tail 2-3-4 (tail end peels first)
+    G.add_edges_from([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
+    od = nx.onion_layers(G)
+    assert od[4] == 1                       # degree-1 tail end, layer 1
+    assert od[3] == 2                       # exposed next
+    assert od[0] == od[1] == od[2] == 3     # the 2-core peels together

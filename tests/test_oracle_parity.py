@@ -41,6 +41,7 @@ PAIRS = [
     "g_coloring",
     "g_ktruss",
     "g_core_number",
+    "g_onion",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",

@@ -109,3 +109,50 @@ def test_core_number_consistent_with_k_core(spark):
     for k in (1, 2, 3):
         members = {r["vid"] for r in k_core(g, k).collect() if r["value"] == 1}
         assert members == {v for v, c in cn.items() if c >= k}
+
+
+def py_onion(vertices, edges):
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    remaining = set(vertices)
+    k, layer, od = 1, 0, {}
+    while remaining:
+        layer += 1
+        deg = {v: 0 for v in remaining}
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        k = max(k, min(deg.values()))
+        peeled = {v for v in remaining if deg[v] <= k}
+        for v in peeled:
+            od[v] = layer
+        remaining -= peeled
+        es = {(a, b) for a, b in es if a in remaining and b in remaining}
+    return od
+
+
+def test_onion_layers_matches_python_replay(spark):
+    from linkgraph.algorithms import onion_layers
+
+    for gseed in (1, 7):
+        edges = rmat_edges(n_vertices=50, n_edges=300, seed=gseed)
+        g = graph_from_edge_vids(spark, edges)
+        vertices = [r["vid"] for r in g.vertices.collect()]
+        got = {r["vid"]: r["value"] for r in onion_layers(g).collect()}
+        assert got == py_onion(vertices, edges)
+
+
+def test_onion_layers_orders_core_peel(spark):
+    from linkgraph.algorithms import core_number, onion_layers
+
+    # layers refine cores: within one vertex pair, a strictly smaller
+    # core number never gets a LATER layer than a larger one... the true
+    # invariant is: layer boundaries never split a core "inward" —
+    # lower-core vertices peel in earlier-or-equal layers
+    edges = rmat_edges(n_vertices=40, n_edges=200, seed=3)
+    g = graph_from_edge_vids(spark, edges)
+    od = {r["vid"]: r["value"] for r in onion_layers(g).collect()}
+    cn = {r["vid"]: r["value"] for r in core_number(g).collect()}
+    for u in od:
+        for v in od:
+            if cn[u] < cn[v]:
+                assert od[u] <= od[v]
