@@ -12,7 +12,7 @@ from linkgraph.algorithms.cdlp import cdlp
 from linkgraph.algorithms.triangles import triangles, triangle_total, triangle_total_incr
 from linkgraph.algorithms.traversal import bfs, sssp
 from linkgraph.algorithms.degrees import degree_centrality
-from linkgraph.algorithms.globals import density, reciprocity, average_neighbor_degree
+from linkgraph.algorithms.globals import density, reciprocity, average_neighbor_degree, rich_club_coefficient
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.cores import core_number, k_core, k_shell, onion_layers
 from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity
@@ -124,5 +124,6 @@ __all__ = [
     "voterank",
     "density",
     "reciprocity",
+    "rich_club_coefficient",
     "average_neighbor_degree",
 ]

@@ -87,3 +87,69 @@ def average_neighbor_degree(
     return graph.vertices.select("vid").join(avg, "vid", "left").select(
         "vid", F.coalesce("value", F.lit(0.0)).alias("value")
     )
+
+
+def rich_club_coefficient(graph: "LinkGraph") -> "DataFrame":
+    """Unnormalized rich-club coefficient per degree threshold
+    (networkx.rich_club_coefficient(normalized=False)): for each integer
+    k in 0..max_degree-1 with ≥2 qualifying nodes,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = #nodes of degree > k and
+    E_k = #edges whose both endpoints have degree > k.
+
+    Pure Catalyst aggregation — degree histogram + edge min-degree
+    histogram, cumulated with one window each over the (tiny) distinct-
+    degree domain; no iteration, no UDF. Returns ``(k, value)``.
+    """
+    from pyspark.sql import Window
+
+    und = graph.simple_undirected_edges()
+    deg = (
+        und.select(F.col("lo").alias("vid"))
+        .union(und.select(F.col("hi").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    spark = graph.edges.sparkSession
+    max_deg = deg.agg(F.max("deg")).first()[0]
+    if not max_deg:
+        return spark.range(0).select(
+            F.col("id").alias("k"), F.lit(0.0).alias("value")
+        )
+    ks = spark.range(int(max_deg)).select(F.col("id").cast("long").alias("k"))
+
+    # N_k: nodes with degree > k = reverse-cumulative degree histogram
+    dh = deg.groupBy("deg").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("deg").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_gt = dh.select(F.col("deg"), F.sum("n").over(w).alias("n_gt"))
+    # n_gt(deg) = #nodes with degree >= deg → N_k = n_gt(k+1-smallest deg > k)
+    nk = (
+        ks.join(n_gt, n_gt["deg"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.max("n_gt").alias("N"))
+    )
+
+    dd = deg.withColumnRenamed("vid", "lo").withColumnRenamed("deg", "dlo")
+    dh2 = deg.withColumnRenamed("vid", "hi").withColumnRenamed("deg", "dhi")
+    em = und.join(dd, "lo").join(dh2, "hi").select(
+        F.least("dlo", "dhi").alias("m")
+    )
+    eh = em.groupBy("m").agg(F.count("*").alias("n"))
+    ek = (
+        ks.join(eh, eh["m"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.sum("n").alias("E"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .where(F.col("N") >= 2)
+        .select(
+            "k",
+            F.round(
+                (F.lit(2.0) * F.coalesce("E", F.lit(0)).cast("double"))
+                / (F.col("N").cast("double") * (F.col("N") - 1).cast("double")),
+                8,
+            ).alias("value"),
+        )
+    )

@@ -375,6 +375,18 @@ def core_number(G: DiGraph) -> dict:
     return G._to_dict(A.core_number(G._project()))
 
 
+def rich_club_coefficient(G: DiGraph, normalized: bool = False) -> dict:
+    """networkx.rich_club_coefficient (unnormalized form only — the
+    normalized variant divides by a randomized rewiring baseline, which
+    is out of scope for a deterministic engine)."""
+    if normalized:
+        raise ValueError("rich_club_coefficient: only normalized=False is supported")
+    if G.directed:
+        raise ValueError("rich_club_coefficient: undirected graphs only")
+    rows = A.rich_club_coefficient(G._project()).collect()
+    return {int(r["k"]): r["value"] for r in rows}
+
+
 def onion_layers(G: DiGraph) -> dict:
     """networkx.onion_layers analog — the 1-based peel layer per node
     (synchronous batch rule, order-independent)."""

@@ -216,6 +216,15 @@ def q_core_number(spark, sf_dir):
     )
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient per degree threshold (unnormalized nx
+    form) on the full oracle graph — pure aggregation (degree + edge
+    min-degree histograms, one window each), no iteration."""
+    from linkgraph.algorithms import rich_club_coefficient
+
+    return rich_club_coefficient(_oracle_graph(spark, sf_dir))
+
+
 def q_onion(spark, sf_dir):
     """Onion decomposition (layer order of the core peel) on the same
     sparsified edge set as g_ktruss/g_core_number — 24 layers there; the
@@ -1977,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ktruss": q_ktruss,
     "g_core_number": q_core_number,
     "g_onion": q_onion,
+    "g_rich_club": q_rich_club,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -4032,6 +4042,28 @@ def _onion_oracle_sql(layers: int = 30) -> str:
 
 
 ORACLE_SQL["g_onion"] = _onion_oracle_sql()
+
+ORACLE_SQL["g_rich_club"] = _with_graph(
+    """degs AS MATERIALIZED (
+    SELECT vid, count(*) AS deg FROM (
+      SELECT lo AS vid FROM simple_und UNION ALL SELECT hi AS vid FROM simple_und) t
+    GROUP BY vid),
+  ks AS MATERIALIZED (
+    WITH RECURSIVE s(k) AS (
+      SELECT 0
+      UNION ALL
+      SELECT k + 1 FROM s WHERE k + 1 < (SELECT max(deg) FROM degs))
+    SELECT k FROM s),
+  nk AS MATERIALIZED (
+    SELECT k.k, (SELECT count(*) FROM degs d WHERE d.deg > k.k) AS n FROM ks k),
+  ek AS MATERIALIZED (
+    SELECT k.k, (SELECT count(*) FROM simple_und e
+                 JOIN degs a ON a.vid = e.lo JOIN degs b ON b.vid = e.hi
+                 WHERE least(a.deg, b.deg) > k.k) AS ne FROM ks k)
+  SELECT n.k::BIGINT AS k,
+         round(2.0 * e.ne / (n.n * (n.n - 1)), 8)::DOUBLE AS value
+  FROM nk n JOIN ek e ON e.k = n.k WHERE n.n >= 2"""
+)
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

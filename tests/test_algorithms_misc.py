@@ -203,3 +203,27 @@ def test_average_neighbor_degree_out_out(spark):
     assert got == {0: 1.0, 1: 1.0, 2: 2.0}
     with pytest.raises(ValueError):
         average_neighbor_degree(g, source="total")
+
+
+def test_rich_club_coefficient_matches_python(spark):
+    from linkgraph.algorithms import rich_club_coefficient
+    from linkgraph.graph import graph_from_edge_vids
+    from tests.conftest import rmat_edges
+
+    for gseed in (1, 7):
+        edges = rmat_edges(n_vertices=40, n_edges=200, seed=gseed)
+        es = {(min(a, b), max(a, b)) for a, b in edges}
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        want = {}
+        for k in range(max(deg.values())):
+            nodes = {v for v, d in deg.items() if d > k}
+            if len(nodes) < 2:
+                continue
+            ek = sum(1 for a, b in es if a in nodes and b in nodes)
+            want[k] = round(2.0 * ek / (len(nodes) * (len(nodes) - 1)), 8)
+        g = graph_from_edge_vids(spark, edges)
+        got = {r["k"]: r["value"] for r in rich_club_coefficient(g).collect()}
+        assert got == want

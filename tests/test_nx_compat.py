@@ -239,3 +239,20 @@ def test_nx_onion_layers(spark):
     assert od[4] == 1                       # degree-1 tail end, layer 1
     assert od[3] == 2                       # exposed next
     assert od[0] == od[1] == od[2] == 3     # the 2-core peels together
+
+
+def test_nx_rich_club(spark):
+    import pytest as _pytest
+
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    # K4 plus a pendant: deg(a..d)>=3 except the pendant chain
+    G.add_edges_from([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)])
+    rc = nx.rich_club_coefficient(G)
+    # k=3: nodes with deg>3 = {3}? deg: 0,1,2 ->3; 3 ->4; 4 ->1
+    assert rc[0] == round(2 * 7 / (5 * 4), 8)
+    assert rc[1] == round(2 * 6 / (4 * 3), 8)  # drop the pendant
+    assert 3 not in rc  # only one node with deg>3 -> undefined
+    with _pytest.raises(ValueError):
+        nx.rich_club_coefficient(G, normalized=True)

@@ -42,6 +42,7 @@ PAIRS = [
     "g_ktruss",
     "g_core_number",
     "g_onion",
+    "g_rich_club",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
