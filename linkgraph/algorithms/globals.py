@@ -153,3 +153,45 @@ def rich_club_coefficient(graph: "LinkGraph") -> "DataFrame":
             ).alias("value"),
         )
     )
+
+
+def s_metric(graph: LinkGraph) -> DataFrame:
+    """s-metric (Li et al. 2005, "Towards a theory of scale-free
+    graphs"; networkx.s_metric): Σ deg(u)·deg(v) over the undirected
+    simple edges. One Catalyst aggregation."""
+    und = graph.simple_undirected_edges()
+    deg = (
+        und.select(F.col("lo").alias("vid"))
+        .union(und.select(F.col("hi").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        und.join(deg.withColumnRenamed("vid", "lo").withColumnRenamed("deg", "dlo"), "lo")
+        .join(deg.withColumnRenamed("vid", "hi").withColumnRenamed("deg", "dhi"), "hi")
+        .agg(F.sum(F.col("dlo") * F.col("dhi")).cast("long").alias("value"))
+    )
+
+
+def global_efficiency(graph: LinkGraph) -> DataFrame:
+    """networkx.global_efficiency: mean of 1/d(u,v) over all ordered
+    vertex pairs u ≠ v of the UNDIRECTED graph (unreachable pairs
+    contribute 0). Reuses the multi-source BFS all-pairs kernel on the
+    symmetrized edge set; the pair sum is one aggregation."""
+    e = graph.edges.select("src", "dst")
+    undg = LinkGraph(
+        vertices=graph.vertices,
+        edges=e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+    )
+    from linkgraph.algorithms.paths import all_pairs_shortest_path_length
+
+    sp = all_pairs_shortest_path_length(undg)
+    n = graph.vertices.count()
+    if n < 2:
+        spark = graph.edges.sparkSession
+        return spark.createDataFrame([(0.0,)], "value double")
+    return sp.where(F.col("dist") > 0).agg(
+        F.round(F.sum(F.lit(1.0) / F.col("dist")) / F.lit(float(n * (n - 1))), 8).alias(
+            "value"
+        )
+    )

@@ -375,6 +375,22 @@ def core_number(G: DiGraph) -> dict:
     return G._to_dict(A.core_number(G._project()))
 
 
+def s_metric(G: DiGraph) -> float:
+    """networkx.s_metric (unnormalized sum form)."""
+    if G.directed:
+        raise ValueError("s_metric: undirected graphs only")
+    row = A.s_metric(G._project()).first()
+    return float(row["value"] or 0)
+
+
+def global_efficiency(G: DiGraph) -> float:
+    """networkx.global_efficiency — mean 1/d over ordered pairs."""
+    if G.directed:
+        raise ValueError("global_efficiency: undirected graphs only")
+    row = A.global_efficiency(G._project()).first()
+    return float(row["value"] or 0.0)
+
+
 def rich_club_coefficient(G: DiGraph, normalized: bool = False) -> dict:
     """networkx.rich_club_coefficient (unnormalized form only — the
     normalized variant divides by a randomized rewiring baseline, which

@@ -225,6 +225,21 @@ def q_rich_club(spark, sf_dir):
     return rich_club_coefficient(_oracle_graph(spark, sf_dir))
 
 
+def q_s_metric(spark, sf_dir):
+    """s-metric: Σ deg(u)·deg(v) over undirected simple edges."""
+    from linkgraph.algorithms import s_metric
+
+    return s_metric(_oracle_graph(spark, sf_dir))
+
+
+def q_global_efficiency(spark, sf_dir):
+    """Global efficiency: mean 1/d over ordered pairs of the
+    symmetrized graph (multi-source BFS kernel + one aggregation)."""
+    from linkgraph.algorithms import global_efficiency
+
+    return global_efficiency(_oracle_graph(spark, sf_dir))
+
+
 def q_onion(spark, sf_dir):
     """Onion decomposition (layer order of the core peel) on the same
     sparsified edge set as g_ktruss/g_core_number — 24 layers there; the
@@ -1987,6 +2002,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_core_number": q_core_number,
     "g_onion": q_onion,
     "g_rich_club": q_rich_club,
+    "g_s_metric": q_s_metric,
+    "g_global_efficiency": q_global_efficiency,
     "gie_math": q_gie_math,
     "gie_text_match": q_gie_text_match,
     "gie_text_choose": q_gie_text_choose,
@@ -4042,6 +4059,27 @@ def _onion_oracle_sql(layers: int = 30) -> str:
 
 
 ORACLE_SQL["g_onion"] = _onion_oracle_sql()
+
+ORACLE_SQL["g_s_metric"] = _with_graph(
+    """degs AS (
+    SELECT vid, count(*) AS deg FROM (
+      SELECT lo AS vid FROM simple_und UNION ALL SELECT hi AS vid FROM simple_und) t
+    GROUP BY vid)
+  SELECT sum(a.deg * b.deg)::BIGINT AS value
+  FROM simple_und e JOIN degs a ON a.vid = e.lo JOIN degs b ON b.vid = e.hi"""
+)
+
+ORACLE_SQL["g_global_efficiency"] = _with_graph(
+    """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, u.dst, w.d + 1 FROM w JOIN und u ON w.vid = u.src WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid)
+  SELECT round(sum(1.0 / dist) / ((SELECT count(*) FROM v) * ((SELECT count(*) FROM v) - 1)), 8)::DOUBLE AS value
+  FROM sp WHERE dist > 0"""
+)
 
 ORACLE_SQL["g_rich_club"] = _with_graph(
     """degs AS MATERIALIZED (

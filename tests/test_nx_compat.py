@@ -256,3 +256,15 @@ def test_nx_rich_club(spark):
     assert 3 not in rc  # only one node with deg>3 -> undefined
     with _pytest.raises(ValueError):
         nx.rich_club_coefficient(G, normalized=True)
+
+
+def test_nx_s_metric_and_efficiency(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    # path 0-1-2: degs 1,2,1; s = 1*2 + 2*1 = 4
+    G.add_edges_from([(0, 1), (1, 2)])
+    assert nx.s_metric(G) == 4.0
+    # efficiency: ordered pairs: (0,1),(1,0),(1,2),(2,1) d=1; (0,2),(2,0) d=2
+    # sum 1/d = 4 + 1 = 5; / (3*2) = 0.83333333
+    assert abs(nx.global_efficiency(G) - 5.0 / 6.0) < 1e-7

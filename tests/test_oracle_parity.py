@@ -43,6 +43,8 @@ PAIRS = [
     "g_core_number",
     "g_onion",
     "g_rich_club",
+    "g_s_metric",
+    "g_global_efficiency",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
