@@ -11,8 +11,19 @@ from linkgraph.algorithms.wcc import wcc
 from linkgraph.algorithms.cdlp import cdlp
 from linkgraph.algorithms.triangles import triangles, triangle_total, triangle_total_incr
 from linkgraph.algorithms.traversal import bfs, sssp
-from linkgraph.algorithms.degrees import degree_centrality
-from linkgraph.algorithms.globals import density, reciprocity, average_neighbor_degree, rich_club_coefficient, s_metric, global_efficiency
+from linkgraph.algorithms.degrees import degree_centrality, degree_histogram
+from linkgraph.algorithms.globals import (
+    density,
+    reciprocity,
+    average_neighbor_degree,
+    rich_club_coefficient,
+    s_metric,
+    global_efficiency,
+    wiener_index,
+    local_bridges,
+    is_bipartite,
+)
+from linkgraph.algorithms.structuralholes import effective_size, constraint
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.cores import core_number, k_core, k_shell, onion_layers
 from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity

@@ -19,3 +19,28 @@ def degree_centrality(graph: LinkGraph, centrality_type: str = "both") -> DataFr
     denom = float(n - 1) if n > 1 else 1.0
     deg = graph.degrees(mode=centrality_type)
     return deg.select("vid", (F.col("degree") / denom).alias("value"))
+
+
+def degree_histogram(graph: LinkGraph) -> DataFrame:
+    """networkx.degree_histogram: ``(deg, count)`` for every degree
+    0..max(deg) of the undirected simple graph (dense — zero-count
+    degrees included, isolated vertices counted at 0), the tabular form
+    of nx's list. One aggregation + a sequence explode for the dense
+    axis; no iteration."""
+    su = graph.simple_undirected_edges()
+    deg = (
+        su.select(F.col("lo").alias("vid"))
+        .union(su.select(F.col("hi").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count("*").alias("deg"))
+    )
+    pv = graph.vertices.join(deg, "vid", "left").select(
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
+    )
+    counts = pv.groupBy("deg").agg(F.count("*").alias("count"))
+    axis = pv.agg(F.max("deg").alias("m")).select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("m"))).alias("deg")
+    )
+    return axis.join(counts, "deg", "left").select(
+        "deg", F.coalesce("count", F.lit(0)).cast("long").alias("count")
+    )

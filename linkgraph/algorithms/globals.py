@@ -195,3 +195,111 @@ def global_efficiency(graph: LinkGraph) -> DataFrame:
             "value"
         )
     )
+
+
+def wiener_index(graph: LinkGraph) -> DataFrame:
+    """networkx.wiener_index of the symmetrized graph: Σ d(u,v) over
+    unordered vertex pairs. Reuses the multi-source BFS all-pairs
+    kernel; disconnected graphs yield +Infinity as nx does. Distances
+    are integers so the connected value is exact (hash-stable long)."""
+    e = graph.edges.select("src", "dst")
+    undg = LinkGraph(
+        vertices=graph.vertices,
+        edges=e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+    )
+    from linkgraph.algorithms.paths import all_pairs_shortest_path_length
+
+    sp = all_pairs_shortest_path_length(undg)
+    n = graph.vertices.count()
+    row = sp.agg(
+        (F.sum("dist") / 2).cast("long").alias("wsum"),
+        F.count("*").alias("npairs"),
+    ).first()
+    spark = graph.edges.sparkSession
+    if n > 1 and (row["npairs"] or 0) < n * n:  # kernel emits reachable pairs incl. self
+        return spark.createDataFrame([(float("inf"),)], "value double")
+    return spark.createDataFrame([(float(row["wsum"] or 0),)], "value double")
+
+
+def local_bridges(graph: LinkGraph) -> DataFrame:
+    """networkx.local_bridges(with_span=False): undirected simple edges
+    (lo, hi) whose endpoints have NO common neighbor (the edge lies on
+    no triangle — its removal locally lengthens the lo–hi path). One
+    wedge equi-join anti-joined against the edge set; span computation
+    (alternative-path length) is intentionally omitted — it needs one
+    BFS per bridge, which the caller can run selectively."""
+    su = graph.simple_undirected_edges()
+    und = su.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+        su.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    # common-neighbor pairs (x < y) via the wedge join
+    cn = (
+        und.select(F.col("a").alias("x"), F.col("b").alias("m"))
+        .join(und.select(F.col("a").alias("y"), F.col("b").alias("m")), "m")
+        .where(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+        .distinct()
+    )
+    return su.join(cn, ["lo", "hi"], "left_anti").select("lo", "hi")
+
+
+def is_bipartite(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
+    """Bipartiteness of the symmetrized graph: BFS-layer every
+    component from its minimum vertex (WCC labels are component-min
+    vids) and count edges joining same-depth endpoints — an undirected
+    graph is bipartite iff no BFS layer contains an edge (BFS depths of
+    adjacent vertices differ by exactly 0 or 1; 0 ⟺ odd cycle).
+    Returns one row ``(value boolean, odd_edges long)``. The layering
+    is the same frontier min-propagation superstep as wcc (per-round
+    cost = one edge-sized equi-join + map-side min combine)."""
+    from linkgraph.algorithms.wcc import wcc
+    from linkgraph.superstep import run_supersteps
+
+    spark = graph.edges.sparkSession
+    su = graph.simple_undirected_edges()
+    und = (
+        su.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .union(su.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .persist()
+    )
+    comp = wcc(graph)  # (vid, value = component-min vid)
+    state0 = comp.select(
+        "vid",
+        F.when(F.col("vid") == F.col("value"), F.lit(0)).alias("dist"),
+        F.lit(True).alias("changed"),
+    )
+
+    def step(state, rnd):
+        frontier = state.where(F.col("changed") & F.col("dist").isNotNull()).select(
+            "vid", "dist"
+        )
+        msgs = (
+            frontier.join(und, frontier["vid"] == und["src"])
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("mdist"))
+        )
+        new_state = state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+            state["vid"],
+            F.least(
+                F.coalesce(state["dist"], F.col("mdist")), F.coalesce("mdist", state["dist"])
+            ).alias("dist"),
+            (
+                F.col("mdist").isNotNull()
+                & (state["dist"].isNull() | (F.col("mdist") < state["dist"]))
+            ).alias("changed"),
+        ).persist()
+        n_changed = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
+        return new_state, {"changed": n_changed}
+
+    result = run_supersteps(
+        state0, step, converged=lambda s: s["changed"] == 0, max_rounds=max_rounds
+    )
+    dist = result.state.select("vid", "dist")
+    odd = (
+        su.join(dist.withColumnRenamed("vid", "lo").withColumnRenamed("dist", "dlo"), "lo")
+        .join(dist.withColumnRenamed("vid", "hi").withColumnRenamed("dist", "dhi"), "hi")
+        .where(F.col("dlo") == F.col("dhi"))
+        .count()
+    )
+    und.unpersist()
+    return spark.createDataFrame([(odd == 0, int(odd))], "value boolean, odd_edges long")

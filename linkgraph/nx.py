@@ -663,3 +663,53 @@ def voterank(G: DiGraph, number_of_nodes: int | None = None) -> list:
         raise ValueError("voterank: not implemented for directed graphs")
     rows = A.voterank(G._project(), number_of_nodes).orderBy("rank").collect()
     return [G._node_of[r["vid"]] for r in rows]
+
+
+def wiener_index(G: DiGraph) -> float:
+    """networkx.wiener_index over the symmetrized graph (inf when
+    disconnected, as nx)."""
+    if G.directed:
+        raise ValueError("wiener_index: undirected graphs only")
+    row = A.wiener_index(G._project()).first()
+    return float(row["value"])
+
+
+def local_bridges(G: DiGraph) -> list:
+    """networkx.local_bridges(with_span=False) — (u, v) node-key pairs
+    of edges whose endpoints share no common neighbor."""
+    if G.directed:
+        raise ValueError("local_bridges: undirected graphs only")
+    lg = G._project()
+    return [
+        (G._node_of[r["lo"]], G._node_of[r["hi"]])
+        for r in A.local_bridges(lg).collect()
+    ]
+
+
+def is_bipartite(G: DiGraph) -> bool:
+    """networkx.is_bipartite of the symmetrized graph."""
+    row = A.is_bipartite(G._project()).first()
+    return bool(row["value"])
+
+
+def degree_histogram(G: DiGraph) -> list:
+    """networkx.degree_histogram — dense count list indexed by degree."""
+    if G.directed:
+        raise ValueError("degree_histogram: undirected graphs only")
+    rows = A.degree_histogram(G._project()).collect()
+    return [int(r["count"]) for r in sorted(rows, key=lambda r: r["deg"])]
+
+
+def effective_size(G: DiGraph) -> dict:
+    """networkx.effective_size (unweighted; isolates omitted where nx
+    yields NaN)."""
+    if G.directed:
+        raise ValueError("effective_size: undirected graphs only")
+    return G._to_dict(A.effective_size(G._project()))
+
+
+def constraint(G: DiGraph) -> dict:
+    """networkx.constraint (unweighted, undirected; isolates omitted)."""
+    if G.directed:
+        raise ValueError("constraint: undirected graphs only")
+    return G._to_dict(A.constraint(G._project()))

@@ -240,6 +240,64 @@ def q_global_efficiency(spark, sf_dir):
     return global_efficiency(_oracle_graph(spark, sf_dir))
 
 
+def q_wiener(spark, sf_dir):
+    """Wiener index (Σ d(u,v), unordered pairs) on the full oracle
+    graph — the multi-source BFS kernel + one exact integer sum."""
+    from linkgraph.algorithms import wiener_index
+
+    return wiener_index(_oracle_graph(spark, sf_dir))
+
+
+def q_effective_size(spark, sf_dir):
+    """Burt effective size (unweighted): deg − 2·tri/deg per vertex —
+    the triangle kernel + one join, on the full oracle graph."""
+    from linkgraph.algorithms import effective_size
+
+    return effective_size(_oracle_graph(spark, sf_dir))
+
+
+def q_constraint(spark, sf_dir):
+    """Burt network constraint (unweighted, undirected): mutual-
+    neighbor wedge join + per-(u,v) sum + squared-term aggregation, on
+    the same sparsified edge set as g_ktruss (the full graph's wedge
+    count is fine for Spark but slow on the single-threaded oracle)."""
+    from linkgraph.algorithms import constraint
+
+    g = _oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    sparse = LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+    return constraint(sparse)
+
+
+def q_local_bridges(spark, sf_dir):
+    """Local bridges (edges on no triangle, nx with_span=False) on the
+    sparsified g_ktruss edge set (the full oracle graph is so dense
+    every edge closes a triangle — 2,053 of the 2,694 sparse edges are
+    local bridges, a non-trivial answer set)."""
+    from linkgraph.algorithms import local_bridges
+
+    g = _oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    sparse = LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+    return local_bridges(sparse)
+
+
+def q_is_bipartite(spark, sf_dir):
+    """Bipartiteness + same-BFS-layer edge count of the full oracle
+    graph (WCC roots → frontier BFS layering → one join)."""
+    from linkgraph.algorithms import is_bipartite
+
+    return is_bipartite(_oracle_graph(spark, sf_dir))
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Dense nx degree_histogram (deg 0..max with zero-count rows) of
+    the full oracle graph."""
+    from linkgraph.algorithms import degree_histogram
+
+    return degree_histogram(_oracle_graph(spark, sf_dir))
+
+
 def q_onion(spark, sf_dir):
     """Onion decomposition (layer order of the core peel) on the same
     sparsified edge set as g_ktruss/g_core_number — 24 layers there; the
@@ -2020,6 +2078,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_harmonic": q_harmonic,
     "corpus_repo_graph": q_corpus_repo_graph,
     "g_condensation": q_condensation,
+    "g_wiener": q_wiener,
+    "g_effective_size": q_effective_size,
+    "g_constraint": q_constraint,
+    "g_local_bridges": q_local_bridges,
+    "g_is_bipartite": q_is_bipartite,
+    "g_degree_histogram": q_degree_histogram,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -4102,6 +4166,94 @@ ORACLE_SQL["g_rich_club"] = _with_graph(
          round(2.0 * e.ne / (n.n * (n.n - 1)), 8)::DOUBLE AS value
   FROM nk n JOIN ek e ON e.k = n.k WHERE n.n >= 2"""
 )
+ORACLE_SQL["g_wiener"] = _with_graph(
+    """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, u.dst, w.d + 1 FROM w JOIN und u ON w.vid = u.src WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid)
+  SELECT (sum(dist) / 2)::DOUBLE AS value FROM sp"""
+)
+
+ORACLE_SQL["g_effective_size"] = _with_graph(
+    """degs AS (
+    SELECT vid, count(*) AS deg FROM (
+      SELECT lo AS vid FROM simple_und UNION ALL SELECT hi AS vid FROM simple_und) t
+    GROUP BY vid),
+  tr AS (
+    SELECT n1.src AS vid, count(*) AS t
+    FROM und n1 JOIN und n2 ON n1.src = n2.src AND n1.dst < n2.dst
+    JOIN simple_und s ON s.lo = n1.dst AND s.hi = n2.dst
+    GROUP BY n1.src)
+  SELECT d.vid, round(d.deg - 2.0 * coalesce(t.t, 0) / d.deg, 8)::DOUBLE AS value
+  FROM degs d LEFT JOIN tr t ON t.vid = d.vid"""
+)
+
+ORACLE_SQL["g_constraint"] = _with_graph(
+    """es AS (SELECT * FROM e WHERE (src * 31 + dst) % 10 < 2),
+  ssu AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM es),
+  sund AS (SELECT lo AS src, hi AS dst FROM ssu UNION ALL SELECT hi, lo FROM ssu),
+  degs AS (SELECT src AS vid, count(*) AS deg FROM sund GROUP BY src),
+  ind AS (
+    SELECT w1.src AS u, w2.dst AS v, sum(1.0 / dw.deg) AS s
+    FROM sund w1 JOIN sund w2 ON w1.dst = w2.src AND w2.dst <> w1.src
+    JOIN sund ev ON ev.src = w1.src AND ev.dst = w2.dst
+    JOIN degs dw ON dw.vid = w1.dst
+    GROUP BY w1.src, w2.dst),
+  terms AS (
+    SELECT e2.src AS u, power((1.0 + coalesce(i.s, 0)) / du.deg, 2) AS sq
+    FROM sund e2 JOIN degs du ON du.vid = e2.src
+    LEFT JOIN ind i ON i.u = e2.src AND i.v = e2.dst)
+  SELECT u AS vid, round(sum(sq), 8)::DOUBLE AS value FROM terms GROUP BY u"""
+)
+
+ORACLE_SQL["g_local_bridges"] = _with_graph(
+    """es AS (SELECT * FROM e WHERE (src * 31 + dst) % 10 < 2),
+  ssu AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM es),
+  sund AS (SELECT lo AS a, hi AS b FROM ssu UNION ALL SELECT hi, lo FROM ssu),
+  cn AS (
+    SELECT DISTINCT u1.a AS x, u2.a AS y
+    FROM sund u1 JOIN sund u2 ON u1.b = u2.b AND u1.a < u2.a)
+  SELECT s.lo, s.hi FROM ssu s
+  LEFT JOIN cn ON cn.x = s.lo AND cn.y = s.hi WHERE cn.x IS NULL"""
+)
+
+ORACLE_SQL["g_is_bipartite"] = _with_graph(
+    """comp AS (
+    WITH RECURSIVE r(id, m) AS (
+      SELECT vid, vid FROM v
+      UNION
+      SELECT u.dst, r.m FROM r JOIN und u ON u.src = r.id)
+    SELECT id, min(m) AS root FROM r GROUP BY id),
+  dwalk AS (
+    WITH RECURSIVE d(vid, dist) AS (
+      SELECT id, 0 FROM comp WHERE id = root
+      UNION
+      SELECT u.dst, d.dist + 1 FROM d JOIN und u ON u.src = d.vid WHERE d.dist < 20)
+    SELECT vid, min(dist) AS dist FROM d GROUP BY vid),
+  odd AS (
+    SELECT count(*) AS c FROM simple_und s
+    JOIN dwalk a ON a.vid = s.lo JOIN dwalk b ON b.vid = s.hi
+    WHERE a.dist = b.dist)
+  SELECT (c = 0) AS value, c::BIGINT AS odd_edges FROM odd"""
+)
+
+ORACLE_SQL["g_degree_histogram"] = _with_graph(
+    """degs AS (
+    SELECT vid, count(*) AS deg FROM (
+      SELECT lo AS vid FROM simple_und UNION ALL SELECT hi AS vid FROM simple_und) t
+    GROUP BY vid),
+  pv AS (SELECT v.vid, coalesce(d.deg, 0) AS deg FROM v LEFT JOIN degs d USING (vid)),
+  axis AS (
+    WITH RECURSIVE s(k) AS (
+      SELECT 0 UNION ALL SELECT k + 1 FROM s WHERE k + 1 <= (SELECT max(deg) FROM pv))
+    SELECT k FROM s)
+  SELECT a.k::BIGINT AS deg, count(p.vid)::BIGINT AS "count"
+  FROM axis a LEFT JOIN pv p ON p.deg = a.k GROUP BY a.k"""
+)
+
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
 ORACLE_SQL["g_density"] = _with_graph(

@@ -227,3 +227,89 @@ def test_rich_club_coefficient_matches_python(spark):
         g = graph_from_edge_vids(spark, edges)
         got = {r["k"]: r["value"] for r in rich_club_coefficient(g).collect()}
         assert got == want
+
+
+def test_structural_holes_and_misc_fixture(spark):
+    """Triangle + tail fixture, every value hand-computed (constraint
+    replayed brute-force per Burt's formula)."""
+    from linkgraph.algorithms import (
+        constraint,
+        degree_histogram,
+        effective_size,
+        is_bipartite,
+        local_bridges,
+        wiener_index,
+    )
+
+    g = graph_from_edge_vids(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    es = _d(effective_size(g))
+    assert es == {1: 1.0, 2: 1.0, 3: pytest.approx(7 / 3, abs=1e-8), 4: 2.0, 5: 1.0}
+
+    adj = {1: {2, 3}, 2: {1, 3}, 3: {1, 2, 4}, 4: {3, 5}, 5: {4}}
+
+    def brute(u):
+        s = 0.0
+        for v in adj[u]:
+            p = 1 / len(adj[u]) + sum(
+                1 / (len(adj[u]) * len(adj[w])) for w in adj[u] & adj[v]
+            )
+            s += p * p
+        return s
+
+    got = _d(constraint(g))
+    assert set(got) == set(adj)
+    for u in adj:
+        assert got[u] == pytest.approx(brute(u), abs=1e-7)
+
+    assert wiener_index(g).first()["value"] == 17.0
+    assert sorted((r["lo"], r["hi"]) for r in local_bridges(g).collect()) == [
+        (3, 4),
+        (4, 5),
+    ]
+    row = is_bipartite(g).first()
+    assert (row["value"], row["odd_edges"]) == (False, 1)  # the triangle
+    hist = {r["deg"]: r["count"] for r in degree_histogram(g).collect()}
+    assert hist == {0: 0, 1: 1, 2: 3, 3: 1}
+
+
+def test_bipartite_and_wiener_edge_cases(spark):
+    from linkgraph.algorithms import is_bipartite, wiener_index
+
+    # even cycle, two components -> bipartite; wiener of disconnected = inf
+    g = graph_from_edge_vids(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (7, 8)])
+    row = is_bipartite(g).first()
+    assert (row["value"], row["odd_edges"]) == (True, 0)
+    assert math.isinf(wiener_index(g).first()["value"])
+
+
+def test_structural_holes_match_python_on_rmat(spark):
+    """Replay effective_size + constraint brute-force on the RMAT graph."""
+    from linkgraph.algorithms import effective_size, constraint
+
+    edges = rmat_edges(200, seed=11)
+    g = graph_from_edge_vids(spark, edges)
+    adj: dict = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    es_exp = {u: len(n) - 2 * sum(len(adj[u] & adj[v]) for v in n) / (2 * len(n)) for u, n in adj.items()}
+    es_got = _d(effective_size(g))
+    assert set(es_got) == set(es_exp)
+    for u, v in es_exp.items():
+        assert es_got[u] == pytest.approx(v, abs=1e-7)
+
+    def brute(u):
+        s = 0.0
+        for v in adj[u]:
+            p = 1 / len(adj[u]) + sum(
+                1 / (len(adj[u]) * len(adj[w])) for w in adj[u] & adj[v]
+            )
+            s += p * p
+        return s
+
+    c_got = _d(constraint(g))
+    assert set(c_got) == set(adj)
+    for u in adj:
+        assert c_got[u] == pytest.approx(brute(u), abs=1e-7)

@@ -268,3 +268,22 @@ def test_nx_s_metric_and_efficiency(spark):
     # efficiency: ordered pairs: (0,1),(1,0),(1,2),(2,1) d=1; (0,2),(2,0) d=2
     # sum 1/d = 4 + 1 = 5; / (3*2) = 0.83333333
     assert abs(nx.global_efficiency(G) - 5.0 / 6.0) < 1e-7
+
+
+def test_nx_structural_holes_and_misc(spark):
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    G.add_edges_from([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")])
+    es = nx.effective_size(G)
+    assert es["a"] == 1.0 and es["c"] == round(3 - 2 / 3, 8)
+    con = nx.constraint(G)
+    assert abs(con["d"] - 0.5) < 1e-7  # two non-adjacent neighbors, p=1/2 each
+    assert nx.wiener_index(G) == 17.0
+    assert sorted(nx.local_bridges(G)) == [("c", "d"), ("d", "e")]
+    assert nx.is_bipartite(G) is False
+    assert nx.degree_histogram(G) == [0, 1, 3, 1]
+
+    H = nx.Graph(spark)
+    H.add_edges_from([(0, 1), (1, 2), (2, 3), (3, 0)])  # C4
+    assert nx.is_bipartite(H) is True
