@@ -24,6 +24,7 @@ from linkgraph.algorithms.globals import (
     is_bipartite,
 )
 from linkgraph.algorithms.structuralholes import effective_size, constraint
+from linkgraph.algorithms.triads import triadic_census
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.cores import core_number, k_core, k_shell, onion_layers
 from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity

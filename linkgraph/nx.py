@@ -713,3 +713,11 @@ def constraint(G: DiGraph) -> dict:
     if G.directed:
         raise ValueError("constraint: undirected graphs only")
     return G._to_dict(A.constraint(G._project()))
+
+
+def triadic_census(G: DiGraph) -> dict:
+    """networkx.triadic_census — all 16 Holland–Leinhardt MAN classes."""
+    if not G.directed:
+        raise ValueError("triadic_census: directed graphs only")
+    rows = A.triadic_census(G._project()).collect()
+    return {r["triad_type"]: int(r["count"]) for r in rows}

@@ -298,6 +298,16 @@ def q_degree_histogram(spark, sf_dir):
     return degree_histogram(_oracle_graph(spark, sf_dir))
 
 
+def q_triadic_census(spark, sf_dir):
+    """Directed 16-class Holland–Leinhardt triadic census on the full
+    oracle graph (wedge join over the dyad graph + literal 64→16 code
+    lookup; single-dyad classes by counting correction, empty class by
+    complement — no O(n³) work)."""
+    from linkgraph.algorithms import triadic_census
+
+    return triadic_census(_oracle_graph(spark, sf_dir))
+
+
 def q_onion(spark, sf_dir):
     """Onion decomposition (layer order of the core peel) on the same
     sparsified edge set as g_ktruss/g_core_number — 24 layers there; the
@@ -2084,6 +2094,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_local_bridges": q_local_bridges,
     "g_is_bipartite": q_is_bipartite,
     "g_degree_histogram": q_degree_histogram,
+    "g_triadic_census": q_triadic_census,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -4253,6 +4264,66 @@ ORACLE_SQL["g_degree_histogram"] = _with_graph(
   SELECT a.k::BIGINT AS deg, count(p.vid)::BIGINT AS "count"
   FROM axis a LEFT JOIN pv p ON p.deg = a.k GROUP BY a.k"""
 )
+
+def _triad_oracle_sql() -> str:
+    """Mirrors triads.triadic_census: the 64→16 lookup is BUILT FROM THE
+    SAME generated-and-verified TRIAD_CLASS table (no duplicated magic
+    values), the joins replay the dyad/wedge enumeration, and the
+    single-dyad/empty classes use the identical counting corrections."""
+    from linkgraph.algorithms.triads import TRIAD_CLASS, TRIAD_NAMES
+
+    lut = ", ".join(f"({c}, '{name}')" for c, name in enumerate(TRIAD_CLASS))
+    base = ", ".join(f"('{n}')" for n in TRIAD_NAMES)
+    return _with_graph(
+        f"""dy AS (
+    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+           max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+           max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS b
+    FROM e GROUP BY 1, 2),
+  adjd AS (SELECT lo AS x, hi AS y FROM dy UNION ALL SELECT hi, lo FROM dy),
+  tr AS (
+    SELECT DISTINCT l[1] AS u, l[2] AS v, l[3] AS w FROM (
+      SELECT list_sort([a1.x, a1.y, a2.y]) AS l
+      FROM adjd a1 JOIN adjd a2 ON a1.x = a2.x AND a1.y < a2.y)),
+  coded AS (
+    SELECT coalesce(d1.f, 0) + 2 * coalesce(d1.b, 0)
+         + 4 * coalesce(d2.f, 0) + 8 * coalesce(d2.b, 0)
+         + 16 * coalesce(d3.f, 0) + 32 * coalesce(d3.b, 0) AS code,
+         (coalesce(d1.f, 0) + coalesce(d1.b, 0) = 1)::INT
+         + (coalesce(d2.f, 0) + coalesce(d2.b, 0) = 1)::INT
+         + (coalesce(d3.f, 0) + coalesce(d3.b, 0) = 1)::INT AS a_t,
+         (coalesce(d1.f, 0) + coalesce(d1.b, 0) = 2)::INT
+         + (coalesce(d2.f, 0) + coalesce(d2.b, 0) = 2)::INT
+         + (coalesce(d3.f, 0) + coalesce(d3.b, 0) = 2)::INT AS m_t
+    FROM tr
+    LEFT JOIN dy d1 ON d1.lo = tr.u AND d1.hi = tr.v
+    LEFT JOIN dy d2 ON d2.lo = tr.u AND d2.hi = tr.w
+    LEFT JOIN dy d3 ON d3.lo = tr.v AND d3.hi = tr.w),
+  lut(code, name) AS (VALUES {lut}),
+  conn AS (
+    SELECT l.name, count(*) AS cnt, sum(a_t) AS sa, sum(m_t) AS sm
+    FROM coded JOIN lut l ON l.code = coded.code GROUP BY 1),
+  tot AS (SELECT coalesce(sum((f + b = 1)::INT), 0) AS a_tot,
+                 coalesce(sum((f + b = 2)::INT), 0) AS m_tot FROM dy),
+  nv AS (SELECT count(*) AS nn FROM v),
+  sums AS (SELECT coalesce(sum(a_t), 0) AS sa, coalesce(sum(m_t), 0) AS sm FROM coded),
+  c012 AS (SELECT a_tot * (nn - 2) - sa AS x FROM tot, nv, sums),
+  c102 AS (SELECT m_tot * (nn - 2) - sm AS x FROM tot, nv, sums),
+  c003 AS (
+    SELECT (nn * (nn - 1) * (nn - 2)) // 6
+           - (SELECT coalesce(sum(cnt), 0) FROM conn)
+           - (SELECT x FROM c012) - (SELECT x FROM c102) AS x FROM nv),
+  base(name) AS (VALUES {base})
+  SELECT b.name AS triad_type,
+         (CASE b.name WHEN '003' THEN (SELECT x FROM c003)
+                      WHEN '012' THEN (SELECT x FROM c012)
+                      WHEN '102' THEN (SELECT x FROM c102)
+                      ELSE coalesce(conn.cnt, 0) END)::BIGINT AS "count"
+  FROM base b LEFT JOIN conn ON conn.name = b.name"""
+    )
+
+
+ORACLE_SQL["g_triadic_census"] = _triad_oracle_sql()
 
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines
