@@ -27,7 +27,7 @@ from linkgraph.algorithms.structuralholes import effective_size, constraint
 from linkgraph.algorithms.triads import triadic_census
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.cores import core_number, k_core, k_shell, onion_layers
-from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity
+from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity, square_clustering
 from linkgraph.algorithms.centrality import eigenvector_centrality, katz_centrality
 from linkgraph.algorithms.assortativity import (
     degree_assortativity_coefficient,
@@ -140,4 +140,12 @@ __all__ = [
     "s_metric",
     "global_efficiency",
     "average_neighbor_degree",
+    "wiener_index",
+    "local_bridges",
+    "is_bipartite",
+    "degree_histogram",
+    "effective_size",
+    "constraint",
+    "triadic_census",
+    "square_clustering",
 ]

@@ -721,3 +721,10 @@ def triadic_census(G: DiGraph) -> dict:
         raise ValueError("triadic_census: directed graphs only")
     rows = A.triadic_census(G._project()).collect()
     return {r["triad_type"]: int(r["count"]) for r in rows}
+
+
+def square_clustering(G: DiGraph) -> dict:
+    """networkx.square_clustering — C4 coefficient per node."""
+    if G.directed:
+        raise ValueError("square_clustering: undirected graphs only")
+    return G._to_dict(A.square_clustering(G._project()))

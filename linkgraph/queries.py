@@ -308,6 +308,15 @@ def q_triadic_census(spark, sf_dir):
     return triadic_census(_oracle_graph(spark, sf_dir))
 
 
+def q_square_clustering(spark, sf_dir):
+    """C4 (square) clustering coefficient per vertex on the full oracle
+    graph — one materialized wedge join used twice (pair common-neighbor
+    counts + per-wedge terms), integer sums, one division per vertex."""
+    from linkgraph.algorithms.clustering import square_clustering
+
+    return square_clustering(_oracle_graph(spark, sf_dir))
+
+
 def q_onion(spark, sf_dir):
     """Onion decomposition (layer order of the core peel) on the same
     sparsified edge set as g_ktruss/g_core_number — 24 layers there; the
@@ -2095,6 +2104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_is_bipartite": q_is_bipartite,
     "g_degree_histogram": q_degree_histogram,
     "g_triadic_census": q_triadic_census,
+    "g_square_clustering": q_square_clustering,
     # --- r3-green entries kept in-window (property graph / corpus / pipeline)
     "g_prop_label_counts": q_prop_label_counts,
     "g_prop_degree": q_prop_degree,
@@ -4324,6 +4334,28 @@ def _triad_oracle_sql() -> str:
 
 
 ORACLE_SQL["g_triadic_census"] = _triad_oracle_sql()
+
+ORACLE_SQL["g_square_clustering"] = _with_graph(
+    """degs AS (
+    SELECT vid, count(*) AS deg FROM (
+      SELECT lo AS vid FROM simple_und UNION ALL SELECT hi AS vid FROM simple_und) t
+    GROUP BY vid),
+  wedg AS (
+    SELECT n1.src AS v, n1.dst AS u, n2.dst AS w
+    FROM und n1 JOIN und n2 ON n1.src = n2.src AND n1.dst < n2.dst),
+  cn AS (SELECT u, w, count(*) AS cn FROM wedg GROUP BY u, w),
+  perw AS (
+    SELECT wedg.v, cn.cn - 1 AS q,
+           (cn.cn - 1) + (du.deg - cn.cn - coalesce(th, 0))
+                       + (dw.deg - cn.cn - coalesce(th, 0)) AS d
+    FROM wedg JOIN cn USING (u, w)
+    JOIN degs du ON du.vid = wedg.u JOIN degs dw ON dw.vid = wedg.w
+    LEFT JOIN (SELECT lo AS u, hi AS w, 1 AS th FROM simple_und) t USING (u, w)),
+  sums AS (SELECT v AS vid, sum(q) AS nq, sum(d) AS nd FROM perw GROUP BY v)
+  SELECT v.vid,
+         round(CASE WHEN coalesce(nd, 0) > 0 THEN nq / nd ELSE 0.0 END, 8)::DOUBLE AS value
+  FROM v LEFT JOIN sums USING (vid)"""
+)
 
 # whole-graph scalars (algorithms/globals.py) — integer-count arithmetic,
 # so the doubles are bit-identical between engines

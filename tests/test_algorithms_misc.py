@@ -356,3 +356,48 @@ def test_triadic_census_nx_wrapper(spark):
     # {b,c,d}=012
     assert c["111U"] == 1 and c["102"] == 1 and c["012"] == 1 and c["003"] == 1
     assert sum(c.values()) == 4
+
+
+def test_square_clustering_fixture_and_random(spark):
+    """C4 fixture (square + pendant) hand-checked, then a random-graph
+    replay against the brute-force Lind formula."""
+    import random
+
+    from linkgraph.algorithms import square_clustering
+
+    g = graph_from_edge_vids(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)])
+    assert _d(square_clustering(g)) == {
+        1: pytest.approx(1 / 3, abs=1e-8),
+        2: 0.5,
+        3: 1.0,
+        4: 0.5,
+        5: 0.0,
+    }
+
+    random.seed(3)
+    edges = set()
+    while len(edges) < 60:
+        s, d = random.randrange(25), random.randrange(25)
+        if s != d:
+            edges.add((s, d))
+    g2 = graph_from_edge_vids(spark, sorted(edges))
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def brute(v):
+        ns = sorted(adj[v])
+        num = den = 0
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, w = ns[i], ns[j]
+                q = len((adj[u] & adj[w]) - {v})
+                th = 1 if w in adj[u] else 0
+                num += q
+                den += q + (len(adj[u]) - (1 + q + th)) + (len(adj[w]) - (1 + q + th))
+        return num / den if den else 0.0
+
+    got = _d(square_clustering(g2))
+    for v in adj:
+        assert got[v] == pytest.approx(brute(v), abs=1e-7)
