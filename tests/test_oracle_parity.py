@@ -45,6 +45,14 @@ PAIRS = [
     "g_rich_club",
     "g_s_metric",
     "g_global_efficiency",
+    "g_wiener",
+    "g_effective_size",
+    "g_constraint",
+    "g_local_bridges",
+    "g_is_bipartite",
+    "g_degree_histogram",
+    "g_triadic_census",
+    "g_square_clustering",
     "gie_repeat_until",
     "gie_text_until",
     "gie_text_twohop",
