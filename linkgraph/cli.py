@@ -52,7 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="linkgraph")
     ap.add_argument(
         "algo",
-        choices=["pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "mis", "coloring"],
+        choices=[
+            "pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "mis",
+            "coloring", "census", "core-number", "ktruss",
+        ],
     )
     ap.add_argument("--corpus-path", default=None, help="parquet corpus table")
     ap.add_argument("--corpus-files", type=int, default=10_000)
@@ -129,12 +132,27 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algorithms import greedy_color
 
         res = greedy_color(g, seed=args.seed)
+    elif args.algo == "census":
+        from linkgraph.algorithms import triadic_census
+
+        res = triadic_census(g)
+    elif args.algo == "core-number":
+        from linkgraph.algorithms import core_number
+
+        res = core_number(g)
+    elif args.algo == "ktruss":
+        from linkgraph.algorithms import k_truss
+
+        res = k_truss(g, k=4)
     else:
         from linkgraph.algorithms import triangles
 
         res = triangles(g)
 
-    res = res.join(g.vertices, "vid").select("vid", "oid", "value")
+    if "vid" in res.columns:
+        res = res.join(g.vertices, "vid").select(
+            "vid", "oid", *[c for c in res.columns if c != "vid"]
+        )
     if args.out:
         res.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
