@@ -728,3 +728,53 @@ def square_clustering(G: DiGraph) -> dict:
     if G.directed:
         raise ValueError("square_clustering: undirected graphs only")
     return G._to_dict(A.square_clustering(G._project()))
+
+
+def connected_components(G: DiGraph):
+    """networkx.connected_components (undirected view) — yields node
+    sets; identical grouping to weakly_connected_components."""
+    yield from weakly_connected_components(G)
+
+
+def number_connected_components(G: DiGraph) -> int:
+    """networkx.number_connected_components."""
+    return sum(1 for _ in weakly_connected_components(G))
+
+
+def is_connected(G: DiGraph) -> bool:
+    """networkx.is_connected; raises on the empty graph as nx does."""
+    if len(G) == 0:
+        raise ValueError("is_connected: graph has no nodes")
+    return number_connected_components(G) == 1
+
+
+def node_connected_component(G: DiGraph, n) -> set:
+    """networkx.node_connected_component — the node set containing n."""
+    for comp in weakly_connected_components(G):
+        if n in comp:
+            return comp
+    raise KeyError(n)
+
+
+def strongly_connected_components(G: DiGraph):
+    """networkx.strongly_connected_components — yields node sets
+    (forwarded to the distributed coloring-based SCC)."""
+    if not G.directed:
+        raise ValueError("strongly_connected_components: directed graphs only")
+    comp = G._to_dict(A.scc(G._project()))
+    groups: dict[int, set] = {}
+    for n, c in comp.items():
+        groups.setdefault(c, set()).add(n)
+    yield from groups.values()
+
+
+def number_strongly_connected_components(G: DiGraph) -> int:
+    """networkx.number_strongly_connected_components."""
+    return sum(1 for _ in strongly_connected_components(G))
+
+
+def is_strongly_connected(G: DiGraph) -> bool:
+    """networkx.is_strongly_connected."""
+    if len(G) == 0:
+        raise ValueError("is_strongly_connected: graph has no nodes")
+    return number_strongly_connected_components(G) == 1

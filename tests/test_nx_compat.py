@@ -287,3 +287,26 @@ def test_nx_structural_holes_and_misc(spark):
     H = nx.Graph(spark)
     H.add_edges_from([(0, 1), (1, 2), (2, 3), (3, 0)])  # C4
     assert nx.is_bipartite(H) is True
+
+
+def test_nx_connectivity_family(spark):
+    import pytest as _pytest
+
+    from linkgraph import nx
+
+    G = nx.DiGraph(spark)
+    G.add_edges_from([(1, 2), (2, 1), (2, 3), (4, 5)])
+    comps = sorted(sorted(c) for c in nx.connected_components(G))
+    assert comps == [[1, 2, 3], [4, 5]]
+    assert nx.number_connected_components(G) == 2
+    assert nx.is_connected(G) is False
+    assert nx.node_connected_component(G, 3) == {1, 2, 3}
+    sccs = sorted(sorted(c) for c in nx.strongly_connected_components(G))
+    assert sccs == [[1, 2], [3], [4], [5]]
+    assert nx.number_strongly_connected_components(G) == 4
+    assert nx.is_strongly_connected(G) is False
+    with _pytest.raises(KeyError):
+        nx.node_connected_component(G, 99)
+    E = nx.DiGraph(spark)
+    with _pytest.raises(ValueError):
+        nx.is_connected(E)
