@@ -94,6 +94,78 @@ class DiGraph:
     def edges(self):
         return list(self._edges)
 
+    def successors(self, n):
+        """Out-neighbors of n (directed); nx DiGraph.successors."""
+        if n not in self._nodes:
+            raise KeyError(n)
+        out = {v for (u, v) in self._edges if u == n}
+        if not self.directed:
+            out |= {u for (u, v) in self._edges if v == n}
+        return iter(sorted(out, key=repr))
+
+    def predecessors(self, n):
+        """In-neighbors of n (directed); nx DiGraph.predecessors."""
+        if n not in self._nodes:
+            raise KeyError(n)
+        inn = {u for (u, v) in self._edges if v == n}
+        if not self.directed:
+            inn |= {v for (u, v) in self._edges if u == n}
+        return iter(sorted(inn, key=repr))
+
+    def neighbors(self, n):
+        """nx neighbors: successors for DiGraph, all adjacent for Graph."""
+        return self.successors(n)
+
+    def degree(self, n=None):
+        """nx degree view: total degree (in+out for DiGraph); a single
+        int for one node, else a list of (node, degree) pairs."""
+
+        def d(x):
+            if self.directed:
+                return sum(1 for (u, v) in self._edges if u == x) + sum(
+                    1 for (u, v) in self._edges if v == x
+                )
+            return sum(1 for e in self._edges if x in e)
+
+        if n is not None:
+            if n not in self._nodes:
+                raise KeyError(n)
+            return d(n)
+        return [(x, d(x)) for x in self._nodes]
+
+    def in_degree(self, n=None):
+        """nx in_degree view (directed)."""
+
+        def d(x):
+            return sum(1 for (u, v) in self._edges if v == x)
+
+        if n is not None:
+            if n not in self._nodes:
+                raise KeyError(n)
+            return d(n)
+        return [(x, d(x)) for x in self._nodes]
+
+    def out_degree(self, n=None):
+        """nx out_degree view (directed)."""
+
+        def d(x):
+            return sum(1 for (u, v) in self._edges if u == x)
+
+        if n is not None:
+            if n not in self._nodes:
+                raise KeyError(n)
+            return d(n)
+        return [(x, d(x)) for x in self._nodes]
+
+    def has_edge(self, u, v) -> bool:
+        """nx has_edge (orientation-insensitive for Graph)."""
+        if self.directed:
+            return (u, v) in self._edges
+        return (u, v) in self._edges or (v, u) in self._edges
+
+    def has_node(self, n) -> bool:
+        return n in self._nodes
+
     def __contains__(self, n) -> bool:
         return n in self._nodes
 

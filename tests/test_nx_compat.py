@@ -310,3 +310,27 @@ def test_nx_connectivity_family(spark):
     E = nx.DiGraph(spark)
     with _pytest.raises(ValueError):
         nx.is_connected(E)
+
+
+def test_nx_graph_object_accessors(spark):
+    import pytest as _pytest
+
+    from linkgraph import nx
+
+    G = nx.DiGraph(spark)
+    G.add_edges_from([(1, 2), (2, 3), (3, 1), (1, 3)])
+    assert list(G.successors(1)) == [2, 3]
+    assert list(G.predecessors(1)) == [3]
+    assert list(G.neighbors(2)) == [3]
+    assert G.degree(1) == 3 and G.in_degree(1) == 1 and G.out_degree(1) == 2
+    assert dict(G.degree())[3] == 3
+    assert G.has_edge(1, 2) and not G.has_edge(2, 1)
+    assert G.has_node(2) and not G.has_node(9)
+    with _pytest.raises(KeyError):
+        G.degree(9)
+
+    H = nx.Graph(spark)
+    H.add_edges_from([("a", "b"), ("b", "c")])
+    assert list(H.neighbors("b")) == ["a", "c"]
+    assert H.degree("b") == 2
+    assert H.has_edge("b", "a")  # orientation-insensitive
