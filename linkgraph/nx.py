@@ -166,6 +166,55 @@ class DiGraph:
     def has_node(self, n) -> bool:
         return n in self._nodes
 
+    def copy(self) -> "DiGraph":
+        """nx copy — independent mutation stores, attributes shallow-copied."""
+        H = type(self)(self._spark)
+        H._nodes = {n: dict(d) for n, d in self._nodes.items()}
+        H._edges = {e: dict(d) for e, d in self._edges.items()}
+        return H
+
+    def subgraph(self, nodes) -> "DiGraph":
+        """nx subgraph — induced on the given nodes (a detached copy,
+        not an nx-style live view)."""
+        keep = set(nodes)
+        H = type(self)(self._spark)
+        H._nodes = {n: dict(d) for n, d in self._nodes.items() if n in keep}
+        H._edges = {
+            (u, v): dict(d)
+            for (u, v), d in self._edges.items()
+            if u in keep and v in keep
+        }
+        return H
+
+    def to_undirected(self) -> "Graph":
+        """nx to_undirected — collapse arc pairs onto undirected edges."""
+        H = Graph(self._spark)
+        for n, d in self._nodes.items():
+            H.add_node(n, **d)
+        for (u, v), d in self._edges.items():
+            H.add_edge(u, v, **d)
+        return H
+
+    def to_directed(self) -> "DiGraph":
+        """nx to_directed — undirected edges become both arcs."""
+        H = DiGraph(self._spark)
+        for n, d in self._nodes.items():
+            H.add_node(n, **d)
+        for (u, v), d in self._edges.items():
+            H.add_edge(u, v, **d)
+            if not self.directed:
+                H.add_edge(v, u, **d)
+        return H
+
+    def reverse(self) -> "DiGraph":
+        """nx DiGraph.reverse — all arcs flipped (copy)."""
+        H = DiGraph(self._spark)
+        for n, d in self._nodes.items():
+            H.add_node(n, **d)
+        for (u, v), d in self._edges.items():
+            H.add_edge(v, u, **d)
+        return H
+
     def __contains__(self, n) -> bool:
         return n in self._nodes
 

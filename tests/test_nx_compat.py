@@ -334,3 +334,23 @@ def test_nx_graph_object_accessors(spark):
     assert list(H.neighbors("b")) == ["a", "c"]
     assert H.degree("b") == 2
     assert H.has_edge("b", "a")  # orientation-insensitive
+
+
+def test_nx_graph_views_and_copies(spark):
+    from linkgraph import nx
+
+    G = nx.DiGraph(spark)
+    G.add_edges_from([(1, 2), (2, 1), (2, 3)])
+    H = G.subgraph([1, 2])
+    assert sorted(H.nodes()) == [1, 2] and sorted(H.edges()) == [(1, 2), (2, 1)]
+    C = G.copy()
+    C.remove_edge(2, 3)
+    assert G.has_edge(2, 3) and not C.has_edge(2, 3)  # stores independent
+    U = G.to_undirected()
+    assert not U.directed and U.number_of_edges() == 2  # (1,2) collapsed
+    D = U.to_directed()
+    assert D.directed and D.number_of_edges() == 4
+    R = G.reverse()
+    assert R.has_edge(3, 2) and not R.has_edge(2, 3)
+    # algorithms still run on the derived graphs
+    assert nx.number_connected_components(H) == 1
