@@ -24,6 +24,14 @@ re-expressed as joins):
 The 64→16 table is GENERATED at import by brute-force classification
 of all labeled 3-vertex digraphs and verified permutation-invariant
 with the canonical orbit sizes — no transcribed magic table.
+
+Cost bound (inherent to any exact census, not a plan artifact): the
+connected-triple enumeration is Σ_v C(deg(v), 2) rows — a degree-1M
+hub alone contributes 5·10¹¹ wedges. On hub-heavy corpora run the
+census on an explicitly degree-capped subgraph
+(``graph.induce(...)``-style pre-filter); the join itself partitions
+on the wedge center so AQE splits skewed partitions, but it cannot
+shrink the combinatorial output.
 """
 
 from __future__ import annotations
