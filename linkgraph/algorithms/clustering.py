@@ -78,10 +78,8 @@ def square_clustering(graph: LinkGraph) -> DataFrame:
     q, then rejoined per wedge — plus degree/adjacency lookups; integer
     sums divided once per vertex, so the doubles are engine-portable."""
     su = graph.simple_undirected_edges()
-    und = su.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
-        su.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
-    deg = und.groupBy(F.col("a").alias("vid")).agg(F.count("*").alias("deg"))
+    und = graph.symmetrized_simple_edges()
+    deg = graph.simple_degrees()
     wedges = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .join(und.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")

@@ -27,19 +27,16 @@ def degree_histogram(graph: LinkGraph) -> DataFrame:
     degrees included, isolated vertices counted at 0), the tabular form
     of nx's list. One aggregation + a sequence explode for the dense
     axis; no iteration."""
-    su = graph.simple_undirected_edges()
-    deg = (
-        su.select(F.col("lo").alias("vid"))
-        .union(su.select(F.col("hi").alias("vid")))
-        .groupBy("vid")
-        .agg(F.count("*").alias("deg"))
-    )
-    pv = graph.vertices.join(deg, "vid", "left").select(
+    pv = graph.vertices.join(graph.simple_degrees(), "vid", "left").select(
         F.coalesce("deg", F.lit(0)).cast("long").alias("deg")
     )
+    # single pass over the degree pipeline: the dense axis derives from
+    # the (tiny) counts aggregate, not from a second scan of pv
     counts = pv.groupBy("deg").agg(F.count("*").alias("count"))
-    axis = pv.agg(F.max("deg").alias("m")).select(
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("m"))).alias("deg")
+    axis = (
+        counts.agg(F.max("deg").alias("m"))
+        .where(F.col("m").isNotNull())
+        .select(F.explode(F.sequence(F.lit(0).cast("long"), F.col("m"))).alias("deg"))
     )
     return axis.join(counts, "deg", "left").select(
         "deg", F.coalesce("count", F.lit(0)).cast("long").alias("count")

@@ -229,16 +229,15 @@ def local_bridges(graph: LinkGraph) -> DataFrame:
     (alternative-path length) is intentionally omitted — it needs one
     BFS per bridge, which the caller can run selectively."""
     su = graph.simple_undirected_edges()
-    und = su.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
-        su.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
-    # common-neighbor pairs (x < y) via the wedge join
+    und = graph.symmetrized_simple_edges()
+    # common-neighbor pairs (x < y) via the wedge join; the anti-join
+    # consumes the raw wedge stream directly — no distinct() over the
+    # all-pairs-with-a-common-neighbor set (which a hub makes O(deg²))
     cn = (
         und.select(F.col("a").alias("x"), F.col("b").alias("m"))
         .join(und.select(F.col("a").alias("y"), F.col("b").alias("m")), "m")
         .where(F.col("x") < F.col("y"))
         .select(F.col("x").alias("lo"), F.col("y").alias("hi"))
-        .distinct()
     )
     return su.join(cn, ["lo", "hi"], "left_anti").select("lo", "hi")
 
@@ -257,49 +256,96 @@ def is_bipartite(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
 
     spark = graph.edges.sparkSession
     su = graph.simple_undirected_edges()
-    und = (
-        su.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
-        .union(su.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
-        .persist()
-    )
-    comp = wcc(graph)  # (vid, value = component-min vid)
-    state0 = comp.select(
-        "vid",
-        F.when(F.col("vid") == F.col("value"), F.lit(0)).alias("dist"),
-        F.lit(True).alias("changed"),
-    )
-
-    def step(state, rnd):
-        frontier = state.where(F.col("changed") & F.col("dist").isNotNull()).select(
-            "vid", "dist"
+    und = graph.symmetrized_simple_edges().select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).persist()
+    try:
+        # the caller's round budget bounds BOTH superstep loops — a
+        # truncated wcc would seed multiple BFS roots per component and
+        # silently corrupt the layering
+        comp = wcc(graph, max_rounds=max_rounds)
+        # definitive wcc-fixpoint check: a truncated wcc leaves some edge
+        # with differently-labeled endpoints, which would seed multiple
+        # BFS roots inside one component (dist-0 pairs misread as odd)
+        cl = comp.withColumnRenamed("value", "lbl")
+        mismatched = (
+            und.join(cl.withColumnRenamed("vid", "src"), "src")
+            .join(
+                cl.withColumnRenamed("vid", "dst").withColumnRenamed("lbl", "lbl2"),
+                "dst",
+            )
+            .where(F.col("lbl") != F.col("lbl2"))
+            .count()
         )
-        msgs = (
-            frontier.join(und, frontier["vid"] == und["src"])
-            .groupBy("dst")
-            .agg((F.min("dist") + 1).alias("mdist"))
+        if mismatched:
+            raise ValueError(
+                "is_bipartite: component labeling did not converge within "
+                f"max_rounds={max_rounds}; raise the round budget"
+            )
+        state0 = comp.select(
+            "vid",
+            F.when(F.col("vid") == F.col("value"), F.lit(0)).alias("dist"),
+            F.lit(True).alias("changed"),
         )
-        new_state = state.join(msgs, state["vid"] == msgs["dst"], "left").select(
-            state["vid"],
-            F.least(
-                F.coalesce(state["dist"], F.col("mdist")), F.coalesce("mdist", state["dist"])
-            ).alias("dist"),
-            (
-                F.col("mdist").isNotNull()
-                & (state["dist"].isNull() | (F.col("mdist") < state["dist"]))
-            ).alias("changed"),
-        ).persist()
-        n_changed = new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
-        return new_state, {"changed": n_changed}
 
-    result = run_supersteps(
-        state0, step, converged=lambda s: s["changed"] == 0, max_rounds=max_rounds
-    )
-    dist = result.state.select("vid", "dist")
-    odd = (
-        su.join(dist.withColumnRenamed("vid", "lo").withColumnRenamed("dist", "dlo"), "lo")
-        .join(dist.withColumnRenamed("vid", "hi").withColumnRenamed("dist", "dhi"), "hi")
-        .where(F.col("dlo") == F.col("dhi"))
-        .count()
-    )
-    und.unpersist()
-    return spark.createDataFrame([(odd == 0, int(odd))], "value boolean, odd_edges long")
+        def step(state, rnd):
+            frontier = state.where(
+                F.col("changed") & F.col("dist").isNotNull()
+            ).select("vid", "dist")
+            msgs = (
+                frontier.join(und, frontier["vid"] == und["src"])
+                .groupBy("dst")
+                .agg((F.min("dist") + 1).alias("mdist"))
+            )
+            new_state = state.join(msgs, state["vid"] == msgs["dst"], "left").select(
+                state["vid"],
+                F.least(
+                    F.coalesce(state["dist"], F.col("mdist")),
+                    F.coalesce("mdist", state["dist"]),
+                ).alias("dist"),
+                (
+                    F.col("mdist").isNotNull()
+                    & (state["dist"].isNull() | (F.col("mdist") < state["dist"]))
+                ).alias("changed"),
+            ).persist()
+            n_changed = (
+                new_state.agg(F.sum(F.col("changed").cast("long"))).first()[0] or 0
+            )
+            return new_state, {"changed": n_changed}
+
+        result = run_supersteps(
+            state0, step, converged=lambda s: s["changed"] == 0, max_rounds=max_rounds
+        )
+        dist = result.state.select("vid", "dist")
+        row = (
+            su.join(
+                dist.withColumnRenamed("vid", "lo").withColumnRenamed("dist", "dlo"),
+                "lo",
+                "left",
+            )
+            .join(
+                dist.withColumnRenamed("vid", "hi").withColumnRenamed("dist", "dhi"),
+                "hi",
+                "left",
+            )
+            .agg(
+                F.sum((F.col("dlo") == F.col("dhi")).cast("long")).alias("odd"),
+                F.sum(
+                    (F.col("dlo").isNull() | F.col("dhi").isNull()).cast("long")
+                ).alias("unreached"),
+            )
+            .first()
+        )
+        odd = int(row["odd"] or 0)
+        # an unreached endpoint means the BFS hit max_rounds before the
+        # layering converged — refuse to answer rather than guess
+        if int(row["unreached"] or 0) > 0 or not result.converged:
+            raise ValueError(
+                "is_bipartite: BFS layering did not converge within "
+                f"max_rounds={max_rounds}; raise the round budget"
+            )
+        return spark.createDataFrame(
+            [(odd == 0, odd)], "value boolean, odd_edges long"
+        )
+    finally:
+        und.unpersist()

@@ -34,12 +34,7 @@ from linkgraph.graph import LinkGraph
 
 def _und_deg(graph: LinkGraph) -> tuple[DataFrame, DataFrame]:
     """Symmetrized simple edge list (a, b) + simple degrees (vid, deg)."""
-    su = graph.simple_undirected_edges()
-    und = su.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
-        su.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
-    deg = und.groupBy(F.col("a").alias("vid")).agg(F.count("*").alias("deg"))
-    return und, deg
+    return graph.symmetrized_simple_edges(), graph.simple_degrees()
 
 
 def effective_size(graph: LinkGraph) -> DataFrame:

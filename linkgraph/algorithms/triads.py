@@ -116,7 +116,6 @@ def triadic_census(graph: LinkGraph) -> DataFrame:
     canonical MAN sequence. Counts are BIGINT; guarded against C(n,3)
     overflow (n must stay < ~3.8M — beyond that the 003/012/102
     complement classes leave int64; the connected classes never do)."""
-    spark = graph.edges.sparkSession
     e = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -135,6 +134,14 @@ def triadic_census(graph: LinkGraph) -> DataFrame:
         )
         .persist()
     )
+    try:
+        return _census_body(graph, dy)
+    finally:
+        dy.unpersist()
+
+
+def _census_body(graph: LinkGraph, dy: DataFrame) -> DataFrame:
+    spark = graph.edges.sparkSession
     n = graph.vertices.count()
     if n >= 3_810_000:
         raise ValueError(
@@ -212,7 +219,6 @@ def triadic_census(graph: LinkGraph) -> DataFrame:
         .agg(F.count("*").alias("count"), F.sum("a_t").alias("sa"), F.sum("m_t").alias("sm"))
         .collect()
     )
-    dy.unpersist()
     census = {name: 0 for name in TRIAD_NAMES}
     sum_a = sum_m = 0
     for r in rows:

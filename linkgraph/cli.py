@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=10, help="CDLP rounds")
+    ap.add_argument("--k", type=int, default=4, help="ktruss k")
     ap.add_argument("--tier", choices=["reference", "csr", "dense"], default="csr")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--out", default=None, help="parquet output path")
@@ -143,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.algo == "ktruss":
         from linkgraph.algorithms import k_truss
 
-        res = k_truss(g, k=4)
+        res = k_truss(g, k=args.k)
     else:
         from linkgraph.algorithms import triangles
 

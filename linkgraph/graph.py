@@ -142,6 +142,25 @@ class LinkGraph:
             .distinct()
         )
 
+    def symmetrized_simple_edges(self) -> DataFrame:
+        """Both directions (a, b) of every simple undirected edge —
+        the shared preamble of the wedge-join family (structural holes,
+        square clustering, local bridges, degree histograms); mirrors
+        the oracle SQL's ``und`` CTE."""
+        su = self.simple_undirected_edges()
+        return su.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+            su.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        )
+
+    def simple_degrees(self) -> DataFrame:
+        """(vid, deg) — undirected simple degree; vertices with no
+        simple edge are absent (join vertices for isolates)."""
+        return (
+            self.symmetrized_simple_edges()
+            .groupBy(F.col("a").alias("vid"))
+            .agg(F.count("*").alias("deg"))
+        )
+
     # -- result → vertex property (ADD_COLUMN,
     #    framework/graph.py:581/892 `graph.add_column(ctx, selector)`) --
     def add_column(self, results: DataFrame, name: str) -> "LinkGraph":

@@ -121,11 +121,11 @@ class DiGraph:
         int for one node, else a list of (node, degree) pairs."""
 
         def d(x):
-            if self.directed:
-                return sum(1 for (u, v) in self._edges if u == x) + sum(
-                    1 for (u, v) in self._edges if v == x
-                )
-            return sum(1 for e in self._edges if x in e)
+            # nx counts a self-loop twice in BOTH graph types; the
+            # directed sum does so naturally (u == x and v == x)
+            return sum(1 for (u, v) in self._edges if u == x) + sum(
+                1 for (u, v) in self._edges if v == x
+            )
 
         if n is not None:
             if n not in self._nodes:
@@ -879,14 +879,19 @@ def node_connected_component(G: DiGraph, n) -> set:
 
 def strongly_connected_components(G: DiGraph):
     """networkx.strongly_connected_components — yields node sets
-    (forwarded to the distributed coloring-based SCC)."""
+    (forwarded to the distributed coloring-based SCC). Validates at
+    CALL time, not first iteration, matching nx."""
     if not G.directed:
         raise ValueError("strongly_connected_components: directed graphs only")
-    comp = G._to_dict(A.scc(G._project()))
-    groups: dict[int, set] = {}
-    for n, c in comp.items():
-        groups.setdefault(c, set()).add(n)
-    yield from groups.values()
+
+    def _gen():
+        comp = G._to_dict(A.scc(G._project()))
+        groups: dict[int, set] = {}
+        for n, c in comp.items():
+            groups.setdefault(c, set()).add(n)
+        yield from groups.values()
+
+    return _gen()
 
 
 def number_strongly_connected_components(G: DiGraph) -> int:

@@ -401,3 +401,16 @@ def test_square_clustering_fixture_and_random(spark):
     got = _d(square_clustering(g2))
     for v in adj:
         assert got[v] == pytest.approx(brute(v), abs=1e-7)
+
+
+def test_is_bipartite_refuses_truncated_rounds(spark):
+    """Round-capped layering must raise, not silently report bipartite
+    (review regression: C5 with max_rounds=1 used to return True)."""
+    from linkgraph.algorithms import is_bipartite
+
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    g = graph_from_edge_vids(spark, c5)
+    row = is_bipartite(g).first()
+    assert (row["value"], row["odd_edges"]) == (False, 1)
+    with pytest.raises(ValueError, match="converge"):
+        is_bipartite(g, max_rounds=1)

@@ -354,3 +354,22 @@ def test_nx_graph_views_and_copies(spark):
     assert R.has_edge(3, 2) and not R.has_edge(2, 3)
     # algorithms still run on the derived graphs
     assert nx.number_connected_components(H) == 1
+
+
+def test_nx_selfloop_degree_and_scc_calltime_validation(spark):
+    import pytest as _pytest
+
+    from linkgraph import nx
+
+    G = nx.Graph(spark)
+    G.add_edge("a", "a")
+    G.add_edge("a", "b")
+    assert G.degree("a") == 3  # self-loop counts twice, as nx
+    D = nx.DiGraph(spark)
+    D.add_edge(1, 1)
+    assert D.degree(1) == 2 and D.in_degree(1) == 1
+
+    U = nx.Graph(spark)
+    U.add_edge(1, 2)
+    with _pytest.raises(ValueError):
+        nx.strongly_connected_components(U)  # raises at call, not iteration
