@@ -6,39 +6,56 @@ coordinator/gscoordinator/builtin/app/.gs_conf.yaml stops short of
 triad-level statistics, and graphscope.nx forwards this call).
 
 Distributed formulation (the Batagelj–Mrvar 2001 subquadratic scheme,
-re-expressed as joins):
+re-expressed as ONE streaming wedge join):
 
 1. Reduce edges to *dyads*: one row per unordered vertex pair carrying
    (forward?, backward?) bits — mutual / asym classified for free.
-2. Enumerate *connected triples* (≥2 dyads among the 3 pairs) with the
-   same wedge equi-join as triangle counting over the dyad graph
-   (O(Σ deg²) — the standard scalable shape; hub skew handled by AQE),
-   dedup on the sorted triple, left-join the three dyads back, fold the
-   six direction bits into a 0–63 code and map it to its isomorphism
-   class with a 64-entry literal lookup (whole-stage codegen, no UDF).
+2. Enumerate *connected triples* with the wedge self-join on the dyad
+   graph (O(Σ deg²), the standard scalable shape), with the two
+   center-incident dyads' direction bits CARRIED on the adjacency rows
+   (no join needed to recover them) and only the third, opposite dyad
+   looked up — against a broadcast of the dyad table when it fits
+   (default ≤ `broadcast_rows`), else one shuffle join. A triple with
+   c qualifying centers is generated exactly c times, and c is a
+   function of the 6-bit direction code alone (3 if all three dyads
+   present, else 1), so the per-code wedge counts divide exactly by
+   their center multiplicity — **no triple materialization, no
+   distinct, no per-triple dedup shuffle anywhere**. On the broadcast
+   path the Σ deg² wedge stream never leaves its mapper: it flows
+   through the hash lookup straight into a 64-group partial aggregate.
 3. The two single-dyad classes come from counting corrections
    (#012 = A·(n−2) − Σ_T a(T), #102 = M·(n−2) − Σ_T m(T)) and the empty
-   class from the complement #003 = C(n,3) − everything else — no
-   O(n³) work anywhere.
+   class from the complement #003 = C(n,3) − everything else — both now
+   evaluated driver-side from the 64 per-code counts (a(T), m(T) are
+   code constants) — no O(n³) work anywhere.
+
+Hub skew: a degree-d hub contributes C(d,2) wedges from one adjacency
+partition. Beyond ``salt_cap`` neighbors the hub's adjacency is split
+into ⌈d/salt_cap⌉ hash buckets and the self-join key widened to
+(center, bucket_i, bucket_j), spreading the hub's wedge enumeration
+over C(nb+1,2) independent tasks at a replication cost of nb/2 copies
+of its adjacency rows (linear in d, against the quadratic wedge term).
+Bucketing is a pure function of the neighbor id, so each unordered
+neighbor pair lands in exactly one bucket-pair task — counts are
+unchanged (test-asserted vs the unsalted path).
 
 The 64→16 table is GENERATED at import by brute-force classification
 of all labeled 3-vertex digraphs and verified permutation-invariant
 with the canonical orbit sizes — no transcribed magic table.
 
 Cost bound (inherent to any exact census, not a plan artifact): the
-connected-triple enumeration is Σ_v C(deg(v), 2) rows — a degree-1M
-hub alone contributes 5·10¹¹ wedges. On hub-heavy corpora run the
-census on an explicitly degree-capped subgraph
-(``graph.induce(...)``-style pre-filter); the join itself partitions
-on the wedge center so AQE splits skewed partitions, but it cannot
-shrink the combinatorial output.
+wedge stream is Σ_v C(deg(v), 2) rows — a degree-1M hub alone
+contributes 5·10¹¹ wedges. Salting makes that enumerable in parallel,
+but cannot shrink the combinatorial term; on hub-heavy corpora where
+even the parallel enumeration is too costly, run the census on an
+explicitly degree-capped subgraph.
 """
 
 from __future__ import annotations
 
 from itertools import permutations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
@@ -111,11 +128,37 @@ def _build_table() -> list[str]:
 TRIAD_CLASS: list[str] = _build_table()
 
 
-def triadic_census(graph: LinkGraph) -> DataFrame:
+def _code_stats(code: int) -> tuple[int, int, int]:
+    """(centers, n_asym, n_mutual) for a 6-bit direction code — all pure
+    functions of the code, evaluated driver-side over ≤64 rows."""
+    E = {_SLOTS[i] for i in range(6) if code >> i & 1}
+    present, n_a, n_m = [], 0, 0
+    for x, y in [(0, 1), (0, 2), (1, 2)]:
+        f, b = (x, y) in E, (y, x) in E
+        present.append(f or b)
+        n_a += int(f != b)
+        n_m += int(f and b)
+    d_uv, d_uw, d_vw = present
+    centers = int(d_uv and d_uw) + int(d_uv and d_vw) + int(d_uw and d_vw)
+    return centers, n_a, n_m
+
+
+def triadic_census(
+    graph: LinkGraph,
+    broadcast_rows: int = 4_000_000,
+    salt_cap: int = 250_000,
+) -> DataFrame:
     """(triad_type, count) — all 16 classes, zero-filled, ordered by the
     canonical MAN sequence. Counts are BIGINT; guarded against C(n,3)
     overflow (n must stay < ~3.8M — beyond that the 003/012/102
-    complement classes leave int64; the connected classes never do)."""
+    complement classes leave int64; the connected classes never do).
+
+    ``broadcast_rows``: dyad-table size up to which the third-dyad
+    lookup is a broadcast hash join (the wedge stream then never
+    shuffles); above it, one shuffle join on the opposite pair.
+    ``salt_cap``: neighbors per (center, bucket) before a hub's
+    adjacency is split for the wedge self-join (see module doc).
+    """
     e = (
         graph.edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -135,12 +178,58 @@ def triadic_census(graph: LinkGraph) -> DataFrame:
         .persist()
     )
     try:
-        return _census_body(graph, dy)
+        return _census_body(graph, dy, broadcast_rows, salt_cap)
     finally:
         dy.unpersist()
 
 
-def _census_body(graph: LinkGraph, dy: DataFrame) -> DataFrame:
+def _wedges(adj: DataFrame, salt_cap: int) -> DataFrame:
+    """Self-join the bit-carrying adjacency on the center, hub-salted:
+    output one row per connected triple per qualifying center
+    (x, p, q, fop/bop, foq/boq) with p < q."""
+    degs = adj.groupBy("x").agg(F.count("*").alias("dx"))
+    max_deg = degs.agg(F.max("dx")).first()[0] or 0
+    left = adj.select("x", F.col("y").alias("p"), F.col("fo").alias("fop"), F.col("bo").alias("bop"))
+    right = adj.select("x", F.col("y").alias("q"), F.col("fo").alias("foq"), F.col("bo").alias("boq"))
+    if max_deg <= salt_cap:
+        return left.join(right, "x").where(F.col("p") < F.col("q"))
+
+    nb = F.ceil(F.col("dx") / F.lit(salt_cap)).cast("int")
+    adjb = adj.join(degs, "x").select(
+        "x", "y", "fo", "bo", nb.alias("nb"),
+        F.pmod(F.xxhash64("y"), nb).cast("int").alias("bk"),
+    )
+    # bucket-pair replication: the row in bucket bk plays the LEFT role
+    # for partners in buckets bk..nb-1 and the RIGHT role for 0..bk;
+    # every unordered neighbor pair meets in exactly one (bi, bj) task.
+    lb = adjb.select(
+        "x", F.col("y").alias("a"), F.col("fo").alias("foa"), F.col("bo").alias("boa"),
+        F.col("bk").alias("bi"),
+        F.explode(F.sequence(F.col("bk"), F.col("nb") - 1)).alias("bj"),
+    )
+    rb = adjb.select(
+        "x", F.col("y").alias("b"), F.col("fo").alias("fob"), F.col("bo").alias("bob"),
+        F.explode(F.sequence(F.lit(0), F.col("bk"))).alias("bi"),
+        F.col("bk").alias("bj"),
+    )
+    pairs = lb.join(rb, ["x", "bi", "bj"]).where(
+        (F.col("bi") < F.col("bj")) | (F.col("a") < F.col("b"))
+    )
+    swap = F.col("a") > F.col("b")
+
+    def pick(t, f):
+        return F.when(swap, F.col(t)).otherwise(F.col(f))
+
+    return pairs.select(
+        "x",
+        pick("b", "a").alias("p"), pick("fob", "foa").alias("fop"), pick("bob", "boa").alias("bop"),
+        pick("a", "b").alias("q"), pick("foa", "fob").alias("foq"), pick("boa", "bob").alias("boq"),
+    )
+
+
+def _census_body(
+    graph: LinkGraph, dy: DataFrame, broadcast_rows: int, salt_cap: int
+) -> DataFrame:
     spark = graph.edges.sparkSession
     n = graph.vertices.count()
     if n >= 3_810_000:
@@ -151,80 +240,68 @@ def _census_body(graph: LinkGraph, dy: DataFrame) -> DataFrame:
     totals = dy.agg(
         F.sum((F.col("f") + F.col("b") == 1).cast("long")).alias("a_tot"),
         F.sum((F.col("f") + F.col("b") == 2).cast("long")).alias("m_tot"),
+        F.count("*").alias("n_dy"),
     ).first()
     a_tot, m_tot = int(totals["a_tot"] or 0), int(totals["m_tot"] or 0)
+    n_dy = int(totals["n_dy"] or 0)
 
-    adj = dy.select(F.col("lo").alias("x"), F.col("hi").alias("y")).union(
-        dy.select(F.col("hi").alias("x"), F.col("lo").alias("y"))
-    )
-    triples = (
-        adj.select("x", F.col("y").alias("p"))
-        .join(adj.select("x", F.col("y").alias("q")), "x")
-        .where(F.col("p") < F.col("q"))
-        .select(F.array_sort(F.array("x", "p", "q")).alias("t"))
-        .select(
-            F.col("t")[0].alias("u"), F.col("t")[1].alias("v"), F.col("t")[2].alias("w")
+    # adjacency with the incident dyad's bits oriented FROM the center:
+    # fo = (x -> y exists), bo = (y -> x exists).
+    adj = dy.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y"),
+        F.col("f").alias("fo"), F.col("b").alias("bo"),
+    ).union(
+        dy.select(
+            F.col("hi").alias("x"), F.col("lo").alias("y"),
+            F.col("b").alias("fo"), F.col("f").alias("bo"),
         )
-        .distinct()
+    )
+    wedges = _wedges(adj, salt_cap)
+
+    # third (opposite) dyad lookup: p < q always, so its (lo, hi) = (p, q)
+    third = dy.select(
+        F.col("lo").alias("p"), F.col("hi").alias("q"),
+        F.col("f").alias("fpq"), F.col("b").alias("bpq"),
+    )
+    if n_dy <= broadcast_rows:
+        third = F.broadcast(third)
+    w = wedges.join(third, ["p", "q"], "left").select(
+        "x", "p", "q", "fop", "bop", "foq", "boq",
+        F.coalesce("fpq", F.lit(0)).alias("fpq"),
+        F.coalesce("bpq", F.lit(0)).alias("bpq"),
     )
 
-    def dyad_as(lo, hi, f, b):
-        return dy.select(
-            F.col("lo").alias(lo),
-            F.col("hi").alias(hi),
-            F.col("f").alias(f),
-            F.col("b").alias(b),
-        )
+    # fold the six bits into the canonical code of the SORTED triple
+    # (u,v,w): slot weights f_uv=1 b_uv=2 f_uw=4 b_uw=8 f_vw=16 b_vw=32.
+    def code_of(f_uv: Column, b_uv: Column, f_uw: Column, b_uw: Column,
+                f_vw: Column, b_vw: Column) -> Column:
+        return f_uv + b_uv * 2 + f_uw * 4 + b_uw * 8 + f_vw * 16 + b_vw * 32
 
-    coded = (
-        triples.join(dyad_as("u", "v", "f_uv", "b_uv"), ["u", "v"], "left")
-        .join(dyad_as("u", "w", "f_uw", "b_uw"), ["u", "w"], "left")
-        .join(dyad_as("v", "w", "f_vw", "b_vw"), ["v", "w"], "left")
-        .select(
-            *[
-                F.coalesce(c, F.lit(0)).alias(c)
-                for c in ["f_uv", "b_uv", "f_uw", "b_uw", "f_vw", "b_vw"]
-            ]
-        )
-        .select(
-            (
-                F.col("f_uv")
-                + F.col("b_uv") * 2
-                + F.col("f_uw") * 4
-                + F.col("b_uw") * 8
-                + F.col("f_vw") * 16
-                + F.col("b_vw") * 32
-            ).alias("code"),
-            (
-                ((F.col("f_uv") + F.col("b_uv")) == 1).cast("long")
-                + ((F.col("f_uw") + F.col("b_uw")) == 1).cast("long")
-                + ((F.col("f_vw") + F.col("b_vw")) == 1).cast("long")
-            ).alias("a_t"),
-            (
-                ((F.col("f_uv") + F.col("b_uv")) == 2).cast("long")
-                + ((F.col("f_uw") + F.col("b_uw")) == 2).cast("long")
-                + ((F.col("f_vw") + F.col("b_vw")) == 2).cast("long")
-            ).alias("m_t"),
-        )
-        .select(
-            F.element_at(
-                F.array(*[F.lit(c) for c in TRIAD_CLASS]), F.col("code") + 1
-            ).alias("triad_type"),
-            "a_t",
-            "m_t",
-        )
+    c = F.col
+    code = (
+        # x < p < q → (u,v,w) = (x,p,q)
+        F.when(c("x") < c("p"), code_of(c("fop"), c("bop"), c("foq"), c("boq"), c("fpq"), c("bpq")))
+        # p < x < q → (u,v,w) = (p,x,q): (u,v)=(p,x) is the p-dyad seen from p
+        .when(c("x") < c("q"), code_of(c("bop"), c("fop"), c("fpq"), c("bpq"), c("foq"), c("boq")))
+        # p < q < x → (u,v,w) = (p,q,x)
+        .otherwise(code_of(c("fpq"), c("bpq"), c("bop"), c("fop"), c("boq"), c("foq")))
     )
-    rows = (
-        coded.groupBy("triad_type")
-        .agg(F.count("*").alias("count"), F.sum("a_t").alias("sa"), F.sum("m_t").alias("sm"))
-        .collect()
-    )
+    rows = w.select(code.alias("code")).groupBy("code").count().collect()
+
     census = {name: 0 for name in TRIAD_NAMES}
     sum_a = sum_m = 0
     for r in rows:
-        census[r["triad_type"]] = int(r["count"])
-        sum_a += int(r["sa"])
-        sum_m += int(r["sm"])
+        code_v, gen = int(r["code"]), int(r["count"])
+        centers, n_a, n_m = _code_stats(code_v)
+        if centers == 0 or gen % centers:
+            raise AssertionError(
+                f"triadic_census: code {code_v} generated {gen} wedges, "
+                f"not divisible by its {centers} centers"
+            )
+        cnt = gen // centers
+        census[TRIAD_CLASS[code_v]] += cnt
+        sum_a += n_a * cnt
+        sum_m += n_m * cnt
     census["012"] = a_tot * (n - 2) - sum_a
     census["102"] = m_tot * (n - 2) - sum_m
     census["003"] = n * (n - 1) * (n - 2) // 6 - sum(

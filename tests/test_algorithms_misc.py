@@ -344,6 +344,34 @@ def test_triadic_census_matches_bruteforce(spark):
     assert sum(got.values()) == len(vs) * (len(vs) - 1) * (len(vs) - 2) // 6
 
 
+def test_triadic_census_salted_and_shuffle_paths(spark):
+    """The hub-salted wedge join (salt_cap below the hub degree) and the
+    non-broadcast third-dyad shuffle join must both count identically to
+    the common path on a hub-heavy seeded digraph."""
+    import random
+
+    from linkgraph.algorithms.triads import triadic_census
+
+    random.seed(11)
+    edges = {(0, v) for v in range(1, 30)} | {(v, 0) for v in range(10, 20)}
+    while len(edges) < 120:
+        s, d = random.randrange(40), random.randrange(40)
+        if s != d:
+            edges.add((s, d))
+    g = graph_from_edge_vids(spark, sorted(edges))
+    base = {r["triad_type"]: r["count"] for r in triadic_census(g).collect()}
+    salted = {
+        r["triad_type"]: r["count"]
+        for r in triadic_census(g, salt_cap=4).collect()
+    }
+    shuffled = {
+        r["triad_type"]: r["count"]
+        for r in triadic_census(g, broadcast_rows=0, salt_cap=7).collect()
+    }
+    assert salted == base
+    assert shuffled == base
+
+
 def test_triadic_census_nx_wrapper(spark):
     from linkgraph import nx
 
