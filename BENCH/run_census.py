@@ -43,7 +43,13 @@ build_sec = time.time() - t0
 deg = g.edges.groupBy("dst").count().agg(F.max("count")).first()[0]
 
 t1 = time.time()
-census = {r["triad_type"]: r["count"] for r in triadic_census(g).collect()}
+# local mode shares ONE in-JVM broadcast copy, so the third-dyad lookup
+# can stay a broadcast hash join well past the multi-executor default
+# (on a real cluster 1e7 dyads ≈ 400 MB/executor — size to taste).
+census = {
+    r["triad_type"]: r["count"]
+    for r in triadic_census(g, broadcast_rows=30_000_000).collect()
+}
 census_sec = time.time() - t1
 
 rec = {

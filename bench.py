@@ -218,6 +218,14 @@ def run_default() -> dict:
     t = time.time()
     link_prediction(g, max_neighbor_degree=256).count()
     queries["corpus_linkpred"] = round(time.time() - t, 3)
+
+    # r4 census rewrite: carried dyad bits + broadcast third dyad — the
+    # wedge stream reduces map-side into 64 counters, no triple shuffle
+    from linkgraph.algorithms.triads import triadic_census
+
+    t = time.time()
+    triadic_census(g).count()
+    queries["corpus_census"] = round(time.time() - t, 3)
     g.unpersist()
 
     # secondary headline queries on the sf parquet tables

@@ -241,9 +241,19 @@ def _census_body(
         F.sum((F.col("f") + F.col("b") == 1).cast("long")).alias("a_tot"),
         F.sum((F.col("f") + F.col("b") == 2).cast("long")).alias("m_tot"),
         F.count("*").alias("n_dy"),
+        F.min("lo").alias("min_v"),
+        F.max("hi").alias("max_v"),
     ).first()
     a_tot, m_tot = int(totals["a_tot"] or 0), int(totals["m_tot"] or 0)
     n_dy = int(totals["n_dy"] or 0)
+    # 32-bit vid spaces let the opposite-dyad lookup key pack into ONE
+    # long (lo<<32 | hi) — Spark then builds a LongHashedRelation, whose
+    # probes are several times cheaper than a 2-column unsafe-row key;
+    # at Σ deg² probes that is the hot loop. (Same full-value-range
+    # gating discipline as csr.py's int32 compaction.)
+    packable = totals["max_v"] is not None and 0 <= int(totals["min_v"]) and int(
+        totals["max_v"]
+    ) < 2**31
 
     # adjacency with the incident dyad's bits oriented FROM the center:
     # fo = (x -> y exists), bo = (y -> x exists).
@@ -259,13 +269,24 @@ def _census_body(
     wedges = _wedges(adj, salt_cap)
 
     # third (opposite) dyad lookup: p < q always, so its (lo, hi) = (p, q)
-    third = dy.select(
-        F.col("lo").alias("p"), F.col("hi").alias("q"),
-        F.col("f").alias("fpq"), F.col("b").alias("bpq"),
-    )
+    if packable:
+        third = dy.select(
+            (F.shiftleft(F.col("lo").cast("long"), 32) + F.col("hi")).alias("pq"),
+            F.col("f").alias("fpq"), F.col("b").alias("bpq"),
+        )
+        wedges = wedges.withColumn(
+            "pq", F.shiftleft(F.col("p").cast("long"), 32) + F.col("q")
+        )
+        join_key = ["pq"]
+    else:
+        third = dy.select(
+            F.col("lo").alias("p"), F.col("hi").alias("q"),
+            F.col("f").alias("fpq"), F.col("b").alias("bpq"),
+        )
+        join_key = ["p", "q"]
     if n_dy <= broadcast_rows:
         third = F.broadcast(third)
-    w = wedges.join(third, ["p", "q"], "left").select(
+    w = wedges.join(third, join_key, "left").select(
         "x", "p", "q", "fop", "bop", "foq", "boq",
         F.coalesce("fpq", F.lit(0)).alias("fpq"),
         F.coalesce("bpq", F.lit(0)).alias("bpq"),

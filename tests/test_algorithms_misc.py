@@ -370,6 +370,13 @@ def test_triadic_census_salted_and_shuffle_paths(spark):
     }
     assert salted == base
     assert shuffled == base
+    # vids past 2^31 disable the packed single-long lookup key — the
+    # 2-column fallback must classify identically (shift all vids up)
+    big = graph_from_edge_vids(
+        spark, sorted((s + 2**32, d + 2**32) for s, d in edges)
+    )
+    shifted = {r["triad_type"]: r["count"] for r in triadic_census(big).collect()}
+    assert shifted == base
 
 
 def test_triadic_census_nx_wrapper(spark):
