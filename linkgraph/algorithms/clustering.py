@@ -77,23 +77,37 @@ def square_clustering(graph: LinkGraph) -> DataFrame:
     twice — grouped by the outer pair for the common-neighbor counts
     q, then rejoined per wedge — plus degree/adjacency lookups; integer
     sums divided once per vertex, so the doubles are engine-portable."""
+    from linkgraph.graph import packed_pair
+
     su = graph.simple_undirected_edges()
     und = graph.symmetrized_simple_edges()
     deg = graph.simple_degrees()
-    wedges = (
+    wedges_cached = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .join(und.select(F.col("a").alias("v"), F.col("b").alias("w")), "v")
         .where(F.col("u") < F.col("w"))
         .persist()
     )
+    wedges = wedges_cached
     try:
-        cn = wedges.groupBy("u", "w").agg(F.count("*").alias("cn"))
-        theta = su.select(
-            F.col("lo").alias("u"), F.col("hi").alias("w"), F.lit(1).alias("theta")
-        )
+        # the Σ deg² wedge stream aggregates and re-joins BY PAIR — on
+        # 32-bit vid spaces pack (u,w) into one long key (census lesson:
+        # single-long exchange/sort/probe beats a 2-column composite)
+        if graph.pair_key_packable():
+            wedges = wedges.withColumn("uw", packed_pair("u", "w"))
+            pair_key = ["uw"]
+            theta = su.select(
+                packed_pair("lo", "hi").alias("uw"), F.lit(1).alias("theta")
+            )
+        else:
+            pair_key = ["u", "w"]
+            theta = su.select(
+                F.col("lo").alias("u"), F.col("hi").alias("w"), F.lit(1).alias("theta")
+            )
+        cn = wedges.groupBy(*pair_key).agg(F.count("*").alias("cn"))
         per_wedge = (
-            wedges.join(cn, ["u", "w"])
-            .join(theta, ["u", "w"], "left")
+            wedges.join(cn, pair_key)
+            .join(theta, pair_key, "left")
             .join(deg.withColumnRenamed("vid", "u").withColumnRenamed("deg", "ku"), "u")
             .join(deg.withColumnRenamed("vid", "w").withColumnRenamed("deg", "kw"), "w")
             .select(
@@ -120,4 +134,4 @@ def square_clustering(graph: LinkGraph) -> DataFrame:
         )
         return out.localCheckpoint(eager=True)
     finally:
-        wedges.unpersist()
+        wedges_cached.unpersist()

@@ -237,9 +237,21 @@ def local_bridges(graph: LinkGraph) -> DataFrame:
         und.select(F.col("a").alias("x"), F.col("b").alias("m"))
         .join(und.select(F.col("a").alias("y"), F.col("b").alias("m")), "m")
         .where(F.col("x") < F.col("y"))
-        .select(F.col("x").alias("lo"), F.col("y").alias("hi"))
     )
-    return su.join(cn, ["lo", "hi"], "left_anti").select("lo", "hi")
+    if graph.pair_key_packable():
+        # pack the anti-join key into one long (census lesson)
+        from linkgraph.graph import packed_pair
+
+        return (
+            su.withColumn("k", packed_pair("lo", "hi"))
+            .join(cn.select(packed_pair("x", "y").alias("k")), "k", "left_anti")
+            .select("lo", "hi")
+        )
+    return su.join(
+        cn.select(F.col("x").alias("lo"), F.col("y").alias("hi")),
+        ["lo", "hi"],
+        "left_anti",
+    ).select("lo", "hi")
 
 
 def is_bipartite(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:

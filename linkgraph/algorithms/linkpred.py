@@ -110,11 +110,30 @@ def link_prediction(
 
     if pairs is None:
         cand = a.join(b, "w").where(F.col("u") < F.col("v"))
-        scored = cand.groupBy("u", "v").agg(
-            F.count("*").alias("cn"),
-            F.sum("aa_term").alias("adamic_adar"),
-            F.sum("ra_term").alias("resource_allocation"),
-        )
+        if graph.pair_key_packable():
+            # the Σ deg(w)² candidate stream exchanges on the pair key —
+            # pack it into one long (census lesson) and unpack after
+            from linkgraph.graph import packed_pair
+
+            scored = (
+                cand.groupBy(packed_pair("u", "v").alias("uv"))
+                .agg(
+                    F.count("*").alias("cn"),
+                    F.sum("aa_term").alias("adamic_adar"),
+                    F.sum("ra_term").alias("resource_allocation"),
+                )
+                .select(
+                    F.shiftright("uv", 32).alias("u"),
+                    F.col("uv").bitwiseAND(F.lit(4294967295)).alias("v"),
+                    "cn", "adamic_adar", "resource_allocation",
+                )
+            )
+        else:
+            scored = cand.groupBy("u", "v").agg(
+                F.count("*").alias("cn"),
+                F.sum("aa_term").alias("adamic_adar"),
+                F.sum("ra_term").alias("resource_allocation"),
+            )
         # drop adjacent pairs (NetworkX scores non-edges); adj holds both
         # orientations, so src < dst picks each undirected edge once —
         # straight from the cached adjacency, no fresh distinct shuffle

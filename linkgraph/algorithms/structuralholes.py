@@ -69,26 +69,42 @@ def constraint(graph: LinkGraph) -> DataFrame:
     und = und.persist()
     try:
         dw = deg.withColumnRenamed("vid", "w").withColumnRenamed("deg", "deg_w")
-        # wedge u -w- v (u != v), weighted by 1/deg_w; keep only v ∈ N(u)
+        # wedge u -w- v (u != v), weighted by 1/deg_w; keep only v ∈ N(u).
+        # The Σ deg² wedge stream is semi-filtered AND aggregated by the
+        # (u, v) pair — on 32-bit vid spaces both ride a packed one-long
+        # key (census lesson: LongHashedRelation / single-long exchange).
         w1 = und.select(F.col("a").alias("u"), F.col("b").alias("w"))
         w2 = und.select(F.col("a").alias("w"), F.col("b").alias("v"))
-        wedges = (
-            w1.join(w2, "w")
-            .where(F.col("u") != F.col("v"))
-            .join(dw, "w")
-            .join(
+        wedges = w1.join(w2, "w").where(F.col("u") != F.col("v")).join(dw, "w")
+        if graph.pair_key_packable():
+            from linkgraph.graph import packed_pair
+
+            wedges = wedges.withColumn("uv", packed_pair("u", "v")).join(
+                und.select(packed_pair("a", "b").alias("uv")), "uv", "left_semi"
+            )
+            ind = wedges.groupBy("uv").agg(
+                F.sum(1.0 / F.col("deg_w")).alias("ind_over_degu")
+            )
+            edge_uv = und.select(
+                F.col("a").alias("u"), F.col("b").alias("v"),
+                packed_pair("a", "b").alias("uv"),
+            )
+            joined = edge_uv.join(ind, "uv", "left").select("u", "v", "ind_over_degu")
+        else:
+            wedges = wedges.join(
                 und.select(F.col("a").alias("u"), F.col("b").alias("v")),
                 ["u", "v"],
                 "left_semi",
             )
-        )
-        ind = wedges.groupBy("u", "v").agg(
-            F.sum(1.0 / F.col("deg_w")).alias("ind_over_degu")
-        )
+            ind = wedges.groupBy("u", "v").agg(
+                F.sum(1.0 / F.col("deg_w")).alias("ind_over_degu")
+            )
+            joined = und.select(F.col("a").alias("u"), F.col("b").alias("v")).join(
+                ind, ["u", "v"], "left"
+            )
         du = deg.withColumnRenamed("vid", "u").withColumnRenamed("deg", "deg_u")
         terms = (
-            und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .join(ind, ["u", "v"], "left")
+            joined
             .join(du, "u")
             .select(
                 "u",

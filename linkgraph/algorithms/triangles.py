@@ -60,21 +60,52 @@ def _own_cache(df: DataFrame) -> DataFrame:
 
 
 def triangles(graph: LinkGraph) -> DataFrame:
-    """Per-vertex triangle counts ``(vid, value)``; zero rows included."""
+    """Per-vertex triangle counts ``(vid, value)``; zero rows included.
+
+    The closure is deliberately NOT broadcast at scale: measured at 3e7
+    oriented edges, a force-broadcast single-long closure relation ran
+    2.4× SLOWER than the packed-key sort-merge semi-join (460.9 vs
+    190.2 s at 32 cores — a multi-GB hash relation is a random-access,
+    latency-bound probe per wedge, where the merge path keeps locality;
+    1e8 keys additionally trips Spark's hard 8 GiB broadcast cap). Tiny
+    edge sets still auto-broadcast via AQE. Contrast with the census's
+    broadcast third-dyad lookup, which wins 9.3× — its relation is
+    dyad-sized and its alternative was three composite-key joins plus a
+    distinct, not one semi-join."""
+    from linkgraph.graph import packed_pair
+
     o = _own_cache(_oriented_edges(graph))
-    a, b, c = o.alias("a"), o.alias("b"), o.alias("c")
-    # wedge: v→u (a), u→w (b); triangle iff v→w oriented edge exists (c)
-    tri = (
-        a.join(b, F.col("a.dst") == F.col("b.src"))
-        .join(
-            c,
-            (F.col("a.src") == F.col("c.src")) & (F.col("b.dst") == F.col("c.dst")),
-            "left_semi",
+    a, b = o.alias("a"), o.alias("b")
+    # wedge: v→u (a), u→w (b); triangle iff v→w oriented edge exists (c).
+    # 32-bit vid spaces pack the closure key into ONE long — the wedge
+    # stream is Σ deg_oriented² rows and the semi-join sort/probe is the
+    # hot loop (single-long sort key, census lesson).
+    if graph.pair_key_packable():
+        closer = o.select(packed_pair("src", "dst").alias("vw"))
+        tri = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .join(
+                closer,
+                packed_pair(F.col("a.src"), F.col("b.dst")) == F.col("vw"),
+                "left_semi",
+            )
+            .select(
+                F.col("a.src").alias("v"), F.col("a.dst").alias("u"), F.col("b.dst").alias("w")
+            )
         )
-        .select(
-            F.col("a.src").alias("v"), F.col("a.dst").alias("u"), F.col("b.dst").alias("w")
+    else:
+        c = o.alias("c")
+        tri = (
+            a.join(b, F.col("a.dst") == F.col("b.src"))
+            .join(
+                c,
+                (F.col("a.src") == F.col("c.src")) & (F.col("b.dst") == F.col("c.dst")),
+                "left_semi",
+            )
+            .select(
+                F.col("a.src").alias("v"), F.col("a.dst").alias("u"), F.col("b.dst").alias("w")
+            )
         )
-    )
     corners = (
         tri.select(F.col("v").alias("vid"))
         .union(tri.select(F.col("u").alias("vid")))

@@ -39,8 +39,13 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> DataFrame:
     global LAST_ROUNDS
     if k < 3:
         raise ValueError("k_truss requires k >= 3 (2-truss is the whole graph)")
+    from linkgraph.graph import packed_pair
+
     edges = graph.simple_undirected_edges().localCheckpoint(eager=True)
     n = edges.count()
+    # per-round wedge stream closes/aggregates by PAIR — pack the keys
+    # into one long on 32-bit vid spaces (census lesson)
+    packable = graph.pair_key_packable()
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -49,13 +54,25 @@ def k_truss(graph: LinkGraph, k: int, max_rounds: int = 200) -> DataFrame:
         )
         # common neighbors w of (lo, hi): wedge from lo, closed at hi
         cand = edges.join(adj, adj["u"] == edges["lo"]).select("lo", "hi", "w")
-        closed = cand.join(
-            adj.select(F.col("u").alias("hi"), "w"), ["hi", "w"], "left_semi"
-        )
-        support = closed.groupBy("lo", "hi").agg(F.count("*").alias("sup"))
+        if packable:
+            closed = cand.withColumn("hw", packed_pair("hi", "w")).join(
+                adj.select(packed_pair("u", "w").alias("hw")), "hw", "left_semi"
+            )
+            support = closed.groupBy(
+                packed_pair("lo", "hi").alias("lh")
+            ).agg(F.count("*").alias("sup"))
+            kept = (
+                edges.withColumn("lh", packed_pair("lo", "hi"))
+                .join(support, "lh", "left")
+            )
+        else:
+            closed = cand.join(
+                adj.select(F.col("u").alias("hi"), "w"), ["hi", "w"], "left_semi"
+            )
+            support = closed.groupBy("lo", "hi").agg(F.count("*").alias("sup"))
+            kept = edges.join(support, ["lo", "hi"], "left")
         kept = (
-            edges.join(support, ["lo", "hi"], "left")
-            .where(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+            kept.where(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
             .select("lo", "hi")
             .localCheckpoint(eager=True)
         )
