@@ -964,6 +964,21 @@ def q_sampling_paths(spark, sf_dir):
     )
 
 
+def q_node2vec(spark, sf_dir):
+    """Second-order biased walks (node2vec p/q) — p=0.25 (return-prone)
+    and q=4.0 (stay-local) exercise all three bias branches; csv-packed
+    for a deterministic hash across engines (same idiom as
+    g_sampling_paths)."""
+    from linkgraph.sampling import node2vec_walk
+
+    return node2vec_walk(
+        _oracle_graph(spark, sf_dir), num_walks=10, length=4, p=0.25, q=4.0, seed=42
+    ).select(
+        "walk_id",
+        F.concat_ws(",", F.transform("walk", lambda x: x.cast("string"))).alias("walk_csv"),
+    )
+
+
 def q_degree_assortativity(spark, sf_dir):
     from linkgraph.algorithms import degree_assortativity_coefficient
 
@@ -2064,6 +2079,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gie_text_until": q_gie_text_until,
     "gie_text_twohop": q_gie_text_twohop,
     "g_louvain_p1": q_louvain_p1,
+    "g_node2vec": q_node2vec,
     "g_pagerank_delta": q_pagerank_delta,
     "g_pagerank_incr": q_pagerank_incr,
     "g_density": q_density,
@@ -2584,6 +2600,54 @@ def _sampling_paths_sql(num_paths: int, length: int, seed: int) -> str:
     return _with_graph(body)
 
 
+def _node2vec_sql(num_walks: int, length: int, p: float, q: float, seed: int) -> str:
+    """Unrolled node2vec walk matching linkgraph.sampling.node2vec_walk:
+    hop 1 is the unbiased md5 pick; hops >= 2 rank candidates by the
+    Efraimidis-Spirakis key u^exponent (u from the md5 hex prefix,
+    exponent = p on return / 1 at distance 1 / q at distance 2) — every
+    term is engine-portable, so the walk replays bit-identically."""
+    parts = [
+        f"""s0 AS MATERIALIZED (
+      SELECT vid AS walk_id, vid AS prev, vid AS cur, vid::VARCHAR AS walk_csv
+      FROM v ORDER BY md5(vid::VARCHAR || ':{seed}'), vid LIMIT {num_walks})"""
+    ]
+    for i in range(1, length + 1):
+        j = i - 1
+        if i == 1:
+            rank = f"md5(e.dst::VARCHAR || ':{seed + i}'), e.dst"
+            probe = ""
+        else:
+            rank = (
+                f"pow( (('0x' || substr(md5(e.dst::VARCHAR || ':{seed + i}'), 1, 8))::BIGINT"
+                f" + 1) / 4294967296.0,\n"
+                f"                 CASE WHEN e.dst = s.prev THEN {p!r}\n"
+                f"                      WHEN pe.p_dst IS NOT NULL THEN 1.0\n"
+                f"                      ELSE {q!r} END ) DESC, e.dst"
+            )
+            probe = (
+                "\n      LEFT JOIN (SELECT DISTINCT src AS p_src, dst AS p_dst FROM e) pe"
+                "\n        ON pe.p_src = s.prev AND pe.p_dst = e.dst"
+            )
+        parts.append(
+            f"""p{i} AS MATERIALIZED (SELECT walk_id, dst FROM (
+      SELECT s.walk_id, e.dst,
+             row_number() OVER (PARTITION BY s.walk_id
+               ORDER BY {rank}) AS rn
+      FROM s{j} s JOIN e ON s.cur = e.src{probe}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (SELECT s.walk_id,
+      CASE WHEN p.dst IS NULL THEN s.prev ELSE s.cur END AS prev,
+      coalesce(p.dst, s.cur) AS cur,
+      CASE WHEN p.dst IS NULL THEN s.walk_csv
+           ELSE s.walk_csv || ',' || p.dst::VARCHAR END AS walk_csv
+      FROM s{j} s LEFT JOIN p{i} p USING (walk_id))"""
+        )
+    parts.append(f"SELECT walk_id, walk_csv FROM s{length}")
+    body = ",\n  ".join(parts[:-1]) + "\n  " + parts[-1]
+    return _with_graph(body)
+
+
 def _lpa_u2i_vec_sql(rounds: int) -> str:
     """Unrolled gs::LPAU2I vector propagation (u2i weighted sum; i2u
     degree-normalized update with exact-0/1 seed clamping) on the same
@@ -3057,6 +3121,7 @@ ORACLE_SQL: dict[str, str] = {
     "g_hits_r2": _hits_sql(2),
     "g_betweenness": _betweenness_sql(10),
     "g_sampling_paths": _sampling_paths_sql(10, 4, 42),
+    "g_node2vec": _node2vec_sql(10, 4, 0.25, 4.0, 42),
     "g_modify": _with_graph(
         """e1 AS (SELECT src, dst FROM e WHERE src >= 5 AND dst >= 5),
   e2 AS (SELECT src, dst FROM e1 WHERE src % 50 <> 0),

@@ -181,3 +181,99 @@ def negative_sample(
         .where(F.col("neg_rank") <= n)
         .select("src", "neg", "neg_rank")
     )
+
+
+def node2vec_walk(
+    graph: LinkGraph,
+    num_walks: int = 10,
+    length: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(walk_id, walk: array<long>) — second-order biased random walks
+    (node2vec, Grover & Leskovec, KDD'16) — the walk sampler of the
+    reference's learning-engine data plane (GLE/graph-learn GSL exposes
+    random-walk based samplers; the submodule is empty in the checkout,
+    so semantics follow the public node2vec definition).
+
+    Transition bias from step (t -> v) to candidate x:
+    alpha = 1/p if x == t (return), 1 if edge (t, x) exists (stay near),
+    else 1/q (explore). Deterministic pick: Efraimidis-Spirakis key
+    u^(1/alpha) with u = (h32+1)/2^32 from the engine-portable
+    ``md5(x:seed+hop)`` — the max key wins, ties break to smallest x, so
+    the walk replays at any parallelism AND bit-identically in the
+    DuckDB oracle (g_node2vec). Hop 1 has no predecessor and is the
+    unbiased first-order pick (same ranking as ``sampling_path``).
+
+    Scale shape: per hop, one equi-join frontier->edges (deg(cur) rows
+    per walk — hub-vertex skew is the usual top-k-per-key skew, AQE
+    applies), one (prev, x) edge probe join for the distance-1 flag,
+    and one per-walk window (partitioned by walk_id — scales to any
+    number of concurrent walks). State is localCheckpoint-ed per hop to
+    cut lineage, mirroring ``sampling_path``. Duplicate (src, dst)
+    multi-edges cannot change the argmax (the key depends only on x),
+    so no distinct() pass is needed.
+    """
+    edges = graph.edges.select("src", "dst")
+    starts = (
+        graph.vertices.select("vid", _pick_hash(F.col("vid"), seed=seed).alias("h"))
+        .orderBy("h", "vid")
+        .limit(num_walks)
+        .select(
+            F.col("vid").alias("walk_id"),
+            F.col("vid").alias("prev"),
+            F.col("vid").alias("cur"),
+            F.array(F.col("vid")).alias("walk"),
+        )
+    )
+    state = starts.localCheckpoint(eager=True)
+    for hop in range(1, length + 1):
+        cand = state.join(edges, state["cur"] == edges["src"]).select(
+            "walk_id", "prev", F.col("dst").alias("x")
+        )
+        if hop == 1:
+            order = [_pick_hash(F.col("x"), seed=seed + hop).asc(), F.col("x").asc()]
+        else:
+            probe = edges.select(
+                F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+            )
+            cand = cand.join(
+                probe,
+                (cand["prev"] == probe["p_src"]) & (cand["x"] == probe["p_dst"]),
+                "left",
+            )
+            h32 = F.conv(
+                F.substring(_pick_hash(F.col("x"), seed=seed + hop), 1, 8), 16, 10
+            ).cast("double")
+            u = (h32 + 1.0) / F.lit(float(2**32))
+            exponent = (
+                F.when(F.col("x") == F.col("prev"), F.lit(float(p)))
+                .when(F.col("p_dst").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(float(q)))
+            )
+            order = [F.pow(u, exponent).desc(), F.col("x").asc()]
+        w = Window.partitionBy("walk_id").orderBy(*order)
+        pick = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("walk_id", F.col("x").alias("nxt"))
+        )
+        state = (
+            state.join(pick, "walk_id", "left")
+            .select(
+                "walk_id",
+                F.when(F.col("nxt").isNotNull(), F.col("cur"))
+                .otherwise(F.col("prev"))
+                .alias("prev"),
+                F.coalesce(F.col("nxt"), F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.concat(F.col("walk"), F.array(F.col("nxt"))),
+                )
+                .otherwise(F.col("walk"))
+                .alias("walk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("walk_id", "walk")

@@ -26,6 +26,7 @@ PAIRS = [
     "g_sample_neighbors",
     "g_khop_sample",
     "g_negative_sample",
+    "g_node2vec",
     "g_saveload",
     "g_louvain_p1",
     "g_pagerank_delta",

@@ -103,3 +103,56 @@ def test_sample_neighbors_weighted(spark):
     a = sample_neighbors(g, 2, strategy="weighted", seed=3).collect()
     b = sample_neighbors(g, 2, strategy="weighted", seed=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_node2vec_walks_are_paths(spark):
+    from linkgraph.sampling import node2vec_walk
+
+    edges = STAR_PLUS + [(3, 4), (4, 5), (5, 3), (9, 0)]
+    g = graph_from_edge_vids(spark, edges)
+    eset = set(edges)
+    rows = node2vec_walk(g, num_walks=6, length=4, p=0.5, q=2.0, seed=7).collect()
+    assert len(rows) == 6
+    for r in rows:
+        walk = r["walk"]
+        assert walk[0] == r["walk_id"]
+        for a, b in zip(walk, walk[1:]):
+            assert (a, b) in eset
+    # deterministic across repartitioning
+    g2 = graph_from_edge_vids(spark, edges)
+    g2 = type(g2)(vertices=g2.vertices, edges=g2.edges.repartition(7), directed=True)
+    rows2 = node2vec_walk(g2, num_walks=6, length=4, p=0.5, q=2.0, seed=7).collect()
+    assert sorted((r["walk_id"], tuple(r["walk"])) for r in rows) == sorted(
+        (r["walk_id"], tuple(r["walk"])) for r in rows2
+    )
+
+
+def test_node2vec_return_bias(spark):
+    from linkgraph.sampling import node2vec_walk
+
+    # two-cycles everywhere: with a near-zero return exponent the key of
+    # the predecessor is u^p ~ 1, so every second-order hop backtracks.
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2), (0, 3), (3, 0)]
+    g = graph_from_edge_vids(spark, edges)
+    rows = node2vec_walk(g, num_walks=4, length=5, p=1e-9, q=1.0, seed=3).collect()
+    for r in rows:
+        walk = r["walk"]
+        for i in range(2, len(walk)):
+            assert walk[i] == walk[i - 2]  # always return to prev
+
+
+def test_node2vec_explore_bias(spark):
+    from linkgraph.sampling import node2vec_walk
+
+    # From 1 the candidates after the hop 0->1 are {0 (return), 2 (nbr of
+    # 0), 3 (distance 2)}. A near-zero q exponent makes the distance-2
+    # candidate's key u^q ~ 1, so the walk must pick 3.
+    edges = [(0, 1), (0, 2), (1, 0), (1, 2), (1, 3)]
+    g = graph_from_edge_vids(spark, edges)
+    rows = {
+        r["walk_id"]: list(r["walk"])
+        for r in node2vec_walk(g, num_walks=4, length=2, p=1.0, q=1e-9, seed=1).collect()
+    }
+    walk0 = rows[0]
+    if walk0[1] == 1:  # start 0 hopped to 1 (seed-dependent but deterministic)
+        assert walk0[2] == 3
