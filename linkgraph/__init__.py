@@ -36,6 +36,13 @@ from linkgraph.property import PropertyGraph
 from linkgraph.gie import traversal
 from linkgraph.gremlin import gremlin
 
+# Flat algorithm surface: the reference exposes every built-in app at the
+# package top level (`graphscope.pagerank(g)`, `graphscope.lpa(g)`, ... —
+# python/graphscope/__init__.py:19 `from graphscope.analytical.app import *`).
+# Mirror that so a reference notebook's call sites port verbatim.
+from linkgraph.algorithms import *  # noqa: F401,F403
+from linkgraph import algorithms as _algorithms
+
 __all__ = [
     "LinkGraph",
     "PropertyGraph",
@@ -47,6 +54,7 @@ __all__ = [
     "synth_edge_graph",
     "traversal",
     "gremlin",
+    *_algorithms.__all__,
 ]
 
 __version__ = "0.1.0"

@@ -72,8 +72,13 @@ from linkgraph.algorithms.paths import (
     harmonic_centrality,
 )
 
+# Reference flat-name alias: graphscope.lpa IS cdlp
+# (python/graphscope/analytical/app/lpa.py:27-52 dispatches algo="cdlp").
+lpa = cdlp
+
 __all__ = [
     "pagerank",
+    "lpa",
     "pagerank_nx",
     "wcc",
     "cdlp",
