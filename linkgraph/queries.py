@@ -4458,3 +4458,85 @@ ORACLE_SQL["corpus_wcc"] = f"""
   ),
   comp AS (SELECT id, min(m) AS c FROM reach GROUP BY id)
   SELECT comp.id AS oid, vm.vid AS comp FROM comp JOIN vm ON vm.oid = comp.c"""
+
+
+# ------------------------------------------------------------------ r5 queue
+# Fully implemented + locally oracle-checked entries staged for the ROUND-5
+# driver window.  They are intentionally NOT in QUERIES yet: the r4 window is
+# exactly full with this round's 50 first-verdict entries, and the registry
+# rule above forbids an unverified oracle-backed entry past position 50.
+# At round-5 start: splice R5_QUEUE_QUERIES into the head of QUERIES (and
+# R5_QUEUE_ORACLE_SQL into ORACLE_SQL), demoting r4-green entries to the tail.
+# Until then tests/test_oracle_parity.py::test_r5_queue_matches_oracle_sf0001
+# runs the identical spark-vs-DuckDB comparison on every queued pair.
+
+
+def _ppr_batch_sql(rounds: int, k: int, seed_mod: int = 20) -> str:
+    """Unrolled fixed-round batched PPR oracle: k independent single-seed
+    chains (seed j = vids ≡ j mod ``seed_mod``), one UNION ALL readout.
+    Column-for-column the same recurrence as ``_ppr_sql``."""
+    pre = f"""
+  deg AS (SELECT src AS vid, count(*) AS d FROM e GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS (SELECT v.vid, coalesce(deg.d, 0) AS d FROM v LEFT JOIN deg ON v.vid = deg.vid)"""
+    parts, reads = [], []
+    for j in range(k):
+        parts.append(
+            f"""
+  pv_{j} AS (SELECT vid, CASE WHEN vid % {seed_mod} = {j} THEN 1.0 ELSE 0.0 END
+             / (SELECT count(*) FROM v WHERE vid % {seed_mod} = {j}) AS p FROM v),
+  r0_{j} AS (SELECT vid, d, 1.0 / (SELECT n FROM nv) AS rank FROM vd)"""
+        )
+        for i in range(1, rounds + 1):
+            p = i - 1
+            parts.append(
+                f"""
+  dang{i}_{j} AS MATERIALIZED (SELECT {ALPHA} * coalesce(sum(rank), 0) AS m
+                               FROM r{p}_{j} WHERE d = 0),
+  msg{i}_{j} AS MATERIALIZED (SELECT e.dst AS vid, sum(r.rank / r.d) AS s
+             FROM e JOIN r{p}_{j} r ON e.src = r.vid WHERE r.d > 0 GROUP BY e.dst),
+  r{i}_{j} AS MATERIALIZED (SELECT vd.vid, vd.d,
+                  {ALPHA} * coalesce(m.s, 0)
+                  + (1 - {ALPHA}) * pv.p
+                  + (SELECT m FROM dang{i}_{j}) * pv.p AS rank
+           FROM vd JOIN pv_{j} pv ON vd.vid = pv.vid
+           LEFT JOIN msg{i}_{j} m ON vd.vid = m.vid)"""
+            )
+        reads.append(
+            f"SELECT vid, {j} AS seed, round(rank, 6) AS value FROM r{rounds}_{j}"
+        )
+    return _with_graph(
+        pre + "," + ",".join(parts) + "\n  " + " UNION ALL ".join(reads)
+    )
+
+
+def q_ppr_batch(spark, sf_dir):
+    """Batched multi-seed personalized PageRank (CSR tier, k=4 seed vectors
+    as one array<k> state — the PPRGo/GNN-sampler shape: the edge topology
+    is gathered once per round for ALL seeds).  Seeds: vector j = vids ≡ j
+    (mod 20), uniform weight; fixed PR_ROUNDS rounds (oracle mode).  Each
+    column follows nx pagerank(personalization=...) exactly — the same
+    contract the reference wraps (python/graphscope/analytical/app/
+    pagerank.py:61-99); per-column equality with the single-seed engine
+    runs is pytest-asserted (tests/test_ppr_batch.py)."""
+    from linkgraph.csr import ppr_batch_csr
+
+    g = _oracle_graph(spark, sf_dir)
+    kk = 4
+    seeds = g.vertices.where(F.pmod(F.col("vid"), F.lit(20)) < kk).select(
+        F.pmod(F.col("vid"), F.lit(20)).cast("int").alias("seed"),
+        "vid",
+        F.lit(1.0).alias("weight"),
+    )
+    return ppr_batch_csr(g, seeds, alpha=ALPHA, max_iter=PR_ROUNDS, tol=None).select(
+        "vid", "seed", F.round("value", 6).alias("value")
+    )
+
+
+R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "g_ppr_batch": q_ppr_batch,
+}
+
+R5_QUEUE_ORACLE_SQL: dict[str, str] = {
+    "g_ppr_batch": _ppr_batch_sql(PR_ROUNDS, 4),
+}

@@ -133,3 +133,27 @@ def test_query_matches_oracle_sf0001(spark, duck, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _norm(srows, scols) == _norm(orows, ocols)
+
+
+# ---- r5 window queue: staged entries get the SAME spark-vs-DuckDB check
+# before they ever reach the driver window (see queries.py r5-queue note).
+
+def _r5_names():
+    from linkgraph.queries import R5_QUEUE_QUERIES
+
+    return sorted(R5_QUEUE_QUERIES)
+
+
+@pytest.mark.parametrize("name", _r5_names())
+def test_r5_queue_matches_oracle_sf0001(spark, duck, name):
+    from linkgraph.queries import R5_QUEUE_ORACLE_SQL, R5_QUEUE_QUERIES
+
+    sdf = R5_QUEUE_QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(R5_QUEUE_ORACLE_SQL[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _norm(srows, scols) == _norm(orows, ocols)
