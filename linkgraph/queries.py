@@ -2731,15 +2731,21 @@ def _emb_lsh_ann_sql(dim: int = 64, n_planes: int = 6, seed: int = 42, k: int = 
   FROM ranked WHERE rank <= {k}"""
 
 
-def _betweenness_sql(levels: int = 10, endpoints: bool = False) -> str:
+def _betweenness_sql(
+    levels: int = 10, endpoints: bool = False, sample_mod: int | None = None
+) -> str:
     """Unrolled Brandes betweenness (forward multi-source BFS with path
     counts, backward dependency accumulation per level), matching
     linkgraph.algorithms.betweenness_centrality on the directed graph with
     normalized=True. ``levels`` must be ≥ the graph's max eccentricity
     (3 at sf0.01, 7 at sf0.001; 10 gives headroom — empty levels are
-    no-ops). MATERIALIZED keeps DuckDB from re-expanding each level."""
+    no-ops). MATERIALIZED keeps DuckDB from re-expanding each level.
+    ``sample_mod`` restricts roots to ``vid % sample_mod = 0`` and applies
+    the nx k-sample estimator rescale (×n/k) — the deterministic twin of
+    ``betweenness_centrality(sources=...)``."""
+    root_where = f" WHERE vid % {sample_mod} = 0" if sample_mod else ""
     parts = [
-        "lvl0 AS MATERIALIZED (SELECT vid AS root, vid, 1.0 AS sigma FROM v)",
+        f"lvl0 AS MATERIALIZED (SELECT vid AS root, vid, 1.0 AS sigma FROM v{root_where})",
         "seen0 AS MATERIALIZED (SELECT root, vid FROM lvl0)",
     ]
     for d in range(1, levels + 1):
@@ -2781,7 +2787,7 @@ def _betweenness_sql(levels: int = 10, endpoints: bool = False) -> str:
           FROM (SELECT * FROM acc0 UNION ALL SELECT * FROM rt) GROUP BY vid),
   nv AS (SELECT count(*) AS n FROM v)
   SELECT v.vid,
-         round(coalesce(acc.bc, 0)
+         round(coalesce(acc.bc, 0){_sample_rescale(sample_mod)}
                / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1.0)), 6) AS value
   FROM v LEFT JOIN acc ON v.vid = acc.vid"""
         )
@@ -2790,11 +2796,21 @@ def _betweenness_sql(levels: int = 10, endpoints: bool = False) -> str:
             f"""acc AS (SELECT vid, sum(delta) AS bc FROM ({unions}) WHERE vid <> root GROUP BY vid),
   nv AS (SELECT count(*) AS n FROM v)
   SELECT v.vid,
-         round(coalesce(acc.bc, 0)
+         round(coalesce(acc.bc, 0){_sample_rescale(sample_mod)}
                / (((SELECT n FROM nv) - 1.0) * ((SELECT n FROM nv) - 2.0)), 6) AS value
   FROM v LEFT JOIN acc ON v.vid = acc.vid"""
         )
     return _with_graph(",\n  ".join(parts))
+
+
+def _sample_rescale(sample_mod: int | None) -> str:
+    """nx k-sample estimator factor (×n/k) as a SQL term, '' when exact."""
+    if not sample_mod:
+        return ""
+    return (
+        f" * (SELECT n FROM nv)"
+        f" / (SELECT count(*) FROM v WHERE vid % {sample_mod} = 0)"
+    )
 
 
 def _betweenness_w_sql(wcap: int = 45, layers: int = 16, root_mod: int = 20) -> str:
@@ -4533,10 +4549,30 @@ def q_ppr_batch(spark, sf_dir):
     )
 
 
+
+
+def q_betweenness_sampled(spark, sf_dir):
+    """Sampled-source approximate betweenness (Brandes over k sampled
+    roots, nx k-sample estimator rescale xn/k) -- the standard scale knob
+    for the most expensive centrality: O(k*V) state instead of O(V^2),
+    exact same batched multi-source phases as g_betweenness.  Roots =
+    vids = 0 (mod 5), deterministic so the unrolled SQL twin replays the
+    sample choice exactly."""
+    from linkgraph.algorithms import betweenness_centrality
+
+    g = _oracle_graph(spark, sf_dir)
+    sample = g.vertices.where(F.pmod(F.col("vid"), F.lit(5)) == 0).select("vid")
+    return betweenness_centrality(g, sources=sample).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
+    "g_betweenness_sampled": q_betweenness_sampled,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
     "g_ppr_batch": _ppr_batch_sql(PR_ROUNDS, 4),
+    "g_betweenness_sampled": _betweenness_sql(10, sample_mod=5),
 }
