@@ -25,6 +25,11 @@ from linkgraph.algorithms.globals import (
 )
 from linkgraph.algorithms.structuralholes import effective_size, constraint
 from linkgraph.algorithms.triads import triadic_census
+from linkgraph.algorithms.dag import (
+    topological_generations,
+    is_directed_acyclic_graph,
+    dag_longest_path_length,
+)
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.cores import core_number, k_core, k_shell, onion_layers
 from linkgraph.algorithms.clustering import clustering, average_clustering, transitivity, square_clustering
@@ -152,5 +157,8 @@ __all__ = [
     "effective_size",
     "constraint",
     "triadic_census",
+    "topological_generations",
+    "is_directed_acyclic_graph",
+    "dag_longest_path_length",
     "square_clustering",
 ]

@@ -904,3 +904,41 @@ def is_strongly_connected(G: DiGraph) -> bool:
     if len(G) == 0:
         raise ValueError("is_strongly_connected: graph has no nodes")
     return number_strongly_connected_components(G) == 1
+
+
+def is_directed_acyclic_graph(G: DiGraph) -> bool:
+    """networkx.is_directed_acyclic_graph — Kahn-peel remainder test."""
+    from linkgraph.algorithms.dag import is_directed_acyclic_graph as _impl
+
+    if len(G) == 0:
+        return True
+    return bool(_impl(G._project()).first()["value"])
+
+
+def topological_generations(G: DiGraph):
+    """networkx.topological_generations — yields node sets per layer;
+    raises on cycles (nx NetworkXUnfeasible analog)."""
+    from linkgraph.algorithms.dag import topological_generations as _impl
+
+    layer_of = G._to_dict(_impl(G._project()), val="layer")
+    groups: dict[int, list] = {}
+    for n, l in layer_of.items():
+        groups.setdefault(l, []).append(n)
+    for l in sorted(groups):
+        yield groups[l]
+
+
+def topological_sort(G: DiGraph):
+    """networkx.topological_sort — one valid order (layer-major, node-key
+    order inside a layer for determinism)."""
+    for gen in topological_generations(G):
+        yield from sorted(gen, key=repr)
+
+
+def dag_longest_path_length(G: DiGraph) -> int:
+    """networkx.dag_longest_path_length (unweighted: edge count)."""
+    from linkgraph.algorithms.dag import dag_longest_path_length as _impl
+
+    if len(G) == 0:
+        return 0
+    return int(_impl(G._project()).first()["value"])

@@ -4567,12 +4567,94 @@ def q_betweenness_sampled(spark, sf_dir):
     )
 
 
+
+
+def _dag_layers_sql(rounds: int = 60) -> str:
+    """Unrolled longest-path DP over the forward (src < dst) subgraph:
+    d_i(v) = max(d_{i-1}(v), max over in-edges (d_{i-1}(u) + 1)).  At the
+    fixpoint d(v) is the longest path ending at v — which IS the Kahn
+    generation index (standard equivalence; the engine peels, the oracle
+    runs the DP, both land on the same layers).  Depth at sf0.01 is 55;
+    60 rounds give headroom (converged rounds are no-ops)."""
+    parts = [
+        "fwd AS (SELECT src, dst FROM e WHERE src < dst)",
+        """vf AS (SELECT DISTINCT vid FROM
+       (SELECT src AS vid FROM fwd UNION ALL SELECT dst FROM fwd))""",
+        "d0 AS (SELECT vid, 0 AS d FROM vf)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT t.vid, greatest(t.d, coalesce(m.md, -1)) AS d
+      FROM d{p} t LEFT JOIN (
+        SELECT f.dst AS vid, max(p2.d) + 1 AS md
+        FROM fwd f JOIN d{p} p2 ON p2.vid = f.src GROUP BY f.dst) m
+      ON m.vid = t.vid)"""
+        )
+    return _with_graph(
+        ",\n  ".join(parts)
+        + f"\n  SELECT vid, d::BIGINT AS layer FROM d{rounds}"
+    )
+
+
+def _fwd_graph(spark, sf_dir):
+    """Forward (src < dst) subgraph of the oracle graph — a DAG by
+    construction (edges only increase vid, so no cycles)."""
+    g = _oracle_graph(spark, sf_dir)
+    fwd = g.edges.where(F.col("src") < F.col("dst"))
+    verts = (
+        fwd.select(F.col("src").alias("vid"))
+        .union(fwd.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    return LinkGraph(vertices=verts, edges=fwd)
+
+
+def q_topo_layers(spark, sf_dir):
+    """Topological generations (nx.topological_generations parity) via a
+    Kahn superstep peel on the forward-edge DAG; layer(v) = longest path
+    ending at v.  Oracle replays the equivalent unrolled longest-path DP."""
+    from linkgraph.algorithms.dag import topological_generations
+
+    return topological_generations(_fwd_graph(spark, sf_dir)).select("vid", "layer")
+
+
+def q_is_dag(spark, sf_dir):
+    """is_directed_acyclic_graph on the FULL directed oracle graph (which
+    has cycles) unioned with the forward subgraph (a DAG): two labeled
+    rows prove both verdicts of the Kahn-peel remainder test."""
+    from linkgraph.algorithms.dag import is_directed_acyclic_graph
+
+    full = is_directed_acyclic_graph(_oracle_graph(spark, sf_dir)).select(
+        F.lit("full").alias("which"), "value"
+    )
+    fwd = is_directed_acyclic_graph(_fwd_graph(spark, sf_dir)).select(
+        F.lit("fwd").alias("which"), "value"
+    )
+    return full.union(fwd)
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
     "g_betweenness_sampled": q_betweenness_sampled,
+    "g_topo_layers": q_topo_layers,
+    "g_is_dag": q_is_dag,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
     "g_ppr_batch": _ppr_batch_sql(PR_ROUNDS, 4),
     "g_betweenness_sampled": _betweenness_sql(10, sample_mod=5),
+    "g_topo_layers": _dag_layers_sql(60),
+    "g_is_dag": """WITH RECURSIVE e AS (%s),
+  reach AS (
+    SELECT src AS a, dst AS b FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+  ),
+  cyc AS (SELECT count(*) AS c FROM reach WHERE a = b)
+  SELECT 'full' AS which, (SELECT c FROM cyc) = 0 AS value
+  UNION ALL
+  SELECT 'fwd' AS which, true AS value""" % _EDGES_SQL,
 }
