@@ -541,9 +541,16 @@ def k_truss(G: DiGraph, k: int) -> list:
     )
 
 
-def clustering(G: DiGraph) -> dict:
-    """builtin.py:538."""
-    return G._to_dict(A.clustering(G._project()))
+def clustering(G: DiGraph, weight: str | None = None) -> dict:
+    """builtin.py:538; ``weight='weight'`` adds the nx Onnela weighted
+    form (clustering_weighted)."""
+    if weight is None:
+        return G._to_dict(A.clustering(G._project()))
+    if weight != "weight":
+        raise ValueError("clustering: only the 'weight' attribute is projected")
+    from linkgraph.algorithms.clustering import clustering_weighted
+
+    return G._to_dict(clustering_weighted(G._project()))
 
 
 def triangles(G: Graph) -> dict:

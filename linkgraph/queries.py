@@ -4636,11 +4636,55 @@ def q_is_dag(spark, sf_dir):
     return full.union(fwd)
 
 
+
+
+def q_clustering_w(spark, sf_dir):
+    """Weighted (Onnela) local clustering over a deterministic symmetric
+    weight w = (src+dst) % 7 + 1 -- nx clustering(G, weight='weight')
+    semantics, one corner-centered wedge join (Sigma deg^2, same kernel
+    cost/caveats as the unweighted triangle count)."""
+    from linkgraph.algorithms.clustering import clustering_weighted
+
+    g = _oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src", "dst",
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).cast("double").alias("weight"),
+    )
+    g2 = LinkGraph(vertices=g.vertices, edges=e)
+    out = clustering_weighted(g2).select(
+        "vid", F.round("value", 6).alias("value")
+    ).localCheckpoint(eager=True)
+    g2.unpersist()
+    return out
+
+
+_CLUSTERING_W_SQL = _with_graph(
+    """base AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi,
+                       ((src + dst) % 7 + 1)::DOUBLE AS w
+         FROM e WHERE src <> dst),
+  uw AS (SELECT lo, hi, w / (SELECT max(w) FROM base) AS w FROM base),
+  adj AS (SELECT lo AS v, hi AS nbr, w FROM uw
+          UNION ALL SELECT hi, lo, w FROM uw),
+  wed AS (SELECT a1.v, a1.nbr AS b, a2.nbr AS c, a1.w AS w1, a2.w AS w2
+          FROM adj a1 JOIN adj a2 ON a1.v = a2.v WHERE a1.nbr < a2.nbr),
+  tri AS (SELECT wed.v, pow(wed.w1 * wed.w2 * uw.w, 1.0/3.0) AS t
+          FROM wed JOIN uw ON uw.lo = wed.b AND uw.hi = wed.c),
+  tw AS (SELECT v AS vid, sum(t) AS tw FROM tri GROUP BY v),
+  dg AS (SELECT v AS vid, count(*) AS deg FROM adj GROUP BY v)
+  SELECT v.vid,
+         round(CASE WHEN coalesce(dg.deg, 0) >= 2
+                    THEN 2.0 * coalesce(tw.tw, 0) / (dg.deg * (dg.deg - 1.0))
+                    ELSE 0.0 END, 6) AS value
+  FROM v LEFT JOIN dg ON v.vid = dg.vid LEFT JOIN tw ON v.vid = tw.vid"""
+)
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
     "g_betweenness_sampled": q_betweenness_sampled,
     "g_topo_layers": q_topo_layers,
     "g_is_dag": q_is_dag,
+    "g_clustering_w": q_clustering_w,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
@@ -4657,4 +4701,5 @@ R5_QUEUE_ORACLE_SQL: dict[str, str] = {
   SELECT 'full' AS which, (SELECT c FROM cyc) = 0 AS value
   UNION ALL
   SELECT 'fwd' AS which, true AS value""" % _EDGES_SQL,
+    "g_clustering_w": _CLUSTERING_W_SQL,
 }
