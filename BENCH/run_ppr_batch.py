@@ -46,6 +46,7 @@ spark = (
 spark.sparkContext.setLogLevel("ERROR")
 
 from linkgraph.corpus import synth_edge_graph  # noqa: E402
+import linkgraph.csr as csr  # noqa: E402
 from linkgraph.csr import ppr_batch_csr  # noqa: E402
 
 g = synth_edge_graph(spark, NV, avg_out_degree=DEG, partitions=CORES)
@@ -70,10 +71,15 @@ def run(k, label):
     )
     chk = out.where(F.col("seed") == 0).agg(F.sum("value")).first()[0]
     wall = time.time() - t0
+    rounds = [h["wall_sec"] for h in (csr.LAST_HISTORY or [])]
+    steady = sorted(rounds[1:]) if len(rounds) > 1 else rounds
+    med = steady[len(steady) // 2] if steady else None
     rec = {
         "probe": "ppr_batch", "label": label, "k": k, "n_vertices": NV,
         "n_edges": n_edges, "rounds": ROUNDS, "cores": CORES,
-        "wall_sec": round(wall, 2), "sec_per_round": round(wall / ROUNDS, 3),
+        "wall_sec": round(wall, 2),
+        "round_secs": [round(x, 2) for x in rounds],
+        "median_steady_round": round(med, 3) if med else None,
         "col0_checksum": chk,
     }
     print(json.dumps(rec), flush=True)
@@ -82,8 +88,13 @@ def run(k, label):
     return rec
 
 
-# batch scaling in k
+# batch scaling in k (a throwaway k=1 warms the JVM so every measured
+# run sees the same warm state)
+run(1, "warmup")
 recs = [run(k, f"batch_k{k}") for k in (1, 4, 8, 16)]
+
+if os.environ.get("PPR_BATCH_SKIP_SEQ"):
+    sys.exit(0)
 
 # sequential baseline: 4 independent k=1 runs (what a user without the
 # batch tier pays for 4 seed vectors)

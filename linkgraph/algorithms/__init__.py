@@ -25,6 +25,7 @@ from linkgraph.algorithms.globals import (
 )
 from linkgraph.algorithms.structuralholes import effective_size, constraint
 from linkgraph.algorithms.triads import triadic_census
+from linkgraph.algorithms.cliques import k_clique_communities, triangle_triples
 from linkgraph.algorithms.dag import (
     topological_generations,
     is_directed_acyclic_graph,
@@ -158,6 +159,8 @@ __all__ = [
     "constraint",
     "triadic_census",
     "topological_generations",
+    "k_clique_communities",
+    "triangle_triples",
     "is_directed_acyclic_graph",
     "dag_longest_path_length",
     "square_clustering",

@@ -1,0 +1,105 @@
+"""k-clique percolation communities (k = 3: triangle percolation).
+
+NetworkX-parity surface (nx.community.k_clique_communities(G, 3)): two
+triangles belong to the same community iff they are connected through a
+chain of triangles sharing an edge; a community's node set is the union
+of its triangles' vertices (nodes may belong to several communities, as
+nx — the output is (community, vid) membership pairs, community id =
+min member vid).
+
+Spark shape — no triangle ids, no clique graph materialized per se: the
+percolation components are computed over EDGE nodes instead. Two edges
+are linked iff they co-occur in a triangle; a triangle's three edges
+form a connected triple, and two edge-sharing triangles connect through
+the shared edge, so components of the edge-link graph restricted to
+triangle edges ARE the k=3 percolation communities. Each triangle emits
+two star links (its min edge ↔ the other two), so the link table is
+2·|triangles| rows and the component step is the engine's own
+min-propagation WCC on a graph whose nodes are packed edge keys
+((lo<<32)|hi on 32-bit vid spaces — the census/wedge-join packed-key
+lesson). Triangles themselves come from the degree-oriented wedge join
+(triangles.py kernel shape, Σ min-deg(u,v) wedge cost).
+
+Only k=3 is implemented: general k needs maximal-clique enumeration
+(Bron–Kerbosch), inherently sequential/exponential — out of engine
+scope, loudly rejected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import LinkGraph, packed_pair
+from linkgraph.algorithms.triangles import _oriented_edges
+from linkgraph.algorithms.wcc import wcc
+
+
+def triangle_triples(graph: LinkGraph) -> DataFrame:
+    """(a, b, c) with a < b < c, one row per triangle — the
+    degree-oriented wedge join closed on the undirected edge list."""
+    oe = _oriented_edges(graph)
+    und = graph.simple_undirected_edges()
+    w1 = oe.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    w2 = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "v").where(F.col("u") < F.col("w"))
+    closed = wedges.join(
+        und.select(F.col("lo").alias("u"), F.col("hi").alias("w")), ["u", "w"]
+    )
+    lo3 = F.least("v", "u", "w")
+    hi3 = F.greatest("v", "u", "w")
+    return closed.select(
+        lo3.alias("a"),
+        (F.col("v") + F.col("u") + F.col("w") - lo3 - hi3).alias("b"),
+        hi3.alias("c"),
+    )
+
+
+def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
+    """(community, vid) membership pairs of the k=3 clique percolation;
+    community id = min vid among the community's members."""
+    if k != 3:
+        raise NotImplementedError(
+            "k_clique_communities: only k=3 (triangle percolation) is "
+            "implemented — general k requires maximal-clique enumeration"
+        )
+    if not graph.pair_key_packable():
+        raise ValueError(
+            "k_clique_communities: needs vids in [0, 2^31) to pack edge "
+            "keys — remap via assign_dense_ids first"
+        )
+    spark = graph.edges.sparkSession
+    # u<w and v's position is irrelevant for the key: a triangle's edges
+    # sorted-pair keys. e1 = (a,b), e2 = (a,c), e3 = (b,c); star-link the
+    # min key to the other two.
+    tri = triangle_triples(graph).select(
+        packed_pair("a", "b").alias("e1"),
+        packed_pair("a", "c").alias("e2"),
+        packed_pair("b", "c").alias("e3"),
+    )
+    links = tri.select(F.col("e1").alias("src"), F.col("e2").alias("dst")).union(
+        tri.select(F.col("e1").alias("src"), F.col("e3").alias("dst"))
+    )
+    nodes = (
+        links.select(F.col("src").alias("vid"))
+        .union(links.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    eg = LinkGraph(vertices=nodes, edges=links)
+    comp = wcc(eg)  # (vid = packed edge key, value = component label)
+    members = comp.select(
+        F.col("value").alias("comp"),
+        F.shiftright("vid", 32).cast("long").alias("m"),
+    ).union(
+        comp.select(
+            F.col("value").alias("comp"),
+            (F.col("vid") - F.shiftleft(F.shiftright("vid", 32), 32)).alias("m"),
+        )
+    ).distinct()
+    canon = members.groupBy("comp").agg(F.min("m").alias("community"))
+    return (
+        members.join(canon, "comp")
+        .select("community", F.col("m").alias("vid"))
+        .distinct()
+    )

@@ -1776,11 +1776,15 @@ def ppr_batch_csr(
             active = (pos < len(sv)) & (sv[safe] == us)
             src_rows = sc[safe]
             src_rows[~active] = 0.0
-            per_edge = np.repeat(src_rows, np.diff(indptr), axis=0)
+            counts = np.diff(indptr)
             acc = np.empty((len(udst), k), np.float64)
-            for j in range(k):  # k bincounts beat one 2-D np.add.at
+            # expand + combine ONE column at a time: peak transient stays
+            # E floats instead of E×k (the E×k matrix thrashed GC at
+            # k=16 × 8e7 edges), and k bincounts beat one 2-D np.add.at
+            for j in range(k):
+                per_edge_j = np.repeat(src_rows[:, j], counts)
                 acc[:, j] = np.bincount(
-                    dst_idx, weights=per_edge[:, j], minlength=len(udst)
+                    dst_idx, weights=per_edge_j, minlength=len(udst)
                 )
             outs_d.append(udst.astype(np_dst, copy=False))
             outs_p.append(acc)

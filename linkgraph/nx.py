@@ -949,3 +949,20 @@ def dag_longest_path_length(G: DiGraph) -> int:
     if len(G) == 0:
         return 0
     return int(_impl(G._project()).first()["value"])
+
+
+def k_clique_communities(G: DiGraph, k: int = 3):
+    """networkx.algorithms.community.k_clique_communities (k=3 only —
+    triangle percolation; see algorithms/cliques.py scope note). Yields
+    frozensets of node keys, largest-first then min-member order."""
+    from linkgraph.algorithms.cliques import k_clique_communities as _impl
+
+    if G.directed:
+        raise ValueError("k_clique_communities: undirected graphs only")
+    rows = _impl(G._project(), k=k).collect()
+    groups: dict[int, set] = {}
+    G._project()
+    for r in rows:
+        groups.setdefault(r["community"], set()).add(G._node_of[r["vid"]])
+    for c in sorted(groups, key=lambda c: (-len(groups[c]), c)):
+        yield frozenset(groups[c])

@@ -4679,12 +4679,69 @@ _CLUSTERING_W_SQL = _with_graph(
 )
 
 
+
+
+def q_kclique3(spark, sf_dir):
+    """k-clique percolation communities (k=3, nx.community parity):
+    triangle-edge star links + the engine's own WCC over packed edge-key
+    nodes; (community, vid) membership rows, community = min member vid."""
+    from linkgraph.algorithms.cliques import k_clique_communities
+
+    g = _oracle_graph(spark, sf_dir)
+    return k_clique_communities(g, k=3).select("community", "vid")
+
+
+def _kclique3_sql(rounds: int = 12) -> str:
+    """Triangle percolation replay: the SAME packed-edge star links the
+    engine builds, components via UNROLLED min-label propagation (the
+    naive recursive reachability closure is O(|edge-nodes|²) pairs —
+    200M at sf0.01's 52k triangles — and times out; min-prop converges
+    in ≤7 rounds at both test scales, 12 gives headroom)."""
+    parts = [
+        f"e AS ({_EDGES_SQL})",
+        """und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          FROM e WHERE src <> dst)""",
+        """tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c
+          FROM und u1
+          JOIN und u2 ON u2.lo = u1.lo AND u2.hi > u1.hi
+          JOIN und u3 ON u3.lo = u1.hi AND u3.hi = u2.hi)""",
+        """lnk0 AS (SELECT a * 4294967296 + b AS s, a * 4294967296 + c AS d FROM tri
+           UNION ALL SELECT a * 4294967296 + b, b * 4294967296 + c FROM tri)""",
+        "lnk AS (SELECT DISTINCT s, d FROM (SELECT s, d FROM lnk0 UNION ALL SELECT d, s FROM lnk0))",
+        "l0 AS (SELECT DISTINCT s AS id, s AS m FROM lnk)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT t.id, least(t.m, coalesce(n.nm, t.m)) AS m
+      FROM l{p} t LEFT JOIN (
+        SELECT lnk.d AS id, min(x.m) AS nm
+        FROM lnk JOIN l{p} x ON x.id = lnk.s GROUP BY lnk.d) n
+      ON n.id = t.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + f""",
+  comp AS (SELECT id, m AS cm FROM l{rounds}),
+  members AS (
+    SELECT DISTINCT cm, id // 4294967296 AS vid FROM comp
+    UNION SELECT cm, id % 4294967296 FROM comp),
+  canon AS (SELECT cm, min(vid) AS community FROM members GROUP BY cm)
+  SELECT canon.community, members.vid
+  FROM members JOIN canon ON members.cm = canon.cm
+  GROUP BY 1, 2"""
+    )
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
     "g_betweenness_sampled": q_betweenness_sampled,
     "g_topo_layers": q_topo_layers,
     "g_is_dag": q_is_dag,
     "g_clustering_w": q_clustering_w,
+    "g_kclique3": q_kclique3,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
@@ -4702,4 +4759,5 @@ R5_QUEUE_ORACLE_SQL: dict[str, str] = {
   UNION ALL
   SELECT 'fwd' AS which, true AS value""" % _EDGES_SQL,
     "g_clustering_w": _CLUSTERING_W_SQL,
+    "g_kclique3": _kclique3_sql(12),
 }

@@ -1,0 +1,85 @@
+"""k=3 clique percolation vs a brute-force python replay."""
+
+import itertools
+
+import pytest
+
+from linkgraph.algorithms.cliques import k_clique_communities, triangle_triples
+from linkgraph.graph import graph_from_edge_vids
+
+# two triangle chains sharing edges + an isolated triangle + non-triangle tail
+#  comm A: {0,1,2,3} (triangles 012, 123 share edge 1-2)
+#  comm B: {10,11,12}
+#  tail: 20-21 (no triangle, no community)
+EDGES = [
+    (0, 1), (1, 2), (0, 2), (1, 3), (2, 3),
+    (10, 11), (11, 12), (10, 12),
+    (20, 21),
+]
+
+
+def _brute_communities(edges):
+    und = {tuple(sorted(e)) for e in edges}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in und:
+        for c in nbrs[a] & nbrs[b]:
+            tris.add(tuple(sorted((a, b, c))))
+    # union-find over triangles sharing an edge
+    parent = {t: t for t in tris}
+
+    def find(t):
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for t1, t2 in itertools.combinations(tris, 2):
+        if len(set(t1) & set(t2)) >= 2:
+            parent[find(t1)] = find(t2)
+    comms = {}
+    for t in tris:
+        comms.setdefault(find(t), set()).update(t)
+    return {frozenset(m) for m in comms.values()}
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return graph_from_edge_vids(spark, EDGES)
+
+
+def test_triples(spark, g):
+    got = {tuple(r) for r in triangle_triples(g).collect()}
+    assert got == {(0, 1, 2), (1, 2, 3), (10, 11, 12)}
+
+
+def test_communities_match_brute(spark, g):
+    rows = k_clique_communities(g).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["community"], set()).add(r["vid"])
+    assert {frozenset(m) for m in got.values()} == _brute_communities(EDGES)
+    # canonical community id = min member
+    for c, m in got.items():
+        assert c == min(m)
+    # non-triangle vertices appear in no community
+    flat = set().union(*got.values())
+    assert 20 not in flat and 21 not in flat
+
+
+def test_k_other_than_3_rejected(spark, g):
+    with pytest.raises(NotImplementedError):
+        k_clique_communities(g, k=4)
+
+
+def test_nx_wrapper(spark):
+    from linkgraph import nx as lnx
+
+    G = lnx.Graph(spark)
+    G.add_edges_from([(s, d) for s, d in EDGES])
+    comms = list(lnx.k_clique_communities(G, 3))
+    assert {frozenset(c) for c in comms} == _brute_communities(EDGES)
+    assert len(comms[0]) >= len(comms[-1])
