@@ -4735,6 +4735,39 @@ def _kclique3_sql(rounds: int = 12) -> str:
     )
 
 
+
+
+def q_stream_triangles(spark, sf_dir):
+    """Streaming triangle maintenance: the oracle edges ingested as a
+    4-micro-batch stream; batch 1 counts cold, every later batch updates
+    the exact total via the delta-driven inclusion-exclusion
+    (streaming.streaming_triangles -> triangle_total_incr).  Oracle is
+    the plain full-graph ordered-wedge count, so a hash match proves the
+    maintained total equals the cold total regardless of arrival order
+    or batch boundaries."""
+    import tempfile
+
+    from linkgraph.streaming import stream_parquet, streaming_triangles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (
+        orders.select(
+            F.pmod(F.col("o_custkey"), F.lit(V_MOD)).alias("s"),
+            F.pmod(F.col("o_orderkey"), F.lit(V_MOD)).alias("d"),
+        )
+        .where(F.col("s") != F.col("d"))
+        .select(
+            F.col("s").cast("string").alias("src_oid"),
+            F.col("d").cast("string").alias("dst_oid"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="lg_stream_tri_")
+    edges.repartition(4).write.mode("overwrite").parquet(tmp)
+    sdf = stream_parquet(spark, tmp, "src_oid string, dst_oid string")
+    _, total = streaming_triangles(sdf)
+    return spark.createDataFrame([(total,)], "total_triangles long")
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
     "g_betweenness_sampled": q_betweenness_sampled,
@@ -4742,6 +4775,7 @@ R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_is_dag": q_is_dag,
     "g_clustering_w": q_clustering_w,
     "g_kclique3": q_kclique3,
+    "stream_triangles": q_stream_triangles,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
@@ -4760,4 +4794,7 @@ R5_QUEUE_ORACLE_SQL: dict[str, str] = {
   SELECT 'fwd' AS which, true AS value""" % _EDGES_SQL,
     "g_clustering_w": _CLUSTERING_W_SQL,
     "g_kclique3": _kclique3_sql(12),
+    "stream_triangles": None,  # filled below (same oracle as g_triangle_total)
 }
+
+R5_QUEUE_ORACLE_SQL["stream_triangles"] = ORACLE_SQL["g_triangle_total"]

@@ -169,3 +169,25 @@ def test_streaming_pagerank_matches_batch(spark, tmpdir):
     assert set(got) == set(exp)
     ks = sorted(exp)
     assert np.allclose([got[k] for k in ks], [exp[k] for k in ks], atol=1e-7, rtol=0)
+
+
+def test_streaming_triangles_matches_cold(spark, tmp_path):
+    """4-batch ingest → incremental totals == cold count on the union."""
+    from linkgraph.algorithms.triangles import triangle_total
+    from linkgraph.graph import build_graph
+    from linkgraph.streaming import stream_parquet, streaming_triangles
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),       # triangle 1
+        ("c", "d"), ("b", "d"),                   # triangle 2 (b,c,d)
+        ("e", "f"),                               # no triangle
+        ("d", "a"),                               # triangle (a,b,d)? a-b yes, b-d yes → yes
+    ]
+    df = spark.createDataFrame(edges, "src_oid string, dst_oid string")
+    out = str(tmp_path / "stream_tri")
+    df.repartition(3).write.parquet(out)
+    sdf = stream_parquet(spark, out, "src_oid string, dst_oid string")
+    g, total = streaming_triangles(sdf)
+    cold = triangle_total(build_graph(df))
+    assert total == cold
+    assert g.edges.count() == len(set(edges))
