@@ -4768,6 +4768,19 @@ def q_stream_triangles(spark, sf_dir):
     return spark.createDataFrame([(total,)], "total_triangles long")
 
 
+
+
+def q_dag_longest(spark, sf_dir):
+    """dag_longest_path_length on the forward-edge DAG — max Kahn layer
+    (= longest path edge count); exercises the third DAG-family function
+    end-to-end on the same peel."""
+    from linkgraph.algorithms.dag import dag_longest_path_length
+
+    return dag_longest_path_length(_fwd_graph(spark, sf_dir)).select(
+        F.col("value").cast("long").alias("value")
+    )
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
     "g_betweenness_sampled": q_betweenness_sampled,
@@ -4776,6 +4789,7 @@ R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_clustering_w": q_clustering_w,
     "g_kclique3": q_kclique3,
     "stream_triangles": q_stream_triangles,
+    "g_dag_longest": q_dag_longest,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
@@ -4798,3 +4812,6 @@ R5_QUEUE_ORACLE_SQL: dict[str, str] = {
 }
 
 R5_QUEUE_ORACLE_SQL["stream_triangles"] = ORACLE_SQL["g_triangle_total"]
+R5_QUEUE_ORACLE_SQL["g_dag_longest"] = (
+    "SELECT max(layer)::BIGINT AS value FROM (" + _dag_layers_sql(60) + ")"
+)
