@@ -53,8 +53,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "algo",
         choices=[
-            "pagerank", "wcc", "cdlp", "triangles", "sssp", "bfs", "mis",
-            "coloring", "census", "core-number", "ktruss",
+            "pagerank", "ppr-batch", "wcc", "cdlp", "triangles", "sssp",
+            "bfs", "mis", "coloring", "census", "core-number", "ktruss",
         ],
     )
     ap.add_argument("--corpus-path", default=None, help="parquet corpus table")
@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--rounds", type=int, default=10, help="CDLP rounds")
     ap.add_argument("--k", type=int, default=4, help="ktruss k")
+    ap.add_argument(
+        "--n-seeds", type=int, default=4,
+        help="ppr-batch: number of personalization vectors (seed j = vids ≡ j mod 1000)",
+    )
     ap.add_argument("--tier", choices=["reference", "csr", "dense"], default="csr")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--out", default=None, help="parquet output path")
@@ -96,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
                 g, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
                 checkpoint_dir=args.checkpoint_dir,
             )
+    elif args.algo == "ppr-batch":
+        from linkgraph.csr import ppr_batch_csr
+
+        seeds = g.vertices.where(
+            F.pmod(F.col("vid"), F.lit(1000)) < args.n_seeds
+        ).select(
+            F.pmod(F.col("vid"), F.lit(1000)).cast("int").alias("seed"),
+            "vid",
+            F.lit(1.0).alias("weight"),
+        )
+        res = ppr_batch_csr(
+            g, seeds, alpha=args.alpha, max_iter=args.max_iter, tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir,
+        )
     elif args.algo == "wcc":
         if args.tier in ("csr", "dense"):
             from linkgraph.csr import wcc_csr
