@@ -533,19 +533,30 @@ def periphery(graph: LinkGraph, ecc: DataFrame | None = None) -> DataFrame:
     return out
 
 
-def harmonic_centrality(graph: LinkGraph) -> DataFrame:
+def harmonic_centrality(
+    graph: LinkGraph, sources: DataFrame | None = None
+) -> DataFrame:
     """(vid, value) — sum of 1/d(u, v) over incoming distances
     (NetworkX harmonic_centrality semantics: distance TO v), 0.0 for
     vertices nothing reaches. Same reversed multi-source BFS closeness
-    uses; round(…, 6) for engine-portable comparison."""
-    d = multi_source_bfs(graph, reverse=True)
+    uses; round(…, 6) for engine-portable comparison.
+
+    ``sources`` restricts the TARGET set (the closeness_centrality
+    contract): exact values for the sampled vertices, fewer rows, O(k·V)
+    state instead of O(V²) — no estimator rescale needed since harmonic
+    centrality of v depends only on distances to v."""
+    d = multi_source_bfs(graph, sources=sources, reverse=True)
     agg = (
         d.where(F.col("dist") > 0)
         .groupBy("root")
         .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias("value"))
     )
+    if sources is None:
+        out_vids = graph.vertices.select("vid")
+    else:
+        out_vids = sources.select(F.col(sources.columns[0]).alias("vid")).distinct()
     return (
-        graph.vertices.select("vid")
+        out_vids
         .join(agg, F.col("vid") == F.col("root"), "left")
         .select("vid", F.coalesce("value", F.lit(0.0)).alias("value"))
     )

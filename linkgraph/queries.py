@@ -4781,6 +4781,38 @@ def q_dag_longest(spark, sf_dir):
     )
 
 
+
+
+def q_harmonic_sampled(spark, sf_dir):
+    """Sampled-target harmonic centrality — the O(k*V) scale knob with
+    the closeness_sampled contract: exact values for the deterministic
+    mod-5 target sample, no estimator rescale (harmonic(v) depends only
+    on distances TO v)."""
+    from linkgraph.algorithms import harmonic_centrality
+
+    g = _oracle_graph(spark, sf_dir)
+    sample = g.vertices.where(F.pmod(F.col("vid"), F.lit(5)) == 0).select("vid")
+    return harmonic_centrality(g, sources=sample).select(
+        "vid", F.round("value", 6).alias("value")
+    )
+
+
+_HARMONIC_SAMPLED_SQL = _with_graph(
+    """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v WHERE vid % 5 = 0
+      UNION
+      SELECT w.root, e.src, w.d + 1 FROM w JOIN e ON w.vid = e.dst WHERE w.d < 20)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  agg AS (SELECT root, round(sum(1.0 / dist), 6) AS value
+          FROM sp WHERE dist > 0 GROUP BY root)
+  SELECT v.vid, coalesce(agg.value, 0.0) AS value
+  FROM v LEFT JOIN agg ON v.vid = agg.root
+  WHERE v.vid % 5 = 0"""
+)
+
+
 R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_ppr_batch": q_ppr_batch,
     "g_betweenness_sampled": q_betweenness_sampled,
@@ -4790,6 +4822,7 @@ R5_QUEUE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_kclique3": q_kclique3,
     "stream_triangles": q_stream_triangles,
     "g_dag_longest": q_dag_longest,
+    "g_harmonic_sampled": q_harmonic_sampled,
 }
 
 R5_QUEUE_ORACLE_SQL: dict[str, str] = {
@@ -4815,3 +4848,4 @@ R5_QUEUE_ORACLE_SQL["stream_triangles"] = ORACLE_SQL["g_triangle_total"]
 R5_QUEUE_ORACLE_SQL["g_dag_longest"] = (
     "SELECT max(layer)::BIGINT AS value FROM (" + _dag_layers_sql(60) + ")"
 )
+R5_QUEUE_ORACLE_SQL["g_harmonic_sampled"] = _HARMONIC_SAMPLED_SQL
