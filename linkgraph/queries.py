@@ -4849,3 +4849,23 @@ R5_QUEUE_ORACLE_SQL["g_dag_longest"] = (
     "SELECT max(layer)::BIGINT AS value FROM (" + _dag_layers_sql(60) + ")"
 )
 R5_QUEUE_ORACLE_SQL["g_harmonic_sampled"] = _HARMONIC_SAMPLED_SQL
+
+
+# ------------------------------------------------------------- r5 splice
+# Round-5 window splice (VERDICT r4 "Next round" #1): the nine staged,
+# locally-parity-checked queue entries move to the HEAD of the registry so
+# the driver's 50-slot window hash-verifies them this round; r4-green
+# entries demote to the tail (every one re-verified by the pytest gate,
+# SURVEY.md §8).  R5_NEW_QUERIES / R5_NEW_ORACLE_SQL collect operators
+# implemented DURING round 5 — also never driver-verified, so they ride in
+# the window immediately behind the queue.  tests/test_registry.py asserts
+# no never-verified entry sits past position 50.
+R5_NEW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+R5_NEW_ORACLE_SQL: dict[str, str] = {}
+
+from linkgraph import queries_r5  # noqa: E402  (populates R5_NEW_*)
+
+queries_r5.register(R5_NEW_QUERIES, R5_NEW_ORACLE_SQL)
+
+QUERIES = {**R5_QUEUE_QUERIES, **R5_NEW_QUERIES, **QUERIES}
+ORACLE_SQL = {**R5_QUEUE_ORACLE_SQL, **R5_NEW_ORACLE_SQL, **ORACLE_SQL}
