@@ -31,14 +31,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph, packed_pair
-from linkgraph.algorithms.triangles import _oriented_edges
+from linkgraph.algorithms.triangles import _oriented_edges, _own_cache
 from linkgraph.algorithms.wcc import wcc
 
 
 def triangle_triples(graph: LinkGraph) -> DataFrame:
     """(a, b, c) with a < b < c, one row per triangle — the
-    degree-oriented wedge join closed on the undirected edge list."""
-    oe = _oriented_edges(graph)
+    degree-oriented wedge join closed on the undirected edge list.
+
+    The oriented edges feed BOTH wedge sides and the closure, so they are
+    persisted via triangles._own_cache (bounded residency, same owner
+    slot as triangles()) — otherwise the degree aggregate + orientation
+    join re-runs three times per action."""
+    oe = _own_cache(_oriented_edges(graph))
     und = graph.simple_undirected_edges()
     w1 = oe.select(F.col("src").alias("v"), F.col("dst").alias("u"))
     w2 = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
@@ -56,8 +61,14 @@ def triangle_triples(graph: LinkGraph) -> DataFrame:
 
 
 def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
-    """(community, vid) membership pairs of the k=3 clique percolation;
-    community id = min vid among the community's members."""
+    """(community, vid) membership pairs of the k=3 clique percolation.
+
+    Community id = the component's WCC label over packed edge-key nodes,
+    i.e. the packed (lo<<32)|hi key of the lexicographically smallest
+    edge in the community — deterministic AND unique per community.  The
+    min MEMBER vid is not a valid id: two edge-disjoint triangle
+    components sharing only their minimum vertex (e.g. triangles
+    {0,1,2} and {0,3,4}) would collapse into one group under it."""
     if k != 3:
         raise NotImplementedError(
             "k_clique_communities: only k=3 (triangle percolation) is "
@@ -68,7 +79,6 @@ def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
             "k_clique_communities: needs vids in [0, 2^31) to pack edge "
             "keys — remap via assign_dense_ids first"
         )
-    spark = graph.edges.sparkSession
     # u<w and v's position is irrelevant for the key: a triangle's edges
     # sorted-pair keys. e1 = (a,b), e2 = (a,c), e3 = (b,c); star-link the
     # min key to the other two.
@@ -97,9 +107,6 @@ def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
             (F.col("vid") - F.shiftleft(F.shiftright("vid", 32), 32)).alias("m"),
         )
     ).distinct()
-    canon = members.groupBy("comp").agg(F.min("m").alias("community"))
-    return (
-        members.join(canon, "comp")
-        .select("community", F.col("m").alias("vid"))
-        .distinct()
-    )
+    return members.select(
+        F.col("comp").alias("community"), F.col("m").alias("vid")
+    ).distinct()

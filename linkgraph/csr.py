@@ -1794,6 +1794,16 @@ def ppr_batch_csr(
         all_p = np.concatenate(outs_p)
         tgt, off, order2 = _pack_by_tgt(all_d, p)
         off_np = np.asarray(off).astype(np.int64)
+        if off_np[-1] * k >= 2**31:
+            # Arrow ListArray offsets are int32 (Spark's applyInArrow
+            # interchange requires the non-Large list layout): scaling by
+            # k must not overflow.  Loud failure beats silent corruption;
+            # remedy is a larger block count p (smaller per-bid groups).
+            raise OverflowError(
+                f"ppr_batch_csr: packed psums value count {off_np[-1] * k} "
+                f"exceeds int32 Arrow offsets — raise the block count p "
+                f"(currently {p}) or lower k (currently {k})"
+            )
         p_off = pa.array((off_np * k).astype(np.int32), pa.int32())
         return pa.table(
             {
@@ -1814,6 +1824,11 @@ def ppr_batch_csr(
 
     def _emit_mat(m: np.ndarray) -> pa.ListArray:
         rows = m.shape[0]
+        if rows * k >= 2**31:
+            raise OverflowError(
+                f"ppr_batch_csr: state batch of {rows} rows × k={k} exceeds "
+                f"int32 Arrow list offsets — raise the block count p"
+            )
         off = pa.array(np.arange(rows + 1, dtype=np.int64) * k, pa.int32())
         return pa.ListArray.from_arrays(
             off, pa.array(m.reshape(-1).astype(np_val, copy=False), pa_val)

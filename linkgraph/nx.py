@@ -550,7 +550,13 @@ def clustering(G: DiGraph, weight: str | None = None) -> dict:
         raise ValueError("clustering: only the 'weight' attribute is projected")
     from linkgraph.algorithms.clustering import clustering_weighted
 
-    return G._to_dict(clustering_weighted(G._project()))
+    lg = G._project()
+    try:
+        # _to_dict materializes, so the normalized-edge cache the kernel
+        # parked on lg is safe to release here (graph-owns-cache rule)
+        return G._to_dict(clustering_weighted(lg))
+    finally:
+        lg.unpersist()
 
 
 def triangles(G: Graph) -> dict:

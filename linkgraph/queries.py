@@ -4684,7 +4684,9 @@ _CLUSTERING_W_SQL = _with_graph(
 def q_kclique3(spark, sf_dir):
     """k-clique percolation communities (k=3, nx.community parity):
     triangle-edge star links + the engine's own WCC over packed edge-key
-    nodes; (community, vid) membership rows, community = min member vid."""
+    nodes; (community, vid) membership rows, community = the component's
+    min packed edge key (unique per community — min member vid is NOT,
+    two communities can share their minimum vertex)."""
     from linkgraph.algorithms.cliques import k_clique_communities
 
     g = _oracle_graph(spark, sf_dir)
@@ -4727,11 +4729,8 @@ def _kclique3_sql(rounds: int = 12) -> str:
   comp AS (SELECT id, m AS cm FROM l{rounds}),
   members AS (
     SELECT DISTINCT cm, id // 4294967296 AS vid FROM comp
-    UNION SELECT cm, id % 4294967296 FROM comp),
-  canon AS (SELECT cm, min(vid) AS community FROM members GROUP BY cm)
-  SELECT canon.community, members.vid
-  FROM members JOIN canon ON members.cm = canon.cm
-  GROUP BY 1, 2"""
+    UNION SELECT cm, id % 4294967296 FROM comp)
+  SELECT cm AS community, vid FROM members"""
     )
 
 

@@ -62,9 +62,10 @@ def test_communities_match_brute(spark, g):
     for r in rows:
         got.setdefault(r["community"], set()).add(r["vid"])
     assert {frozenset(m) for m in got.values()} == _brute_communities(EDGES)
-    # canonical community id = min member
+    # canonical community id = packed key of the community's smallest edge
     for c, m in got.items():
-        assert c == min(m)
+        lo, hi = c >> 32, c & 0xFFFFFFFF
+        assert lo in m and hi in m and lo < hi
     # non-triangle vertices appear in no community
     flat = set().union(*got.values())
     assert 20 not in flat and 21 not in flat
@@ -83,3 +84,25 @@ def test_nx_wrapper(spark):
     comms = list(lnx.k_clique_communities(G, 3))
     assert {frozenset(c) for c in comms} == _brute_communities(EDGES)
     assert len(comms[0]) >= len(comms[-1])
+
+
+def test_vertex_sharing_edge_disjoint_communities_stay_distinct(spark):
+    """Two edge-disjoint triangles sharing only vertex 0 are DISTINCT
+    communities (r4 advice repro: a min-member-vid community id merged
+    them; the packed-edge-key id must not)."""
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (3, 4), (0, 4)]
+    g = graph_from_edge_vids(spark, edges)
+    got = {}
+    for r in k_clique_communities(g).collect():
+        got.setdefault(r["community"], set()).add(r["vid"])
+    assert {frozenset(m) for m in got.values()} == {
+        frozenset({0, 1, 2}),
+        frozenset({0, 3, 4}),
+    }
+    # ...and the nx wrapper sees both
+    from linkgraph import nx as lnx
+
+    G = lnx.Graph(spark)
+    G.add_edges_from(edges)
+    comms = {frozenset(c) for c in lnx.k_clique_communities(G, 3)}
+    assert comms == {frozenset({0, 1, 2}), frozenset({0, 3, 4})}
