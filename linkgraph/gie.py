@@ -29,6 +29,13 @@ module implements that mapping as a fluent traversal over
 - withPath/path/simplePath   → array column + guards        (:95,:98)
 - subgraph()                 → LinkGraph sink (GIE→GAE pipeline, :146-147)
 - cache()                    → persist() hint               (:149)
+- optional(t)                → choose(t, t, identity) sugar (OptionalTreeNode)
+- coalesce(t1, t2, ...)      → first-match semi/anti cascade (CaseWhenTreeNode)
+- and_/or_(t1, ...)          → existential semi-join conj/disj (And/OrTreeNode)
+- project(...).by(...)       → struct projection + local counts (ProjectTreeNode)
+- page_rank/connected_component/label_propagation steps
+                             → subgraph()→GAE sugar (PageRankVertexProgramTreeNode
+                               et al. under compiler/.../tree/)
 - math_(expr, by)            → Catalyst arithmetic expr     (:150)
 - unfold/order_local/range_local → explode/sort_array/slice (:94,:105,:104)
 - binary JOIN family (:79,:97,:112,:136,:151,:153) — the runtime's
@@ -465,6 +472,131 @@ class Traversal:
         out.tracked = t_out.tracked and f_out.tracked
         return out
 
+    def optional(self, branch) -> "Traversal":
+        """OPTIONAL — reference tree node OptionalTreeNode.java
+        (interactive_engine/compiler/src/main/java/com/alibaba/maxgraph/
+        compiler/tree/): emit the branch's results for traversers whose
+        branch yields ≥1 result, the incoming traverser unchanged
+        otherwise — Gremlin's ``optional(t)`` ≡ ``choose(t, t,
+        identity)``. Lowers to the choose_traversal pair of identity-
+        keyed semi/anti hash joins over the shared deduped element set;
+        still one Catalyst plan."""
+        return self.choose_traversal(branch, branch, None)
+
+    def coalesce(self, *branches) -> "Traversal":
+        """COALESCE — CaseWhenTreeNode.java-family branch routing: per
+        traverser, emit the results of the FIRST branch that yields
+        any; traversers where every branch is empty are dropped.
+        Lowering: a cascade of existential semi/anti joins — branch i
+        runs over the residue that failed branches 0..i-1, each over
+        the residue's deduped element set."""
+        if not branches:
+            raise ValueError("coalesce(): needs at least one branch")
+        outs: list[Traversal] = []
+        remaining = self
+        for b in branches:
+            outs.append(b(remaining.filter_(b)))
+            remaining = remaining.not_(b)
+        kinds = {t.kind for t in outs}
+        if len(kinds) != 1:
+            raise ValueError(f"coalesce(): branches end in mixed kinds {kinds}")
+        merged = outs[0].df
+        for t in outs[1:]:
+            merged = merged.unionByName(t.df, allowMissingColumns=True)
+        out = self._next(merged, outs[0].kind)
+        out.tracked = all(t.tracked for t in outs)
+        return out
+
+    def and_(self, *branches) -> "Traversal":
+        """AND — AndTreeNode.java: keep traversers for which EVERY
+        sub-traversal yields ≥1 result. A chain of existential
+        semi-joins (filter_), each over the deduped element set."""
+        if not branches:
+            raise ValueError("and_(): needs at least one branch")
+        t = self
+        for b in branches:
+            t = t.filter_(b)
+        return t
+
+    def or_(self, *branches) -> "Traversal":
+        """OR — OrTreeNode.java: keep traversers for which ANY
+        sub-traversal yields ≥1 result. All branches run once over the
+        SHARED deduped element set; survivor keys union (deduped) and
+        one left-semi hash join restores the frontier's bag
+        multiplicity."""
+        if not branches:
+            raise ValueError("or_(): needs at least one branch")
+        self._require_v("or_")
+        src = (
+            self.df.select("oid", "label")
+            .dropDuplicates(["oid", "label"])
+            .withColumn("__as___or", F.col("oid"))
+            .withColumn("__as___or_lbl", F.col("label"))
+        )
+        produced = [
+            b(Traversal(self.pg, src, "v", False)).df.select(
+                F.col("__as___or").alias("oid"),
+                F.col("__as___or_lbl").alias("label"),
+            )
+            for b in branches
+        ]
+        keys = produced[0]
+        for p in produced[1:]:
+            keys = keys.union(p)
+        keys = keys.dropDuplicates(["oid", "label"])
+        return self._next(self.df.join(keys, ["oid", "label"], "left_semi"))
+
+    def project(self, **by) -> DataFrame:
+        """PROJECT — ProjectTreeNode-family struct projection: one
+        output row per traverser, one column per keyword (terminal
+        step). Each spec is a property name (per-label lookup join,
+        absent → NULL — project is not a filter), a Catalyst Column
+        over the frontier, or a callable sub-traversal whose
+        per-element RESULT COUNT becomes the value (the
+        ``project('x').by(out().count())`` local-count form). Counts
+        reuse the identity-keyed dedup shape of not_() so a
+        high-multiplicity bag runs each branch once per distinct
+        element."""
+        self._require_v("project")
+        if not by:
+            raise ValueError("project(): needs at least one name=spec pair")
+        df = self.df
+        for name, spec in by.items():
+            if isinstance(spec, Column):
+                df = df.withColumn(name, spec)
+            elif callable(spec):
+                src = (
+                    self.df.select("oid", "label")
+                    .dropDuplicates(["oid", "label"])
+                    .withColumn("__as___prj", F.col("oid"))
+                    .withColumn("__as___prj_lbl", F.col("label"))
+                )
+                cnt = (
+                    spec(Traversal(self.pg, src, "v", False))
+                    .df.groupBy(
+                        F.col("__as___prj").alias("oid"),
+                        F.col("__as___prj_lbl").alias("label"),
+                    )
+                    .agg(F.count("*").alias(name))
+                )
+                df = df.join(cnt, ["oid", "label"], "left").withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0))
+                )
+            else:
+                lookup_parts = [
+                    vt.select(
+                        "oid", F.lit(lbl).alias("label"), F.col(spec).alias(name)
+                    )
+                    for lbl, vt in self.pg.v_tables.items()
+                    if spec in vt.columns
+                ]
+                if not lookup_parts:
+                    raise ValueError(
+                        f"project(): no vertex label has property {spec!r}"
+                    )
+                df = df.join(_union_all(lookup_parts), ["oid", "label"], "left")
+        return df.select(*by.keys())
+
     # -- sack (per-traverser scratch value; SACK_OUT :106) -------------
     def withSack(self, init) -> "Traversal":
         """Attach a per-traverser sack (Gremlin withSack): ``init`` is a
@@ -623,6 +755,80 @@ class Traversal:
         g = LinkGraph(vertices=vmap, edges=e)
         g._cached = [vmap]  # assign_dense_ids pins it; g.unpersist() frees it
         return g
+
+    # -- traversal-embedded vertex programs -----------------------------
+    # Gremlin's pageRank()/connectedComponent()/peerPressure() steps — the
+    # reference compiles them as tree nodes wrapping the analytical
+    # engine (PageRankVertexProgramTreeNode.java / ConnectedComponent- /
+    # LpaVertexProgramTreeNode.java under interactive_engine/compiler/
+    # .../tree/). Here each is pure sugar over the existing
+    # subgraph()→GAE pipeline: materialize the traversed edges as a
+    # LinkGraph, run the algorithm, translate dense vids back to oids.
+    # Must be called on an edge frontier (the edges define the program's
+    # graph, exactly like subgraph()).
+
+    def _subgraph_result(self, values: DataFrame, g: LinkGraph) -> DataFrame:
+        out = values.join(g.vertices, "vid").select("oid", "value")
+        # result is lazily consumed by the caller; localCheckpoint would
+        # fight the session's plan-length cap less, but the vmap cache is
+        # tiny and freed with g — keep ownership with the caller via g.
+        return out
+
+    def page_rank(
+        self,
+        alpha: float = 0.85,
+        times: int | None = None,
+        tol: float = 1e-06,
+        max_iter: int = 100,
+    ) -> DataFrame:
+        """pageRank() step → (oid, value). ``times`` set runs the
+        fixed-round LDBC kernel (Gremlin's with(PageRank.times, n));
+        otherwise the L1-converged NetworkX kernel."""
+        from linkgraph.algorithms import pagerank, pagerank_nx
+
+        g = self.subgraph()
+        if times is not None:
+            r = pagerank(g, delta=alpha, max_round=times)
+        else:
+            r = pagerank_nx(g, alpha=alpha, max_iter=max_iter, tol=tol)
+        return self._subgraph_result(r, g)
+
+    def connected_component(self) -> DataFrame:
+        """connectedComponent() step → (oid, component_oid): WCC over the
+        traversed edges; the component label is translated back to the
+        oid of its representative (the dense-min vid, i.e. the
+        lexicographically smallest member oid — assign_dense_ids ranks by
+        oid)."""
+        from linkgraph.algorithms import wcc
+
+        g = self.subgraph()
+        comp = wcc(g)
+        rep = g.vertices.select(
+            F.col("vid").alias("value"), F.col("oid").alias("component_oid")
+        )
+        return (
+            comp.join(g.vertices, "vid")
+            .join(rep, "value")
+            .select("oid", "component_oid")
+        )
+
+    def label_propagation(self, times: int = 10) -> DataFrame:
+        """peerPressure()/label-propagation step → (oid, label_oid):
+        fixed-round CDLP over the traversed edges, final labels
+        translated back to their vertex oids. CDLP's dynamics depend
+        only on label equality and order, and dense ids preserve oid
+        order, so the result is remap-invariant for order-isomorphic
+        oid encodings."""
+        from linkgraph.algorithms import cdlp
+
+        g = self.subgraph()
+        lab = cdlp(g, max_round=times)
+        rep = g.vertices.select(
+            F.col("vid").alias("value"), F.col("oid").alias("label_oid")
+        )
+        return (
+            lab.join(g.vertices, "vid").join(rep, "value").select("oid", "label_oid")
+        )
 
     # -- dedup / order / limit ----------------------------------------
     def dedup(self) -> "Traversal":

@@ -399,6 +399,44 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             i = j
             continue
 
+        if s.name == "project":
+            # project('a','b').by(spec).by(spec): by() count must match;
+            # specs are property strings or __-traversals ending in count()
+            names = list(s.args)
+            if not names or not all(isinstance(a, str) for a in names):
+                raise GremlinParseError("project() takes one or more name strings")
+            bys = []
+            j = i + 1
+            while j < n and steps[j].name == "by":
+                bys.append(steps[j].args[0])
+                j += 1
+            if len(bys) != len(names):
+                raise GremlinParseError(
+                    f"project({', '.join(names)}) has {len(names)} names but "
+                    f"{len(bys)} by() modulators"
+                )
+            specs = {}
+            for name, b in zip(names, bys):
+                if isinstance(b, _Anon):
+                    if not b.steps or b.steps[-1].name != "count":
+                        raise GremlinParseError(
+                            "project().by(traversal) must end in count() — "
+                            "the local-count form is the only by-traversal "
+                            "shape supported"
+                        )
+                    inner = _Anon(b.steps[:-1])
+                    specs[name] = _anon_body(inner, text)
+                elif isinstance(b, str):
+                    specs[name] = b
+                else:
+                    raise GremlinParseError(
+                        "project() by() takes a property name or a "
+                        "__-traversal ending in count()"
+                    )
+            t = t.project(**specs)
+            i = j
+            continue
+
         # ---- plain steps ----------------------------------------------
         method = _RENAMED.get(s.name, s.name)
         if s.name == "has":
@@ -486,6 +524,22 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             t = t.union(*branches)
         elif s.name == "not":
             t = t.not_(_anon_body(s.args[0], text))
+        elif s.name == "optional":
+            if len(s.args) != 1:
+                raise GremlinParseError("optional() takes exactly one sub-traversal")
+            t = t.optional(_anon_body(s.args[0], text))
+        elif s.name == "coalesce":
+            if not s.args:
+                raise GremlinParseError("coalesce() needs at least one sub-traversal")
+            t = t.coalesce(*[_anon_body(a, text) for a in s.args])
+        elif s.name == "and":
+            if not s.args:
+                raise GremlinParseError("and() needs at least one sub-traversal")
+            t = t.and_(*[_anon_body(a, text) for a in s.args])
+        elif s.name == "or":
+            if not s.args:
+                raise GremlinParseError("or() needs at least one sub-traversal")
+            t = t.or_(*[_anon_body(a, text) for a in s.args])
         elif s.name == "limit":
             t = t.limit(int(s.args[0]))
         elif s.name == "range":

@@ -1,0 +1,188 @@
+"""Round-5 GIE steps: optional/coalesce/and/or/project (fluent + text)
+and the traversal-embedded vertex programs (pageRank / connected
+component / label propagation as sugar over subgraph()→GAE)."""
+
+from __future__ import annotations
+
+import pytest
+
+from linkgraph.gie import traversal
+from linkgraph.gremlin import GremlinParseError, gremlin
+from linkgraph.property import PropertyGraph
+
+
+@pytest.fixture(scope="module")
+def pg(spark):
+    people = spark.createDataFrame(
+        [("p1", 29), ("p2", 27), ("p3", 32), ("p4", 35)], "pid string, age int"
+    )
+    software = spark.createDataFrame(
+        [("s1", "java"), ("s2", "py")], "sid string, lang string"
+    )
+    knows = spark.createDataFrame(
+        [("p1", "p2"), ("p1", "p3"), ("p4", "p1")], "a string, b string"
+    )
+    created = spark.createDataFrame(
+        [("p1", "s1"), ("p3", "s1"), ("p3", "s2"), ("p4", "s2")],
+        "a string, b string",
+    )
+    return (
+        PropertyGraph()
+        .add_vertices(people, label="person", vid_field="pid")
+        .add_vertices(software, label="software")
+        .add_edges(knows, label="knows", src_label="person", dst_label="person")
+        .add_edges(created, label="created", src_label="person", dst_label="software")
+    )
+
+
+def _bag(t):
+    return sorted(r["oid"] for r in t.df.select("oid").collect())
+
+
+def test_optional_matches_flow_others_pass_through(pg):
+    t = traversal(pg).V("person").optional(lambda t: t.out("created"))
+    # p1→s1, p2 passes through, p3→{s1,s2}, p4→s2
+    assert _bag(t) == ["p2", "s1", "s1", "s2", "s2"]
+
+
+def test_optional_text_twin(pg):
+    df = gremlin(pg).execute(
+        "g.V('person').optional(__.out('created')).groupCount()"
+    )
+    got = {r["key"]: r["n"] for r in df.collect()}
+    assert got == {"p2": 1, "s1": 2, "s2": 2}
+
+
+def test_coalesce_first_match_wins_empty_dropped(pg):
+    t = traversal(pg).V("person").coalesce(
+        lambda t: t.out("knows"), lambda t: t.out("created")
+    )
+    # p1 has knows → p2,p3 (created NOT taken); p2 has neither → dropped;
+    # p3 has no knows → created s1,s2; p4 knows → p1
+    assert _bag(t) == ["p1", "p2", "p3", "s1", "s2"]
+
+
+def test_coalesce_identity_fallback_text(pg):
+    df = gremlin(pg).execute(
+        "g.V('person').coalesce(__.out('created'), __.identity()).groupCount()"
+    )
+    got = {r["key"]: r["n"] for r in df.collect()}
+    assert got == {"s1": 2, "s2": 2, "p2": 1}
+
+
+def test_and_requires_every_branch(pg):
+    t = traversal(pg).V("person").and_(
+        lambda t: t.out("knows"), lambda t: t.out("created")
+    )
+    assert _bag(t) == ["p1", "p4"]
+
+
+def test_or_requires_any_branch_keeps_multiplicity(pg):
+    t = traversal(pg).V("person").or_(
+        lambda t: t.out("knows"), lambda t: t.out("created")
+    )
+    assert _bag(t) == ["p1", "p3", "p4"]
+    # bag semantics: duplicate traversers survive the semi-join
+    t2 = (
+        traversal(pg)
+        .V("person")
+        .out("knows")  # p2, p3, p1
+        .or_(lambda t: t.out("created"))
+    )
+    assert _bag(t2) == ["p1", "p3"]
+
+
+def test_or_and_text(pg):
+    df = gremlin(pg).execute(
+        "g.V('person').or(__.out('knows'), __.out('created')).groupCount()"
+    )
+    assert {r["key"] for r in df.collect()} == {"p1", "p3", "p4"}
+    df = gremlin(pg).execute(
+        "g.V('person').and(__.out('knows'), __.out('created')).groupCount()"
+    )
+    assert {r["key"] for r in df.collect()} == {"p1", "p4"}
+
+
+def test_project_props_column_and_count(pg):
+    from pyspark.sql import functions as F
+
+    df = traversal(pg).V("person").project(
+        pid=F.col("oid"), a="age", nc=lambda t: t.out("created")
+    )
+    rows = {r["pid"]: (r["a"], r["nc"]) for r in df.collect()}
+    assert rows == {"p1": (29, 1), "p2": (27, 0), "p3": (32, 2), "p4": (35, 1)}
+
+
+def test_project_text_twin(pg):
+    df = gremlin(pg).execute(
+        "g.V('person').project('pid', 'a', 'nc')"
+        ".by('oid').by('age').by(__.out('created').count())"
+    )
+    rows = {r["pid"]: (r["a"], r["nc"]) for r in df.collect()}
+    assert rows == {"p1": (29, 1), "p2": (27, 0), "p3": (32, 2), "p4": (35, 1)}
+
+
+@pytest.mark.parametrize(
+    "query, hint",
+    [
+        ("g.V('person').project('a', 'b').by('age')", "names but"),
+        ("g.V('person').project('a').by(__.out('created'))", "count()"),
+        ("g.V('person').coalesce()", "at least one"),
+        ("g.V('person').optional(__.out('x'), __.out('y'))", "exactly one"),
+        ("g.V('person').and()", "at least one"),
+        ("g.V('person').or()", "at least one"),
+    ],
+)
+def test_parse_errors_are_loud_and_typed(pg, query, hint):
+    with pytest.raises(GremlinParseError, match=hint):
+        gremlin(pg).execute(query)
+
+
+# ---------------------------------------------------- vertex-program steps
+
+
+def test_pagerank_step_equals_explicit_composition(pg):
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms import pagerank
+
+    t = traversal(pg).V("person").outE("knows")
+    step = {
+        r["oid"]: r["value"]
+        for r in t.page_rank(times=3)
+        .select("oid", F.round("value", 9).alias("value"))
+        .collect()
+    }
+    sub = traversal(pg).V("person").outE("knows").subgraph()
+    explicit = {
+        r["oid"]: r["value"]
+        for r in pagerank(sub, delta=0.85, max_round=3)
+        .join(sub.vertices, "vid")
+        .select("oid", F.round("value", 9).alias("value"))
+        .collect()
+    }
+    assert step == explicit
+
+
+def test_connected_component_step(pg):
+    cc = traversal(pg).V("person").bothE("knows", "created").connected_component()
+    comp = {r["oid"]: r["component_oid"] for r in cc.collect()}
+    # everything is one component through p1/p4; representative is the
+    # lexicographically smallest member oid
+    assert set(comp) == {"p1", "p2", "p3", "p4", "s1", "s2"}
+    assert set(comp.values()) == {"p1"}
+
+
+def test_label_propagation_step_matches_explicit(pg):
+    from linkgraph.algorithms import cdlp
+
+    t = traversal(pg).V("person").outE("knows")
+    step = {r["oid"]: r["label_oid"] for r in t.label_propagation(times=2).collect()}
+    sub = traversal(pg).V("person").outE("knows").subgraph()
+    lab = cdlp(sub, max_round=2)
+    rep = sub.vertices.selectExpr("vid AS value", "oid AS label_oid")
+    explicit = {
+        r["oid"]: r["label_oid"]
+        for r in lab.join(sub.vertices, "vid").join(rep, "value").collect()
+    }
+    assert step == explicit
