@@ -46,7 +46,7 @@ from linkgraph.algorithms.mis import greedy_color, maximal_independent_set
 from linkgraph.algorithms.scc import scc, condensation
 from linkgraph.algorithms.truss import k_truss
 from linkgraph.algorithms.betweenness import betweenness_centrality
-from linkgraph.algorithms.louvain import louvain, louvain_phase1
+from linkgraph.algorithms.louvain import louvain, louvain_canonical, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
 from linkgraph.algorithms.linkpred import (
     link_prediction,
@@ -138,6 +138,7 @@ __all__ = [
     "lpa_u2i_vector",
     "sampling_path",
     "louvain",
+    "louvain_canonical",
     "louvain_phase1",
     "link_prediction",
     "jaccard_coefficient",

@@ -246,3 +246,75 @@ def louvain(
         ).localCheckpoint(eager=True)
 
     return membership.select("vid", F.col("cur").alias("value"))
+
+
+def louvain_canonical(
+    graph: LinkGraph, rounds_per_phase: int = 4, phases: int = 2
+) -> DataFrame:
+    """Fully deterministic multi-phase Louvain — the hash-oracled face of
+    the contraction pipeline (``louvain`` stays the convergence-driven
+    fast variant; its round counts are data-dependent and its labels
+    order-dependent, so it remains rows-only).
+
+    Each phase runs EXACTLY ``rounds_per_phase`` parity-damped
+    synchronous local-move rounds (the ``_round_moves`` recurrence with
+    ties to the smallest community id), canonicalizes every community to
+    its **min member vid**, folds the assignment into the original-vid
+    membership, then contracts on the canonical ids (parallel edge
+    weights summed, intra-community weight becoming self-loops — which
+    the symmetric-table degree sum counts with the standard 2·w_self
+    multiplicity automatically). Σw is contraction-invariant, so m is
+    computed once. Every quantity is an integer-valued double, every
+    tie-break ordered, every round count fixed: an unrolled SQL twin
+    replays it bit-for-bit across engines.
+
+    Returns (vid, value) over all original vertices; value = the min
+    original member vid of the final community; isolated vertices keep
+    their own vid.
+    """
+    und = graph.simple_undirected_edges()
+    edges_w = (
+        und.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), F.lit(1.0).alias("w"))
+        .union(und.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), F.lit(1.0).alias("w")))
+    ).localCheckpoint(eager=True)
+    m2 = edges_w.agg(F.sum("w")).first()[0] or 0.0
+    if m2 == 0:
+        return graph.vertices.select("vid", F.col("vid").alias("value"))
+    m = m2 / 2.0
+
+    membership = graph.vertices.select("vid", F.col("vid").alias("cur"))
+    for phase in range(phases):
+        deg = edges_w.groupBy("src").agg(F.sum("w").alias("k")).select(
+            F.col("src").alias("vid"), "k"
+        )
+        verts = edges_w.select(F.col("src").alias("vid")).distinct()
+        assign = verts.select("vid", F.col("vid").alias("comm")).localCheckpoint(eager=True)
+        for rnd in range(rounds_per_phase):
+            moves = _round_moves(edges_w, deg, assign, m, rnd % 2)
+            assign = (
+                assign.join(moves, "vid", "left")
+                .select("vid", F.coalesce("new_comm", F.col("comm")).alias("comm"))
+                .localCheckpoint(eager=True)
+            )
+        canon = assign.groupBy("comm").agg(F.min("vid").alias("canon"))
+        assign_c = assign.join(canon, "comm").select(
+            "vid", F.col("canon").alias("comm")
+        ).localCheckpoint(eager=True)
+        membership = (
+            membership.join(
+                assign_c.select(F.col("vid").alias("cur"), "comm"), "cur", "left"
+            )
+            .select("vid", F.coalesce("comm", F.col("cur")).alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        if phase < phases - 1:
+            a = assign_c.select(F.col("vid").alias("src"), F.col("comm").alias("c_src"))
+            b = assign_c.select(F.col("vid").alias("dst"), F.col("comm").alias("c_dst"))
+            edges_w = (
+                edges_w.join(a, "src")
+                .join(b, "dst")
+                .groupBy(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+                .agg(F.sum("w").alias("w"))
+            ).localCheckpoint(eager=True)
+
+    return membership.select("vid", F.col("cur").alias("value"))

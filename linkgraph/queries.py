@@ -12,9 +12,13 @@ Rows-only entries (no SQL oracle), each justified:
   are not SQL-unrollable; verified BY COMPOSITION (input edge table is
   oracle-green via ``corpus_edges``; the kernels are oracle-green via
   ``g_pagerank_r3``/``g_wcc`` and convergence pytest oracles).
-- ``g_louvain`` — local-move order is engine-specific; community IDs are
-  not stable across implementations. pytest checks community structure
-  and a quantitative modularity bound instead (tests/test_louvain.py).
+- ``g_louvain`` — the convergence-driven FAST variant only: its
+  data-dependent round counts make labels engine-specific. pytest checks
+  community structure and a quantitative modularity bound instead
+  (tests/test_louvain.py). The multi-phase contraction pipeline itself
+  IS hash-verified via ``g_louvain_full`` (louvain_canonical: fixed
+  rounds per phase + min-member-vid contraction ids, two-phase unrolled
+  oracle in queries_r5.py) and phase-1 via ``g_louvain_p1``.
 - ``g_dfs`` — discovery order requires sequential stack semantics DuckDB
   recursive CTEs cannot express without enumerating all simple paths
   (exponential). pytest checks it against an independent driver-side DFS.

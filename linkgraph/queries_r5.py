@@ -50,7 +50,112 @@ def _gie_algo_graph(spark, sf_dir):
     )
 
 
+def _louvain_canonical_sql(rounds: int, phases: int) -> str:
+    """Unrolled SQL twin of louvain_canonical: ``phases`` ×
+    ``rounds``-round parity-damped local moving, min-member-vid
+    canonicalization, contraction between phases. The per-round CTE
+    chain mirrors _louvain_p1_sql (gain expression textually identical —
+    ΔQ must associate the same way in both engines); phase ≥1 adds the
+    self-loop exclusion the Spark kernel applies in _round_moves and
+    carries the contracted weighted edge table. Σw is contraction-
+    invariant so one mm CTE serves every phase."""
+    from linkgraph import queries as Q
+
+    ctes = [
+        f"e AS MATERIALIZED ({Q._EDGES_SQL})",
+        "su AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi"
+        " FROM e WHERE src <> dst)",
+        "ew_0 AS MATERIALIZED (SELECT lo AS src, hi AS dst, 1.0 AS w FROM su"
+        " UNION ALL SELECT hi AS src, lo AS dst, 1.0 AS w FROM su)",
+        "mm AS MATERIALIZED (SELECT sum(w) / 2 AS m FROM ew_0)",
+    ]
+    for ph in range(phases):
+        ew = f"ew_{ph}"
+        if ph > 0:
+            prev = ph - 1
+            ctes.append(
+                f"""{ew} AS MATERIALIZED (
+    SELECT pa.comm AS src, pb.comm AS dst, sum(e.w) AS w
+    FROM ew_{prev} e
+    JOIN pc_{prev} pa ON pa.vid = e.src
+    JOIN pc_{prev} pb ON pb.vid = e.dst
+    GROUP BY 1, 2)"""
+            )
+        ctes += [
+            f"deg_{ph} AS MATERIALIZED (SELECT src AS vid, sum(w) AS k FROM {ew} GROUP BY src)",
+            f"a_{ph}_0 AS MATERIALIZED (SELECT DISTINCT src AS vid, src AS comm FROM {ew})",
+        ]
+        noself = " WHERE e.src <> e.dst" if ph > 0 else ""
+        for r in range(rounds):
+            parity = r % 2
+            ctes += [
+                f"""tot_{ph}_{r} AS MATERIALIZED (
+    SELECT a.comm, sum(d.k) AS tot FROM a_{ph}_{r} a JOIN deg_{ph} d ON d.vid = a.vid
+    GROUP BY a.comm)""",
+                f"""nbr_{ph}_{r} AS MATERIALIZED (
+    SELECT e.src AS vid, a.comm AS c_nbr, sum(e.w) AS k_in
+    FROM {ew} e JOIN a_{ph}_{r} a ON a.vid = e.dst{noself} GROUP BY e.src, a.comm)""",
+                f"""cand_{ph}_{r} AS MATERIALIZED (
+    SELECT n.vid, a.comm, n.c_nbr,
+           n.k_in / mm.m
+             - d.k * (t.tot - CASE WHEN n.c_nbr = a.comm THEN d.k ELSE 0.0 END)
+               / (2.0 * mm.m * mm.m) AS gain
+    FROM nbr_{ph}_{r} n
+    JOIN deg_{ph} d ON d.vid = n.vid
+    JOIN a_{ph}_{r} a ON a.vid = n.vid
+    JOIN tot_{ph}_{r} t ON t.comm = n.c_nbr
+    CROSS JOIN mm)""",
+                f"""best_{ph}_{r} AS MATERIALIZED (
+    SELECT vid, comm, gain, c_nbr AS best_c FROM (
+      SELECT *, row_number() OVER (PARTITION BY vid ORDER BY gain DESC, c_nbr ASC) AS rn
+      FROM cand_{ph}_{r}) WHERE rn = 1)""",
+                f"""stay_{ph}_{r} AS MATERIALIZED (
+    SELECT vid, gain AS stay_gain FROM cand_{ph}_{r} WHERE c_nbr = comm)""",
+                f"""mv_{ph}_{r} AS MATERIALIZED (
+    SELECT b.vid, b.best_c AS new_comm
+    FROM best_{ph}_{r} b LEFT JOIN stay_{ph}_{r} s ON s.vid = b.vid
+    WHERE b.vid % 2 = {parity} AND b.best_c <> b.comm
+      AND b.gain > coalesce(s.stay_gain, 0.0) + 1e-12)""",
+                f"""a_{ph}_{r + 1} AS MATERIALIZED (
+    SELECT a.vid, coalesce(mv.new_comm, a.comm) AS comm
+    FROM a_{ph}_{r} a LEFT JOIN mv_{ph}_{r} mv ON mv.vid = a.vid)""",
+            ]
+        ctes.append(
+            f"""pc_{ph} AS MATERIALIZED (
+    SELECT a.vid, c.canon AS comm
+    FROM a_{ph}_{rounds} a
+    JOIN (SELECT comm, min(vid) AS canon FROM a_{ph}_{rounds} GROUP BY comm) c
+      ON c.comm = a.comm)"""
+        )
+    joins, final = [], "v.vid"
+    prev_key = "v.vid"
+    for ph in range(phases):
+        joins.append(f"LEFT JOIN pc_{ph} x{ph} ON x{ph}.vid = {prev_key}")
+        prev_key = f"x{ph}.comm"
+        final = f"coalesce(x{ph}.comm, {final})"
+    return f"""
+  WITH {', '.join(ctes)},
+  verts AS ({Q._VERTS_SQL})
+  SELECT v.vid, {final}::BIGINT AS comm
+  FROM verts v
+  {' '.join(joins)}"""
+
+
 # ---------------------------------------------------------------- queries
+
+
+def q_louvain_full(spark, sf_dir):
+    """Canonical multi-phase Louvain (2 phases × 4 fixed parity-damped
+    rounds, min-member-vid contraction ids) — the deterministic,
+    hash-oracled face of the contraction pipeline; the convergence-
+    driven ``louvain`` fast variant stays rows-only."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import louvain_canonical
+
+    g = Q._oracle_graph(spark, sf_dir)
+    return louvain_canonical(g, rounds_per_phase=4, phases=2).select(
+        "vid", F.col("value").cast("long").alias("comm")
+    )
 
 
 def q_gie_optional(spark, sf_dir):
@@ -192,6 +297,7 @@ def register(
             "gie_pagerank_step": q_gie_pagerank_step,
             "gie_wcc_step": q_gie_wcc_step,
             "gie_lpa_step": q_gie_lpa_step,
+            "g_louvain_full": q_louvain_full,
         }
     )
     oracle_sql.update(
@@ -230,5 +336,6 @@ def register(
             "gie_pagerank_step": Q.ORACLE_SQL["g_pagerank_r3"],
             "gie_wcc_step": Q.ORACLE_SQL["g_wcc"],
             "gie_lpa_step": Q.ORACLE_SQL["g_cdlp_r2"],
+            "g_louvain_full": _louvain_canonical_sql(4, 2),
         }
     )

@@ -58,3 +58,56 @@ def test_louvain_three_components(spark):
         frozenset({10, 11, 12}),
         frozenset({20, 21, 22}),
     }
+
+
+def test_louvain_canonical_planted_partition(spark):
+    """Two dense 5-cliques joined by one bridge edge: the canonical
+    two-phase pipeline must recover the planted communities, labeled by
+    min member vid, with every original vertex present."""
+    import itertools
+
+    from linkgraph.algorithms.louvain import louvain_canonical
+    from linkgraph.graph import graph_from_edge_vids
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    g = graph_from_edge_vids(spark, c1 + c2 + [(0, 10)])
+    got = {r["vid"]: r["value"] for r in louvain_canonical(g).collect()}
+    assert set(got) == set(range(5)) | set(range(10, 15))
+    assert {got[v] for v in range(5)} == {0}
+    assert {got[v] for v in range(10, 15)} == {10}
+
+
+def test_louvain_canonical_modularity_not_worse_than_phase1(spark):
+    """Contraction phases may only improve (or match) phase-1 modularity
+    on the oracle graph shape — checked on a ring-of-cliques where
+    phase 2 genuinely merges."""
+    import itertools
+
+    from linkgraph.algorithms.louvain import (
+        _modularity,
+        louvain_canonical,
+        louvain_phase1,
+    )
+    from linkgraph.graph import graph_from_edge_vids
+    from pyspark.sql import functions as F
+
+    # 4 triangles chained in a ring through single bridges
+    edges = []
+    for b in range(4):
+        base = b * 3
+        edges += list(itertools.combinations(range(base, base + 3), 2))
+        edges.append((base + 2, (base + 3) % 12))
+    g = graph_from_edge_vids(spark, edges)
+    und = g.simple_undirected_edges()
+    ew = und.selectExpr("lo AS src", "hi AS dst", "CAST(1.0 AS DOUBLE) AS w").union(
+        und.selectExpr("hi AS src", "lo AS dst", "CAST(1.0 AS DOUBLE) AS w")
+    )
+    m2 = ew.agg(F.sum("w")).first()[0]
+    q1 = _modularity(
+        ew, louvain_phase1(g, rounds=4).selectExpr("vid", "value AS comm"), m2
+    )
+    qc = _modularity(
+        ew, louvain_canonical(g, 4, 2).selectExpr("vid", "value AS comm"), m2
+    )
+    assert qc >= q1 - 1e-12
