@@ -44,7 +44,7 @@ from linkgraph.algorithms.assortativity import (
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.mis import greedy_color, maximal_independent_set
 from linkgraph.algorithms.scc import scc, condensation
-from linkgraph.algorithms.truss import k_truss
+from linkgraph.algorithms.truss import k_truss, truss_decomposition
 from linkgraph.algorithms.betweenness import betweenness_centrality
 from linkgraph.algorithms.louvain import louvain, louvain_canonical, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
@@ -90,6 +90,7 @@ __all__ = [
     "cdlp",
     "greedy_color",
     "k_truss",
+    "truss_decomposition",
     "maximal_independent_set",
     "triangles",
     "triangle_total",

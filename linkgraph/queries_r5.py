@@ -280,6 +280,21 @@ def q_gie_lpa_step(spark, sf_dir):
     )
 
 
+def q_ktruss_fast(spark, sf_dir):
+    """4-truss via the h-index fast tier (truss_decomposition filtered at
+    trussness ≥ 4) on the same sparsified edge set as g_ktruss — same
+    canonical fixpoint, so the SAME unrolled peel oracle must hash-match;
+    no per-round wedge re-enumeration (triangles materialize once)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import k_truss
+    from linkgraph.graph import LinkGraph
+
+    g = Q._oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    sparse = LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+    return k_truss(sparse, k=4, method="hindex")
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -298,6 +313,7 @@ def register(
             "gie_wcc_step": q_gie_wcc_step,
             "gie_lpa_step": q_gie_lpa_step,
             "g_louvain_full": q_louvain_full,
+            "g_ktruss_fast": q_ktruss_fast,
         }
     )
     oracle_sql.update(
@@ -337,5 +353,6 @@ def register(
             "gie_wcc_step": Q.ORACLE_SQL["g_wcc"],
             "gie_lpa_step": Q.ORACLE_SQL["g_cdlp_r2"],
             "g_louvain_full": _louvain_canonical_sql(4, 2),
+            "g_ktruss_fast": Q.ORACLE_SQL["g_ktruss"],
         }
     )

@@ -156,3 +156,40 @@ def test_onion_layers_orders_core_peel(spark):
         for v in od:
             if cn[u] < cn[v]:
                 assert od[u] <= od[v]
+
+
+def test_hindex_tier_matches_peel(spark):
+    """The h-index fast tier must produce the identical k-truss edge set
+    as synchronous peeling, across k, on rmat graphs."""
+    for gseed in (1, 7):
+        edges = rmat_edges(n_vertices=50, n_edges=350, seed=gseed)
+        g = graph_from_edge_vids(spark, edges)
+        for k in (3, 4, 5):
+            peel = {(r["lo"], r["hi"]) for r in k_truss(g, k).collect()}
+            fast = {
+                (r["lo"], r["hi"]) for r in k_truss(g, k, method="hindex").collect()
+            }
+            assert fast == peel, f"seed={gseed} k={k}"
+
+
+def test_truss_decomposition_values(spark):
+    """trussness(e) = max k with e in the k-truss — cross-checked against
+    the python peel at every k; triangle-free edges get 2."""
+    from linkgraph.algorithms import truss_decomposition
+
+    edges = rmat_edges(n_vertices=40, n_edges=250, seed=3) + [(100, 101)]
+    g = graph_from_edge_vids(spark, edges)
+    got = {
+        (r["lo"], r["hi"]): r["trussness"] for r in truss_decomposition(g).collect()
+    }
+    assert got[(100, 101)] == 2
+    kmax = max(got.values())
+    for k in range(3, kmax + 2):
+        expect = py_ktruss(edges, k)
+        assert {e for e, t in got.items() if t >= k} == expect, f"k={k}"
+
+
+def test_unknown_method_rejected(spark):
+    g = graph_from_edge_vids(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="unknown method"):
+        k_truss(g, 3, method="magic")
