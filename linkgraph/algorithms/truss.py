@@ -37,6 +37,9 @@ from linkgraph.graph import LinkGraph
 
 # rounds taken by the most recent k_truss call (tests / oracle sizing)
 LAST_ROUNDS: int | None = None
+# per-iteration wall seconds of the most recent truss_decomposition call
+# (bench instrumentation — BENCH/run_truss_hindex.py)
+LAST_ITER_SECS: list[float] | None = None
 
 
 def k_truss(
@@ -135,10 +138,15 @@ def truss_decomposition(graph: LinkGraph, max_iters: int = 100) -> DataFrame:
         .union(tri.select("e3", "e1", "e2"))
     ).localCheckpoint(eager=True)
 
+    global LAST_ITER_SECS
+    LAST_ITER_SECS = []
+    import time as _time
+
     est = inc.groupBy("e").agg(F.count("*").cast("int").alias("est")).localCheckpoint(
         eager=True
     )
     for _ in range(max_iters):
+        _t0 = _time.time()
         contrib = (
             inc.join(est.select(F.col("e").alias("o1"), F.col("est").alias("s1")), "o1")
             .join(est.select(F.col("e").alias("o2"), F.col("est").alias("s2")), "o2")
@@ -162,6 +170,7 @@ def truss_decomposition(graph: LinkGraph, max_iters: int = 100) -> DataFrame:
             .count()
         )
         est = new_est
+        LAST_ITER_SECS.append(_time.time() - _t0)
         if changed == 0:
             break
     else:

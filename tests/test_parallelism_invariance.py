@@ -68,3 +68,25 @@ def test_fast_tier_block_count_invariant(spark):
     for p in (5, 8):
         assert {r["vid"]: r["value"] for r in sssp_csr(g, src=0, num_blocks=p).collect()} == sssp_ref
         assert {r["vid"]: r["value"] for r in cdlp_csr(g, max_round=4, num_blocks=p).collect()} == cdlp_ref
+
+
+def test_sampled_estimators_parallelism_invariant(spark):
+    """Sampled betweenness (k-root rescale) and sampled-target harmonic
+    must be partitioning-invariant: the root/target sample is chosen by
+    vid arithmetic, not by partition, so results are exact across
+    repartitioned copies (the N vs 4N premise for the estimator tier)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms import betweenness_centrality, harmonic_centrality
+
+    edges = rmat_edges(100, 500, seed=11)
+    res_b, res_h = [], []
+    for g in _variants(spark, edges):
+        srcs = g.vertices.where(F.col("vid") % 5 == 0).select("vid")
+        res_b.append(
+            {r["vid"]: round(r["value"], 12) for r in
+             betweenness_centrality(g, sources=srcs).collect()}
+        )
+        res_h.append(_d(harmonic_centrality(g, sources=srcs)))
+    assert res_b[0] == res_b[1] == res_b[2]
+    assert res_h[0] == res_h[1] == res_h[2]
