@@ -94,9 +94,13 @@ class Traversal:
     df: DataFrame
     kind: str  # 'v' | 'e'
     tracked: bool = False  # vertex-path tracking on (withPath())
+    # named side-effect collections (aggregate()/store(), read by cap())
+    side_effects: dict | None = None
 
     def _next(self, df: DataFrame, kind: str | None = None) -> "Traversal":
-        return Traversal(self.pg, df, kind or self.kind, self.tracked)
+        return Traversal(
+            self.pg, df, kind or self.kind, self.tracked, self.side_effects
+        )
 
     # -- path tracking (PATH_OUT :95 / SIMPLE_PATH :98) ----------------
     def withPath(self) -> "Traversal":
@@ -830,6 +834,104 @@ class Traversal:
             lab.join(g.vertices, "vid").join(rep, "value").select("oid", "label_oid")
         )
 
+    def shortest_path(self, source_oid: str) -> DataFrame:
+        """shortestPath() step (ShortestPathVertexProgramTreeNode.java /
+        ShortestPathTreeNode.java): hop distances from ``source_oid``
+        over the traversed edges → (oid, value); unreachable vertices
+        carry -1 (the GAE BFS convention). The reference's default VP is
+        likewise unweighted hop distance."""
+        from linkgraph.algorithms import bfs
+
+        g = self.subgraph()
+        src = g.vertices.where(F.col("oid") == source_oid).select("vid").first()
+        if src is None:
+            g.unpersist()
+            raise ValueError(
+                f"shortest_path({source_oid!r}): source not in the traversed subgraph"
+            )
+        return self._subgraph_result(bfs(g, src=src["vid"]), g)
+
+    def hits_step(self, max_round: int = 100, tolerance: float = 0.01) -> DataFrame:
+        """hits() step (HitsVertexProgramTreeNode.java /
+        HitsTreeNode.java): hub/authority scores over the traversed
+        edges → (oid, hub, auth)."""
+        from linkgraph.algorithms import hits
+
+        g = self.subgraph()
+        h = hits(g, tolerance=tolerance, max_round=max_round)
+        return h.join(g.vertices, "vid").select("oid", "hub", "auth")
+
+    # -- side-effect collections / barriers -----------------------------
+    # aggregate()/store()/cap() — the reference compiles these through
+    # AggregationListTreeNode.java / StoreTreeNode.java (interactive_
+    # engine/compiler/.../tree/); barrier() via BarrierTreeNode.java.
+
+    def aggregate(self, name: str) -> "Traversal":
+        """aggregate(name): snapshot the current vertex frontier's oids
+        (with duplicates — one per traverser) into the named side-effect
+        collection, then continue traversing. Gremlin's aggregate() is
+        the EAGER collecting barrier; in this batch dataflow every step
+        is already frontier-synchronous, so the eager part that remains
+        meaningful is pinning the snapshot — localCheckpoint cuts its
+        lineage so later steps can't re-derive it differently."""
+        self._require_v("aggregate")
+        snap = self.df.select("oid").localCheckpoint(eager=True)
+        out = self._next(self.df)
+        out.side_effects = {**(self.side_effects or {}), name: snap}
+        return out
+
+    def store(self, name: str) -> "Traversal":
+        """store(name) (StoreTreeNode.java): the LAZY sibling of
+        aggregate() — records the collection as a plan reference without
+        materializing; it resolves when cap() is consumed. Same result,
+        different evaluation time (exactly the Gremlin lazy/eager
+        split)."""
+        self._require_v("store")
+        out = self._next(self.df)
+        out.side_effects = {
+            **(self.side_effects or {}),
+            name: self.df.select("oid"),
+        }
+        return out
+
+    def cap(self, name: str) -> DataFrame:
+        """cap(name): emit the named side-effect collection as one row —
+        ``value: array<string>``, sorted (Gremlin's bulk-set order is
+        stream order, undefined across partitions; we pin the
+        deterministic one, as fold() does)."""
+        if not self.side_effects or name not in self.side_effects:
+            raise ValueError(f"cap({name!r}): no such side-effect collection")
+        return self.side_effects[name].agg(
+            F.array_sort(F.collect_list("oid")).alias("value")
+        )
+
+    def barrier(self) -> "Traversal":
+        """barrier() (BarrierTreeNode.java): a full-frontier
+        synchronization point. Every step here is already one, so the
+        surviving effect is the materialization/lineage cut — which is
+        also the practical use mid-long-chain (caps the plan the next
+        join sees)."""
+        return self._next(self.df.localCheckpoint(eager=True))
+
+    # -- token / constant map steps --------------------------------------
+    def constant(self, value) -> DataFrame:
+        """constant(v) (ConstantTreeNode.java): map every traverser to
+        the literal — one ``value`` row per traverser."""
+        return self.df.select(F.lit(value).alias("value"))
+
+    def id_(self) -> DataFrame:
+        """T.id token (TokenTreeNode.java): element identity — the oid
+        for vertices, ``src->dst`` for edges."""
+        if self.kind == "v":
+            return self.df.select(F.col("oid").alias("value"))
+        return self.df.select(
+            F.concat_ws("->", "src_oid", "dst_oid").alias("value")
+        )
+
+    def label(self) -> DataFrame:
+        """T.label token: the element's label."""
+        return self.df.select(F.col("label").alias("value"))
+
     # -- dedup / order / limit ----------------------------------------
     def dedup(self) -> "Traversal":
         """DEDUP by element identity (oid/endpoints), not by path or step
@@ -1185,6 +1287,13 @@ def range_local(df: DataFrame, low: int, high: int, col: str = "value") -> DataF
     """RANGE_LOCAL (query_flow.proto:104): keep elements [low, high) of
     each traverser's collection — per-row ``slice``, no shuffle."""
     return df.withColumn(col, F.slice(F.col(col), low + 1, high - low))
+
+
+def count_local(df: DataFrame, col: str = "value") -> DataFrame:
+    """count(Scope.local) (CountLocalTreeNode.java): the size of each
+    traverser's collection — per-row ``size``, no shuffle (vs the global
+    COUNT barrier)."""
+    return df.withColumn(col, F.size(F.col(col)).cast("long"))
 
 
 def traversal(pg: PropertyGraph) -> "GraphTraversalSource":

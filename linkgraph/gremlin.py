@@ -546,6 +546,22 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             t = t.range_(int(s.args[0]), int(s.args[1]))
         elif s.name == "sample":
             t = t.sample(int(s.args[0]))
+        elif s.name in ("aggregate", "store"):
+            if len(s.args) != 1 or not isinstance(s.args[0], str):
+                raise GremlinParseError(f"{s.name}() takes one collection name")
+            t = getattr(t, s.name)(s.args[0])
+        elif s.name == "cap":
+            if len(s.args) != 1 or not isinstance(s.args[0], str):
+                raise GremlinParseError("cap() takes one collection name")
+            t = t.cap(s.args[0])
+        elif s.name == "barrier":
+            t = t.barrier()
+        elif s.name == "constant":
+            t = t.constant(s.args[0])
+        elif s.name == "id":
+            t = t.id_()
+        elif s.name == "label":
+            t = t.label()
         elif s.name in ("times", "emit", "until", "by"):
             raise GremlinParseError(f"{s.name}() must follow the step it modulates")
         else:

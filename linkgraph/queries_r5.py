@@ -295,6 +295,102 @@ def q_ktruss_fast(spark, sf_dir):
     return k_truss(sparse, k=4, method="hindex")
 
 
+def q_gie_aggregate_cap(spark, sf_dir):
+    """aggregate('x')…cap('x') through the TEXT front-end
+    (AggregationListTreeNode.java): collect the BUILDING customers'
+    order stream into the named side-effect collection, emit it with
+    cap(), then unfold back to rows (the driver gate compares scalar
+    columns; tests/test_gie.py asserts the folded array itself)."""
+    from linkgraph import queries as Q
+    from linkgraph.gie import unfold
+    from linkgraph.gremlin import gremlin
+
+    q = gremlin(Q._gie_graph(spark, sf_dir))
+    capped = q.execute(
+        "g.V('customer').has('c_mktsegment', 'BUILDING')"
+        ".out('placed').aggregate('x').cap('x')"
+    )
+    return unfold(capped).select(F.col("value").alias("oid"))
+
+
+def q_gie_barrier(spark, sf_dir):
+    """barrier() (BarrierTreeNode.java) mid-chain through the TEXT
+    front-end: a synchronization/materialization point that must be
+    semantics-neutral — the oracle is the barrier-free equivalent."""
+    from linkgraph import queries as Q
+    from linkgraph.gremlin import gremlin
+
+    q = gremlin(Q._gie_graph(spark, sf_dir))
+    t = q.execute(
+        "g.V('customer').has('c_mktsegment', 'BUILDING').barrier()"
+        ".out('placed').has('o_orderstatus', 'F')"
+    )
+    return t.select("oid")
+
+
+def q_gie_tokens(spark, sf_dir):
+    """T.id on an edge frontier through the TEXT front-end
+    (TokenTreeNode.java): every placed edge's identity as
+    ``src->dst``."""
+    from linkgraph import queries as Q
+    from linkgraph.gremlin import gremlin
+
+    q = gremlin(Q._gie_graph(spark, sf_dir))
+    return q.execute("g.V('customer').outE('placed').id()")
+
+
+def q_gie_count_local(spark, sf_dir):
+    """count(Scope.local) (CountLocalTreeNode.java): fold the BUILDING
+    customers' orders into one collection, then size it per-row — no
+    shuffle past the fold."""
+    from linkgraph import queries as Q
+    from linkgraph.gie import count_local, traversal
+
+    g = traversal(Q._gie_graph(spark, sf_dir))
+    folded = (
+        g.V("customer").has("c_mktsegment", "BUILDING").out("placed").fold()
+    )
+    return count_local(folded).select(F.col("value").alias("n"))
+
+
+def q_gie_sssp_step(spark, sf_dir):
+    """Traversal-embedded shortestPath() step
+    (ShortestPathVertexProgramTreeNode.java): traverse the 'link'
+    edges, subgraph(), BFS hop distances from the min-vid source —
+    hash-matching the SAME oracle as the explicit g_bfs composition
+    (dense remap is order-isomorphic; BFS is purely structural)."""
+    from linkgraph import queries as Q
+    from linkgraph.gie import traversal
+
+    g = Q._oracle_graph(spark, sf_dir)
+    src = g.vertices.agg(F.min("vid")).first()[0]
+    t = traversal(_gie_algo_graph(spark, sf_dir))
+    d = t.V("node").outE("link").shortest_path(f"{src:06d}")
+    return (
+        d.where(F.col("value") >= 0)
+        .select(
+            F.col("oid").cast("long").alias("vid"),
+            F.col("value").cast("long").alias("depth"),
+        )
+    )
+
+
+def q_gie_hits_step(spark, sf_dir):
+    """Traversal-embedded hits() step (HitsVertexProgramTreeNode.java):
+    subgraph()→2-round HITS (tolerance=0 pins the round count exactly
+    like g_hits_r2) — hub/auth are structural, so the dense remap is
+    score-neutral and the SAME oracle applies."""
+    from linkgraph.gie import traversal
+
+    t = traversal(_gie_algo_graph(spark, sf_dir))
+    h = t.V("node").outE("link").hits_step(tolerance=0.0, max_round=2)
+    return h.select(
+        F.col("oid").cast("long").alias("vid"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -304,6 +400,12 @@ def register(
 
     queries.update(
         {
+            "gie_aggregate_cap": q_gie_aggregate_cap,
+            "gie_barrier": q_gie_barrier,
+            "gie_tokens": q_gie_tokens,
+            "gie_count_local": q_gie_count_local,
+            "gie_sssp_step": q_gie_sssp_step,
+            "gie_hits_step": q_gie_hits_step,
             "gie_optional": q_gie_optional,
             "gie_coalesce": q_gie_coalesce,
             "gie_and": q_gie_and,
@@ -318,6 +420,23 @@ def register(
     )
     oracle_sql.update(
         {
+            "gie_aggregate_cap": """
+  SELECT 'o' || o_orderkey AS oid
+  FROM orders o JOIN customer c
+    ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'""",
+            "gie_barrier": """
+  SELECT 'o' || o_orderkey AS oid
+  FROM orders o JOIN customer c
+    ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+  WHERE o.o_orderstatus = 'F'""",
+            "gie_tokens": """
+  SELECT 'c' || o_custkey || '->o' || o_orderkey AS value FROM orders""",
+            "gie_count_local": """
+  SELECT count(*)::BIGINT AS n
+  FROM orders o JOIN customer c
+    ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'""",
+            "gie_sssp_step": Q.ORACLE_SQL["g_bfs"],
+            "gie_hits_step": Q.ORACLE_SQL["g_hits_r2"],
             "gie_optional": """
   SELECT 'o' || o_orderkey AS oid
   FROM orders o JOIN customer c

@@ -186,3 +186,37 @@ def test_label_propagation_step_matches_explicit(pg):
         for r in lab.join(sub.vertices, "vid").join(rep, "value").collect()
     }
     assert step == explicit
+
+
+def test_shortest_path_step(pg):
+    d = traversal(pg).V("person").outE("knows").shortest_path("p4")
+    got = {r["oid"]: r["value"] for r in d.collect()}
+    assert got == {"p4": 0, "p1": 1, "p2": 2, "p3": 2}
+
+
+def test_shortest_path_step_missing_source(pg):
+    with pytest.raises(ValueError, match="not in the traversed subgraph"):
+        traversal(pg).V("person").outE("knows").shortest_path("nope")
+
+
+def test_hits_step_equals_explicit_composition(pg):
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms import hits
+
+    t = traversal(pg).V("person").outE("knows")
+    step = {
+        r["oid"]: (r["hub"], r["auth"])
+        for r in t.hits_step(tolerance=0.0, max_round=2)
+        .select("oid", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth"))
+        .collect()
+    }
+    sub = traversal(pg).V("person").outE("knows").subgraph()
+    explicit = {
+        r["oid"]: (r["hub"], r["auth"])
+        for r in hits(sub, tolerance=0.0, max_round=2)
+        .join(sub.vertices, "vid")
+        .select("oid", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth"))
+        .collect()
+    }
+    assert step == explicit

@@ -423,3 +423,47 @@ def test_text_match_pattern_shape_errors(pg):
 def test_text_choose_arity_error(pg):
     with pytest.raises(GremlinParseError, match="choose"):
         gremlin(pg).execute("g.V().choose(__.out('knows'))")
+
+
+def test_text_aggregate_cap_and_store(pg):
+    got = gremlin(pg).execute("g.V('person').out('knows').aggregate('x').cap('x')")
+    assert [r["value"] for r in got.collect()] == [["p1", "p2", "p3"]]
+    # store() is the lazy sibling (StoreTreeNode.java) — same collection
+    got2 = gremlin(pg).execute("g.V('person').out('knows').store('x').cap('x')")
+    assert got.collect() == got2.collect()
+
+
+def test_text_aggregate_keeps_traversing(pg):
+    # aggregate() is a side-effect step: the main stream continues
+    got = gremlin(pg).execute(
+        "g.V('person').aggregate('seen').out('created').groupCount()"
+    )
+    assert {r["key"]: r["n"] for r in got.collect()} == {"s1": 2, "s2": 2}
+
+
+def test_text_barrier_is_semantics_neutral(pg):
+    with_b = gremlin(pg).execute("g.V('person').barrier().out('created')")
+    without = gremlin(pg).execute("g.V('person').out('created')")
+    assert sorted(map(tuple, with_b.collect())) == sorted(
+        map(tuple, without.collect())
+    )
+
+
+def test_text_constant_and_tokens(pg):
+    c = gremlin(pg).execute("g.V('software').constant(7)")
+    assert [r["value"] for r in c.collect()] == [7, 7]
+    ids = gremlin(pg).execute("g.V('person').outE('created').id()")
+    assert sorted(r["value"] for r in ids.collect()) == [
+        "p1->s1", "p3->s1", "p3->s2", "p4->s2",
+    ]
+    labs = gremlin(pg).execute("g.V('software').label()")
+    assert [r["value"] for r in labs.collect()] == ["software", "software"]
+
+
+def test_text_sideeffect_parse_errors(pg):
+    with pytest.raises(GremlinParseError, match="collection name"):
+        gremlin(pg).execute("g.V().aggregate()")
+    with pytest.raises(GremlinParseError, match="collection name"):
+        gremlin(pg).execute("g.V().cap()")
+    with pytest.raises(ValueError, match="no such side-effect"):
+        gremlin(pg).execute("g.V().cap('missing')")
