@@ -8,7 +8,7 @@ Join ``LinkGraph.vertices`` on ``vid`` for oids (ADD_COLUMN analog).
 
 from linkgraph.algorithms.pagerank import pagerank, pagerank_nx
 from linkgraph.algorithms.wcc import wcc
-from linkgraph.algorithms.cdlp import cdlp
+from linkgraph.algorithms.cdlp import cdlp, peer_pressure
 from linkgraph.algorithms.triangles import triangles, triangle_total, triangle_total_incr
 from linkgraph.algorithms.traversal import bfs, sssp
 from linkgraph.algorithms.degrees import degree_centrality, degree_histogram
@@ -88,6 +88,7 @@ __all__ = [
     "pagerank_nx",
     "wcc",
     "cdlp",
+    "peer_pressure",
     "greedy_color",
     "k_truss",
     "truss_decomposition",

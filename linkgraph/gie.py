@@ -834,6 +834,28 @@ class Traversal:
             lab.join(g.vertices, "vid").join(rep, "value").select("oid", "label_oid")
         )
 
+    def peer_pressure(self, times: int = 10) -> DataFrame:
+        """peerPressure() step (PeerPressureVertexProgramTreeNode.java →
+        PROGRAM_GRAPH_PEERPRESSURE): TinkerPop peer-pressure clustering
+        over the traversed edges → (oid, cluster_oid). Unit vote
+        strength; energy ties pinned to the smallest cluster id (the
+        engine's deterministic stand-in for TinkerPop's hash-order
+        pick — see linkgraph.algorithms.peer_pressure). Cluster ids
+        translate back to the oid of the cluster's representative
+        vertex. Distinct from :meth:`label_propagation`: the vertex's
+        own current cluster votes too, which damps oscillation on
+        bipartite-ish regions."""
+        from linkgraph.algorithms import peer_pressure
+
+        g = self.subgraph()
+        pp = peer_pressure(g, times=times)
+        rep = g.vertices.select(
+            F.col("vid").alias("cluster"), F.col("oid").alias("cluster_oid")
+        )
+        return (
+            pp.join(g.vertices, "vid").join(rep, "cluster").select("oid", "cluster_oid")
+        )
+
     def shortest_path(self, source_oid: str) -> DataFrame:
         """shortestPath() step (ShortestPathVertexProgramTreeNode.java /
         ShortestPathTreeNode.java): hop distances from ``source_oid``

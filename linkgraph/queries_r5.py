@@ -141,6 +141,38 @@ def _louvain_canonical_sql(rounds: int, phases: int) -> str:
   {' '.join(joins)}"""
 
 
+def _peer_pressure_sql(rounds: int) -> str:
+    """Unrolled SQL twin of algorithms.peer_pressure: CDLP's per-round
+    count-majority (min-label tie-break) with the TinkerPop self vote —
+    each round's tally unions one (vid, own-label) row per vertex into
+    the neighbor-label multiset."""
+    from linkgraph import queries as Q
+
+    pre = """
+  bidir AS (SELECT src, dst FROM e WHERE src <> dst
+            UNION ALL SELECT dst AS src, src AS dst FROM e WHERE src <> dst),
+  l0 AS (SELECT vid, vid AS label FROM v)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  cnt{i} AS (SELECT vid, label, count(*) AS c FROM (
+               SELECT b.dst AS vid, l.label
+               FROM bidir b JOIN l{p} l ON b.src = l.vid
+               UNION ALL SELECT vid, label FROM l{p}) GROUP BY vid, label),
+  best{i} AS (SELECT vid, label FROM (
+                SELECT vid, label,
+                       row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+                FROM cnt{i}) WHERE rn = 1),
+  l{i} AS (SELECT l{p}.vid, coalesce(b.label, l{p}.label) AS label
+           FROM l{p} LEFT JOIN best{i} b ON l{p}.vid = b.vid)"""
+        )
+    return Q._with_graph(
+        pre + "," + ",".join(steps) + f"\n  SELECT vid, label AS cluster FROM l{rounds}"
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 
@@ -280,6 +312,24 @@ def q_gie_lpa_step(spark, sf_dir):
     )
 
 
+def q_gie_peer_pressure(spark, sf_dir):
+    """peerPressure() step (PeerPressureVertexProgramTreeNode.java):
+    TinkerPop cluster-vote propagation over the traversed edges —
+    CDLP-with-self-vote, min-label tie-break, fixed rounds. Label
+    dynamics depend only on label equality+order, which the
+    order-isomorphic dense remap preserves; oracle is the unrolled
+    self-vote twin of the CDLP SQL."""
+    from linkgraph import queries as Q
+    from linkgraph.gie import traversal
+
+    g = traversal(_gie_algo_graph(spark, sf_dir))
+    pp = g.V("node").outE("link").peer_pressure(times=Q.CDLP_ROUNDS)
+    return pp.select(
+        F.col("oid").cast("long").alias("vid"),
+        F.col("cluster_oid").cast("long").alias("cluster"),
+    )
+
+
 def q_ktruss_fast(spark, sf_dir):
     """4-truss via the h-index fast tier (truss_decomposition filtered at
     trussness ≥ 4) on the same sparsified edge set as g_ktruss — same
@@ -416,6 +466,7 @@ def register(
             "gie_lpa_step": q_gie_lpa_step,
             "g_louvain_full": q_louvain_full,
             "g_ktruss_fast": q_ktruss_fast,
+            "gie_peer_pressure": q_gie_peer_pressure,
         }
     )
     oracle_sql.update(
@@ -473,5 +524,6 @@ def register(
             "gie_lpa_step": Q.ORACLE_SQL["g_cdlp_r2"],
             "g_louvain_full": _louvain_canonical_sql(4, 2),
             "g_ktruss_fast": Q.ORACLE_SQL["g_ktruss"],
+            "gie_peer_pressure": _peer_pressure_sql(Q.CDLP_ROUNDS),
         }
     )

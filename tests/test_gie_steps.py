@@ -220,3 +220,28 @@ def test_hits_step_equals_explicit_composition(pg):
         .collect()
     }
     assert step == explicit
+
+
+def test_peer_pressure_step_self_vote_and_min_tie(pg):
+    # bidir neighbors: p1↔{p2,p3,p4}; round 1 every vertex tallies its own
+    # cluster plus its neighbors': p1 sees {p1,p2,p3,p4} all ×1 → min tie
+    # keeps p1 (CDLP *without* the self vote would flip p1 to p2);
+    # p2/p3/p4 each see {self, p1} ×1 → min is p1.  Round 2 is stable.
+    pp = traversal(pg).V("person").outE("knows").peer_pressure(times=2)
+    got = {r["oid"]: r["cluster_oid"] for r in pp.collect()}
+    assert got == {"p1": "p1", "p2": "p1", "p3": "p1", "p4": "p1"}
+
+
+def test_peer_pressure_step_equals_explicit_composition(pg):
+    from linkgraph.algorithms import peer_pressure
+
+    t = traversal(pg).V("person").bothE("knows", "created")
+    step = {r["oid"]: r["cluster_oid"] for r in t.peer_pressure(times=3).collect()}
+    sub = traversal(pg).V("person").bothE("knows", "created").subgraph()
+    pp = peer_pressure(sub, times=3)
+    rep = sub.vertices.selectExpr("vid AS cluster", "oid AS cluster_oid")
+    explicit = {
+        r["oid"]: r["cluster_oid"]
+        for r in pp.join(sub.vertices, "vid").join(rep, "cluster").collect()
+    }
+    assert step == explicit
