@@ -432,6 +432,56 @@ class Traversal:
         return out
 
     # -- branch (BRANCH :82 / BRANCH_OPTION :143) ----------------------
+    def branch(self, selector, options: dict, none=None) -> "Traversal":
+        """General BRANCH — BranchTreeNode.java (interactive_engine/
+        compiler/.../tree/) over the runtime's BRANCH + BRANCH_OPTION
+        operator pair (query_flow.proto:82,:143): compute a per-traverser
+        token with ``selector`` and route the traverser to the option
+        whose key equals it; ``none`` (Gremlin's Pick.none) catches
+        unmatched traversers, and traversers matching nothing are
+        dropped. ``selector`` is a property key (string), a Column, or a
+        callable df → Column; tokens compare on their string form (the
+        runtime's PropertyMap is likewise type-erased). A NULL token —
+        e.g. a vertex label lacking the property — routes to ``none``.
+        Lowering: one filter per option over the shared token-extended
+        subplan + unionByName; still a single Catalyst plan."""
+        if isinstance(selector, str):
+            if self.kind == "v":
+                base = self._join_vprop(selector).select(
+                    "oid",
+                    "label",
+                    *self._path_cols(),
+                    F.col(selector).cast("string").alias("__branch_tok"),
+                )
+            else:
+                if selector not in self.df.columns:
+                    raise ValueError(f"branch(): edge property {selector!r} unknown")
+                base = self.df.withColumn(
+                    "__branch_tok", F.col(selector).cast("string")
+                )
+        else:
+            c = selector(self.df) if callable(selector) else selector
+            base = self.df.withColumn("__branch_tok", c.cast("string"))
+        outs: list[Traversal] = []
+        keys = [str(k) for k in options]
+        for k, br in options.items():
+            sub = base.where(F.col("__branch_tok") == str(k)).drop("__branch_tok")
+            outs.append(br(self._next(sub)))
+        if none is not None:
+            unmatched = base.where(
+                ~F.coalesce(F.col("__branch_tok").isin(keys), F.lit(False))
+            ).drop("__branch_tok")
+            outs.append(none(self._next(unmatched)))
+        kinds = {t.kind for t in outs}
+        if len(kinds) != 1:
+            raise ValueError(f"branch(): options end in mixed kinds {kinds}")
+        merged = outs[0].df
+        for t in outs[1:]:
+            merged = merged.unionByName(t.df, allowMissingColumns=True)
+        out = self._next(merged, outs[0].kind)
+        out.tracked = all(t.tracked for t in outs)
+        return out
+
     def choose(self, predicate, true_branch, false_branch=None) -> "Traversal":
         """choose(): route each traverser into exactly one branch by a
         per-traverser predicate (Gremlin's choose(P, t, f); the runtime's

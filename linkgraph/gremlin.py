@@ -338,6 +338,50 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             t = t.repeat(body, times=times, until=until_a, emit=emit_after)
             continue
 
+        if s.name == "branch":
+            # branch(__.values('age')).option(29, __.t1).option('none', __.t2)
+            # — BranchTreeNode routing; 'none' keys the Pick.none catch-all.
+            if len(s.args) != 1 or not isinstance(s.args[0], _Anon):
+                raise GremlinParseError(
+                    "branch() takes one __-traversal selector "
+                    "(__.values(key), __.label() or __.id())"
+                )
+            sel_steps = s.args[0].steps
+            if len(sel_steps) != 1 or sel_steps[0].name not in (
+                "values",
+                "label",
+                "id",
+            ):
+                raise GremlinParseError(
+                    "branch() selector must be a single __.values(key) / "
+                    "__.label() / __.id() step"
+                )
+            sel_step = sel_steps[0]
+            if sel_step.name == "values":
+                selector = sel_step.args[0]
+            elif sel_step.name == "label":
+                selector = F.col("label")
+            else:
+                selector = F.col("oid")
+            options, none_branch = {}, None
+            j = i + 1
+            while j < n and steps[j].name == "option":
+                oargs = steps[j].args
+                if len(oargs) != 2 or not isinstance(oargs[1], _Anon):
+                    raise GremlinParseError(
+                        "option() takes (token, __-traversal)"
+                    )
+                if isinstance(oargs[0], str) and oargs[0] == "none":
+                    none_branch = _anon_body(oargs[1], text)
+                else:
+                    options[oargs[0]] = _anon_body(oargs[1], text)
+                j += 1
+            if not options and none_branch is None:
+                raise GremlinParseError("branch() needs at least one option()")
+            t = t.branch(selector, options, none=none_branch)
+            i = j
+            continue
+
         # ---- keyed aggregations with .by() modulators ------------------
         if s.name == "groupCount":
             by = None

@@ -245,3 +245,45 @@ def test_peer_pressure_step_equals_explicit_composition(pg):
         for r in pp.join(sub.vertices, "vid").join(rep, "cluster").collect()
     }
     assert step == explicit
+
+
+def test_branch_routes_by_token_with_none_catchall(pg):
+    t = traversal(pg).V("person").branch(
+        "age",
+        {
+            29: lambda b: b.out("knows"),
+            27: lambda b: b,
+        },
+        none=lambda b: b,
+    )
+    # age 29 (p1) -> out(knows) = {p2,p3}; age 27 (p2) -> itself;
+    # unmatched (p3: 32, p4: 35) -> none branch passes through.
+    assert _bag(t) == ["p2", "p2", "p3", "p3", "p4"]
+
+
+def test_branch_no_none_drops_unmatched(pg):
+    t = traversal(pg).V("person").branch("age", {29: lambda b: b.out("knows")})
+    assert _bag(t) == ["p2", "p3"]
+
+
+def test_branch_text_twin(pg):
+    df = gremlin(pg).execute(
+        "g.V('person')"
+        ".branch(__.values('age'))"
+        ".option(29, __.out('knows'))"
+        ".option(27, __.identity())"
+        ".option('none', __.identity())"
+        ".groupCount()"
+    )
+    got = {r["key"]: r["n"] for r in df.collect()}
+    assert got == {"p2": 2, "p3": 2, "p4": 1}
+
+
+def test_branch_text_parse_errors(pg):
+    with pytest.raises(GremlinParseError, match="selector"):
+        gremlin(pg).execute(
+            "g.V('person').branch(__.out('knows').values('age'))"
+            ".option(1, __.identity())"
+        )
+    with pytest.raises(GremlinParseError, match="at least one option"):
+        gremlin(pg).execute("g.V('person').branch(__.values('age'))")
