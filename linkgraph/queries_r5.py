@@ -441,6 +441,27 @@ def q_gie_hits_step(spark, sf_dir):
     )
 
 
+def q_gie_branch(spark, sf_dir):
+    """branch().option() (BranchTreeNode.java) through the TEXT
+    front-end: route each customer by its market segment — BUILDING
+    customers flow to their orders, AUTOMOBILE customers to their
+    F-status orders, everyone else ('none' catch-all, Pick.none) passes
+    through unchanged. One shared token-extended scan, one Catalyst
+    filter per option, unionByName merge."""
+    from linkgraph import queries as Q
+    from linkgraph.gremlin import gremlin
+
+    q = gremlin(Q._gie_graph(spark, sf_dir))
+    return q.execute(
+        "g.V('customer')"
+        ".branch(__.values('c_mktsegment'))"
+        ".option('BUILDING', __.out('placed'))"
+        ".option('AUTOMOBILE', __.out('placed').has('o_orderstatus', 'F'))"
+        ".option('none', __.identity())"
+        ".groupCount()"
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -467,6 +488,7 @@ def register(
             "g_louvain_full": q_louvain_full,
             "g_ktruss_fast": q_ktruss_fast,
             "gie_peer_pressure": q_gie_peer_pressure,
+            "gie_branch": q_gie_branch,
         }
     )
     oracle_sql.update(
@@ -525,5 +547,18 @@ def register(
             "g_louvain_full": _louvain_canonical_sql(4, 2),
             "g_ktruss_fast": Q.ORACLE_SQL["g_ktruss"],
             "gie_peer_pressure": _peer_pressure_sql(Q.CDLP_ROUNDS),
+            "gie_branch": """
+  SELECT key, count(*)::BIGINT AS n FROM (
+    SELECT 'o' || o_orderkey AS key
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 'o' || o_orderkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE' AND o.o_orderstatus = 'F'
+    UNION ALL
+    SELECT 'c' || c_custkey FROM customer
+    WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+  ) GROUP BY key""",
         }
     )
