@@ -923,6 +923,45 @@ class Traversal:
             )
         return self._subgraph_result(bfs(g, src=src["vid"]), g)
 
+    def all_path(self, source_oid: str, target_oid: str, khop: int) -> DataFrame:
+        """allPath() step (AllPathTreeNode.java / tinkerpop/steps/
+        AllPathStep.java; runtime op PROGRAM_GRAPH_ALLPATH with
+        ProgramAllPathArg{sid, tid, loop_limit=khop}): every simple path
+        ``source_oid`` → ``target_oid`` over the traversed edges using at
+        most ``khop`` hops → one row per path, ``path: array<string>``.
+        Paths are simple (no revisits) — the enumeration otherwise
+        diverges on any cycle; khop is the reference's loop_limit. Spark
+        shape mirrors algorithms.all_simple_paths: a (cur, path) frontier
+        expanded one hop per round, level-parallel, revisits rejected
+        with array_contains; a path that reaches the target is emitted
+        and never extended. Must be called on an edge frontier (the
+        traversed edges define the program's graph, like subgraph())."""
+        self._require_e("all_path")
+        edges = self.df.select("src_oid", "dst_oid").distinct().localCheckpoint(eager=True)
+        spark = edges.sparkSession
+        state = spark.createDataFrame(
+            [(source_oid, [source_oid])], "cur string, path array<string>"
+        )
+        done = state.where(F.col("cur") == target_oid).select("path")
+        state = state.where(F.col("cur") != target_oid).localCheckpoint(eager=True)
+        for _ in range(khop):
+            expand = (
+                state.join(edges, state["cur"] == edges["src_oid"])
+                .where(~F.array_contains(F.col("path"), F.col("dst_oid")))
+                .select(
+                    F.col("dst_oid").alias("cur"),
+                    F.array_append("path", F.col("dst_oid")).alias("path"),
+                )
+            )
+            done = done.union(
+                expand.where(F.col("cur") == target_oid).select("path")
+            ).localCheckpoint(eager=True)
+            state = expand.where(F.col("cur") != target_oid).localCheckpoint(eager=True)
+            if state.limit(1).count() == 0:
+                break
+        edges.unpersist()
+        return done
+
     def hits_step(self, max_round: int = 100, tolerance: float = 0.01) -> DataFrame:
         """hits() step (HitsVertexProgramTreeNode.java /
         HitsTreeNode.java): hub/authority scores over the traversed

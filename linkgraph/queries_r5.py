@@ -462,6 +462,23 @@ def q_gie_branch(spark, sf_dir):
     )
 
 
+def q_gie_allpath(spark, sf_dir):
+    """allPath() step (AllPathTreeNode.java, runtime program
+    PROGRAM_GRAPH_ALLPATH): every simple path min-oid → max-oid within 3
+    hops over the traversed edges, as comma-joined oid strings. Oracle is
+    the same recursive path CTE that backs g_all_simple_paths_c3, with
+    vids rendered through the padded-oid mapping of _gie_algo_graph."""
+    from linkgraph import queries as Q
+    from linkgraph.gie import traversal
+
+    g = Q._oracle_graph(spark, sf_dir)
+    lohi = g.vertices.agg(F.min("vid"), F.max("vid")).first()
+    src, dst = f"{lohi[0]:06d}", f"{lohi[1]:06d}"
+    pg = _gie_algo_graph(spark, sf_dir)
+    paths = traversal(pg).V().outE().all_path(src, dst, 3)
+    return paths.select(F.concat_ws(",", "path").alias("path_csv"))
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -489,6 +506,7 @@ def register(
             "g_ktruss_fast": q_ktruss_fast,
             "gie_peer_pressure": q_gie_peer_pressure,
             "gie_branch": q_gie_branch,
+            "gie_allpath": q_gie_allpath,
         }
     )
     oracle_sql.update(
@@ -560,5 +578,20 @@ def register(
     SELECT 'c' || c_custkey FROM customer
     WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
   ) GROUP BY key""",
+            "gie_allpath": Q._with_graph(
+                """paths AS (
+    WITH RECURSIVE p(cur, path) AS (
+      SELECT (SELECT min(vid) FROM v),
+             [lpad((SELECT min(vid) FROM v)::VARCHAR, 6, '0')]
+      UNION ALL
+      SELECT e.dst, list_append(p.path, lpad(e.dst::VARCHAR, 6, '0'))
+      FROM p JOIN e ON p.cur = e.src
+      WHERE p.cur <> (SELECT max(vid) FROM v)
+        AND NOT list_contains(p.path, lpad(e.dst::VARCHAR, 6, '0'))
+        AND len(p.path) <= 3)
+    SELECT * FROM p)
+  SELECT array_to_string(path, ',') AS path_csv
+  FROM paths WHERE cur = (SELECT max(vid) FROM v)"""
+            ),
         }
     )

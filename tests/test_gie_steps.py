@@ -287,3 +287,21 @@ def test_branch_text_parse_errors(pg):
         )
     with pytest.raises(GremlinParseError, match="at least one option"):
         gremlin(pg).execute("g.V('person').branch(__.values('age'))")
+
+
+def test_all_path_enumerates_simple_paths_within_khop(pg):
+    t = traversal(pg).V().outE()
+    got = sorted(tuple(r["path"]) for r in t.all_path("p4", "s2", 3).collect())
+    # p4 -> s2 direct, and p4 -> p1 -> p3 -> s2; simple, <= 3 hops.
+    assert got == [("p4", "p1", "p3", "s2"), ("p4", "s2")]
+
+
+def test_all_path_khop_caps_length(pg):
+    t = traversal(pg).V().outE()
+    got = [tuple(r["path"]) for r in t.all_path("p4", "s2", 1).collect()]
+    assert got == [("p4", "s2")]
+
+
+def test_all_path_requires_edge_frontier(pg):
+    with pytest.raises(ValueError):
+        traversal(pg).V().all_path("p4", "s2", 2)
