@@ -1291,6 +1291,89 @@ class Traversal:
         return df.select(_parse_math(expr, cols).alias("value"))
 
     # -- internals -----------------------------------------------------
+    # -- lambda steps (LambdaMapTreeNode.java / LambdaFilterTreeNode.java
+    # / LambdaFlatMapTreeNode.java under interactive_engine/compiler/
+    # .../tree/; TraversalMapTreeNode / TraversalFlatMapTreeNode are
+    # their __-traversal twins, both NodeType.FLATMAP). The reference
+    # ships the user's closure to the executor and calls it per
+    # traverser; here the contract is deliberately a *Catalyst Column*
+    # function (df → Column) so the lambda lowers into the same
+    # whole-stage-codegen'd plan as every other step — never a per-row
+    # Python call. ``props`` pre-joins the named vertex properties so
+    # the lambda can reference them as plain columns (inner-join
+    # semantics: traversers whose label lacks the property drop,
+    # matching has()'s existential contract).
+
+    def _with_props(self, props: tuple[str, ...]) -> DataFrame:
+        df = self.df
+        if props:
+            self._require_v("lambda step with props")
+        for p in props:
+            df = Traversal(self.pg, df, self.kind, self.tracked)._join_vprop(p)
+        return df
+
+    def lambda_filter(self, fn, *props: str) -> "Traversal":
+        """LAMBDA_FILTER: keep traversers where ``fn(df)`` (a boolean
+        Column) holds; frontier kind and path tracking pass through."""
+        df = self._with_props(props)
+        kept = df.where(fn(df))
+        if props:
+            kept = kept.select(self.df.columns)
+        return self._next(kept)
+
+    def lambda_map(self, fn, *props: str) -> DataFrame:
+        """LAMBDA_MAP: one computed ``value`` per traverser."""
+        df = self._with_props(props)
+        return df.select(fn(df).alias("value"))
+
+    def lambda_flat_map(self, fn, *props: str) -> DataFrame:
+        """LAMBDA_FLAT_MAP: ``fn`` returns an array Column; every
+        traverser fans out to one ``value`` row per element (explode —
+        empty arrays yield nothing, the reference's iterator contract)."""
+        df = self._with_props(props)
+        return df.select(F.explode(fn(df)).alias("value"))
+
+    def flat_map(self, body) -> "Traversal":
+        """flatMap(__…) (TraversalFlatMapTreeNode.java): run the
+        sub-traversal from every traverser and concatenate the outputs.
+        In this frontier dataflow that is exactly applying the body to
+        the frontier — each traverser's derived rows are independent and
+        bag multiplicity is preserved — so the step is pure sugar that
+        keeps the Gremlin spelling. (map(__…) with per-traverser
+        first-element semantics is covered by project()/lambda_map;
+        the reference routes both through the same FLATMAP node type.)"""
+        out = body(self)
+        if not isinstance(out, Traversal):
+            raise ValueError("flat_map(): body must end in a traversal step")
+        return out
+
+    # -- output sink (OutputTreeNode.java / OutputVineyardTreeNode.java) -
+
+    def output(self, path: str, *props: str, fmt: str = "parquet") -> DataFrame:
+        """output(): persist the traverser frontier's elements with the
+        named properties to ``path`` and return what was written.
+
+        The reference's OutputTreeNode writes exclusively to the
+        proprietary ODPS tunnel (``tunnel://`` — deliberately NOT
+        implemented here, matching the repo-wide exclusion of the
+        WRITE_ODPS sink); OutputVineyardTreeNode materializes into the
+        vineyard store for cross-engine handoff. The Spark-first
+        equivalent of both capabilities is a columnar write: vertex oid
+        + label + requested properties → parquet (or csv/json), which
+        any downstream engine reads back. One shuffle-free projection +
+        property joins; the write parallelism is the frontier's."""
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"output(): unsupported format {fmt!r}")
+        if self.kind == "v":
+            df = self._with_props(props).select("oid", "label", *props)
+        else:
+            missing = [p for p in props if p not in self.df.columns]
+            if missing:
+                raise ValueError(f"output(): edge properties {missing} unknown")
+            df = self.df.select("src_oid", "dst_oid", "label", *props)
+        df.write.mode("overwrite").format(fmt).option("header", True).save(path)
+        return df.sparkSession.read.format(fmt).option("header", True).load(path)
+
     def _join_vprop(self, prop: str) -> DataFrame:
         lookup_parts = [
             df.select("oid", F.lit(lbl).alias("label"), F.col(prop))

@@ -479,6 +479,45 @@ def q_gie_allpath(spark, sf_dir):
     return paths.select(F.concat_ws(",", "path").alias("path_csv"))
 
 
+def q_gie_lambda(spark, sf_dir):
+    """Lambda steps (LambdaFilterTreeNode.java / LambdaMapTreeNode.java):
+    filter customers by a computed predicate over c_acctbal, then map
+    each survivor to a computed value — both lambdas are Catalyst Column
+    functions (df → Column), so the whole chain is one codegen'd plan
+    with zero Python in the row path."""
+    from linkgraph import queries as Q
+    from linkgraph.gie import traversal
+
+    g = traversal(Q._gie_graph(spark, sf_dir))
+    return (
+        g.V("customer")
+        .lambda_filter(lambda df: F.col("c_acctbal") > 5000, "c_acctbal")
+        .lambda_map(
+            lambda df: F.floor("c_acctbal").cast("long"), "c_acctbal"
+        )
+    )
+
+
+def q_gie_output(spark, sf_dir):
+    """output() sink (OutputTreeNode.java — tunnel:// stays
+    unimplemented; OutputVineyardTreeNode.java capability expressed as a
+    columnar parquet write): BUILDING customers with their segment are
+    written out and read back; the round-trip must hash-match the plain
+    projection oracle."""
+    import tempfile
+
+    from linkgraph import queries as Q
+    from linkgraph.gie import traversal
+
+    g = traversal(Q._gie_graph(spark, sf_dir))
+    d = tempfile.mkdtemp(prefix="lg_gie_out_")
+    return (
+        g.V("customer")
+        .has("c_mktsegment", "BUILDING")
+        .output(f"{d}/building", "c_mktsegment")
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -507,6 +546,8 @@ def register(
             "gie_peer_pressure": q_gie_peer_pressure,
             "gie_branch": q_gie_branch,
             "gie_allpath": q_gie_allpath,
+            "gie_lambda": q_gie_lambda,
+            "gie_output": q_gie_output,
         }
     )
     oracle_sql.update(
@@ -593,5 +634,11 @@ def register(
   SELECT array_to_string(path, ',') AS path_csv
   FROM paths WHERE cur = (SELECT max(vid) FROM v)"""
             ),
+            "gie_lambda": """
+  SELECT floor(c_acctbal)::BIGINT AS value
+  FROM customer WHERE c_acctbal > 5000""",
+            "gie_output": """
+  SELECT 'c' || c_custkey AS oid, 'customer' AS label, c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'""",
         }
     )

@@ -305,3 +305,55 @@ def test_all_path_khop_caps_length(pg):
 def test_all_path_requires_edge_frontier(pg):
     with pytest.raises(ValueError):
         traversal(pg).V().all_path("p4", "s2", 2)
+
+
+# ------------------------------------------------- lambda steps + output
+
+
+def test_lambda_filter_with_props(pg):
+    from pyspark.sql import functions as F
+
+    t = traversal(pg).V("person").lambda_filter(
+        lambda df: (F.col("age") % 2 == 1) | (F.col("age") > 33), "age"
+    )
+    assert _bag(t) == ["p1", "p2", "p4"]
+
+
+def test_lambda_map_value_stream(pg):
+    from pyspark.sql import functions as F
+
+    vals = traversal(pg).V("person").lambda_map(
+        lambda df: F.col("age") * 2, "age"
+    )
+    assert sorted(r["value"] for r in vals.collect()) == [54, 58, 64, 70]
+
+
+def test_lambda_flat_map_explodes(pg):
+    from pyspark.sql import functions as F
+
+    vals = traversal(pg).V("person").lambda_flat_map(
+        lambda df: F.array(F.col("oid"), F.upper("oid")), 
+    )
+    got = sorted(r["value"] for r in vals.collect())
+    assert got == ["P1", "P2", "P3", "P4", "p1", "p2", "p3", "p4"]
+
+
+def test_output_roundtrip_vertices(pg, tmp_path):
+    out = traversal(pg).V("person").output(str(tmp_path / "people"), "age")
+    rows = {r["oid"]: r["age"] for r in out.collect()}
+    assert rows == {"p1": 29, "p2": 27, "p3": 32, "p4": 35}
+    assert set(out.columns) == {"oid", "label", "age"}
+
+
+def test_output_edge_frontier_and_bad_format(pg, tmp_path):
+    out = traversal(pg).V("person").outE("knows").output(str(tmp_path / "knows"))
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="unsupported format"):
+        traversal(pg).V("person").output(str(tmp_path / "x"), fmt="orcish")
+
+
+def test_flat_map_is_body_application(pg):
+    t = traversal(pg).V("person").flat_map(lambda t: t.out("knows"))
+    assert _bag(t) == ["p1", "p2", "p3"]
+    with pytest.raises(ValueError, match="traversal step"):
+        traversal(pg).V("person").flat_map(lambda t: t.count())
