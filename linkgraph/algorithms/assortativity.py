@@ -49,23 +49,35 @@ def attribute_assortativity_coefficient(graph: LinkGraph, attrs: DataFrame) -> f
     r = (Σ_i e_ii − Σ_i a_i b_i) / (1 − Σ_i a_i b_i), where e is the
     row-normalized mixing matrix, a/b its row/column sums.
 
-    ``attrs``: (vid, attribute) DataFrame. Computed with two small
-    aggregations — the mixing matrix has |categories|² entries and is
-    collected to the driver (categories ≪ vertices by assumption).
+    ``attrs``: (vid, attribute) DataFrame. The |categories|² mixing
+    matrix is never materialized anywhere: tr(M) is one null-safe
+    same-category edge count and Σ a_i b_i reduces to
+    Σ_i cnt_x[i]·cnt_y[i] / total² — a |categories|-row marginal join
+    summed as exact integers, so the result is partition-order
+    deterministic and the driver only ever sees three scalars.
     """
     ea = _edge_attrs(graph, attrs)
-    total = ea.count()
+    row = ea.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col("xa").eqNullSafe(F.col("ya")), 1).otherwise(0)
+        ).alias("diag"),
+    ).first()
+    total, diag = row["total"], row["diag"]
     if total == 0:
         return float("nan")
-    m = {(r["xa"], r["ya"]): r["c"] / total for r in ea.groupBy("xa", "ya").agg(F.count("*").alias("c")).collect()}
-    cats = sorted({k[0] for k in m} | {k[1] for k in m}, key=repr)
-    a = {c: sum(v for (x, _), v in m.items() if x == c) for c in cats}
-    b = {c: sum(v for (_, y), v in m.items() if y == c) for c in cats}
-    tr = sum(m.get((c, c), 0.0) for c in cats)
-    sum_ab = sum(a[c] * b[c] for c in cats)
+    cx = ea.groupBy(F.col("xa").alias("catx")).agg(F.count("*").alias("nx"))
+    cy = ea.groupBy(F.col("ya").alias("caty")).agg(F.count("*").alias("ny"))
+    s_row = (
+        cx.join(cy, cx["catx"].eqNullSafe(cy["caty"]))
+        .agg(F.sum(F.col("nx") * F.col("ny")).alias("s"))
+        .first()
+    )
+    s = int(s_row["s"] or 0)
+    sum_ab = s / (total * total)
     if sum_ab == 1.0:
         return float("nan")
-    return float((tr - sum_ab) / (1.0 - sum_ab))
+    return float((diag / total - sum_ab) / (1.0 - sum_ab))
 
 
 def numeric_assortativity_coefficient(graph: LinkGraph, attrs: DataFrame) -> float:
