@@ -1490,6 +1490,34 @@ def count_local(df: DataFrame, col: str = "value") -> DataFrame:
     return df.withColumn(col, F.size(F.col(col)).cast("long"))
 
 
+def select_keys(df: DataFrame) -> DataFrame:
+    """select(Column.keys) (ColumnTreeNode.java): project the key side
+    of a map-valued stream — valueMap rows become per-traverser key
+    arrays (the reference's ListValueType(key)), groupCount / property
+    entry rows project their entry key. Per-row map_keys / rename only —
+    no shuffle."""
+    if "vmap" in df.columns:
+        return df.select(F.map_keys("vmap").alias("value"))
+    if "key" in df.columns:
+        return df.select(F.col("key").alias("value"))
+    raise ValueError("select_keys: input is not a map/entry-valued stream")
+
+
+def select_values(df: DataFrame) -> DataFrame:
+    """select(Column.values) (ColumnTreeNode.java): the value side of a
+    map-valued stream — valueMap rows → per-traverser value arrays,
+    groupCount entries → their counts, properties() entries → the
+    property value (PropertyKeyValueTreeNode's value() collapses to the
+    same projection; key() is select_keys)."""
+    if "vmap" in df.columns:
+        return df.select(F.map_values("vmap").alias("value"))
+    if "n" in df.columns and "key" in df.columns:
+        return df.select(F.col("n").alias("value"))
+    if "value" in df.columns:
+        return df.select("value")
+    raise ValueError("select_values: input is not a map/entry-valued stream")
+
+
 def traversal(pg: PropertyGraph) -> "GraphTraversalSource":
     return GraphTraversalSource(pg)
 

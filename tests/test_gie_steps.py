@@ -357,3 +357,22 @@ def test_flat_map_is_body_application(pg):
     assert _bag(t) == ["p1", "p2", "p3"]
     with pytest.raises(ValueError, match="traversal step"):
         traversal(pg).V("person").flat_map(lambda t: t.count())
+
+
+def test_select_keys_values_over_map_streams(pg):
+    from linkgraph.gie import select_keys, select_values
+
+    gc = traversal(pg).V("person").out("knows").groupCount()
+    keys = sorted(r["value"] for r in select_keys(gc).collect())
+    assert keys == ["p1", "p2", "p3"]
+    vals = sorted(r["value"] for r in select_values(gc).collect())
+    assert vals == [1, 1, 1]
+
+    vm = traversal(pg).V("software").valueMap("lang")
+    karr = {tuple(r["value"]) for r in select_keys(vm).collect()}
+    assert karr == {("lang",)}
+    varr = sorted(tuple(r["value"]) for r in select_values(vm).collect())
+    assert varr == [("java",), ("py",)]
+
+    with pytest.raises(ValueError, match="map/entry-valued"):
+        select_keys(traversal(pg).V("person").df)
