@@ -45,7 +45,10 @@ from linkgraph.algorithms.boundary import node_boundary, edge_boundary
 from linkgraph.algorithms.mis import greedy_color, maximal_independent_set
 from linkgraph.algorithms.scc import scc, condensation
 from linkgraph.algorithms.truss import k_truss, truss_decomposition
-from linkgraph.algorithms.betweenness import betweenness_centrality
+from linkgraph.algorithms.betweenness import (
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 from linkgraph.algorithms.louvain import louvain, louvain_canonical, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
 from linkgraph.algorithms.linkpred import (
@@ -136,6 +139,7 @@ __all__ = [
     "periphery",
     "harmonic_centrality",
     "betweenness_centrality",
+    "edge_betweenness_centrality",
     "lpa_u2i",
     "lpa_u2i_vector",
     "sampling_path",

@@ -105,11 +105,61 @@ def betweenness_centrality(
     )
 
 
-def _unweighted_phases(graph, roots, max_depth, endpoints):
+def edge_betweenness_centrality(
+    graph: LinkGraph,
+    normalized: bool = True,
+    sources: DataFrame | None = None,
+    max_depth: int = 10_000,
+) -> DataFrame:
+    """(src, dst, value) — nx.edge_betweenness_centrality on the directed
+    graph: for every shortest-path-DAG edge (v, w),
+    ebc(v,w) = Σ_s σ_s(v)/σ_s(w) · (1 + δ_s(w)), normalized by 1/(n(n−1))
+    (the nx directed rescale). Same level-parallel all-sources Brandes as
+    the vertex variant — the per-edge contributions ARE the terms the
+    backward walk already computes before its per-vertex aggregation, so
+    edge mode only keys them by (v, w) instead of folding them into δ(v).
+    ``sources`` gives the k-sample estimator (×n/k). Unweighted only
+    (reference ships only vertex BC; this is an nx-parity extension)."""
+    spark = graph.edges.sparkSession
+    n = graph.vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "src long, dst long, value double")
+    if sources is None:
+        roots = graph.vertices.select(F.col("vid").alias("root"))
+    else:
+        roots = sources.select(F.col(sources.columns[0]).alias("root")).distinct()
+    _, _, eacc = _unweighted_phases(
+        graph, roots, max_depth, endpoints=False, collect_edges=True
+    )
+    ebc = eacc.groupBy("esrc", "edst").agg(F.sum("value").alias("value"))
+    scale = 1.0 / (n * (n - 1)) if (normalized and n > 1) else 1.0
+    if sources is not None:
+        k = roots.count()
+        if k:
+            scale *= n / k
+    return (
+        graph.edges.select("src", "dst")
+        .distinct()
+        .join(
+            ebc,
+            (F.col("src") == F.col("esrc")) & (F.col("dst") == F.col("edst")),
+            "left",
+        )
+        .select(
+            "src",
+            "dst",
+            (F.coalesce("value", F.lit(0.0)) * F.lit(scale)).alias("value"),
+        )
+    )
+
+
+def _unweighted_phases(graph, roots, max_depth, endpoints, collect_edges=False):
     """Forward multi-source BFS + backward level walk.
 
-    Returns (acc, seen): acc = (vid, value) raw dependency contributions,
-    seen = (root, vid, …) reached set (for the endpoints source term).
+    Returns (acc, seen[, eacc]): acc = (vid, value) raw dependency
+    contributions, seen = (root, vid, …) reached set (for the endpoints
+    source term); with ``collect_edges`` a third (esrc, edst, value)
+    per-DAG-edge contribution table is returned (edge betweenness).
     """
     spark = graph.edges.sparkSession
     edges = graph.edges.select("src", "dst").distinct().persist()
@@ -145,6 +195,7 @@ def _unweighted_phases(graph, roots, max_depth, endpoints):
     # delta rows exist only where non-zero; the deepest level starts at 0
     delta = spark.createDataFrame([], "root long, vid long, delta double")
     acc = spark.createDataFrame([], "vid long, value double")
+    eacc = spark.createDataFrame([], "esrc long, edst long, value double")
     per_w = (F.col("delta") + F.lit(1.0)) if endpoints else F.col("delta")
     for lvl in range(len(levels) - 1, 0, -1):
         w_rows = levels[lvl].join(delta, ["root", "vid"], "left").select(
@@ -163,22 +214,39 @@ def _unweighted_phases(graph, roots, max_depth, endpoints):
             .select(
                 "root",
                 F.col("src").alias("pvid"),
+                F.col("dst").alias("wvid"),
                 ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("per_sigma"),
             )
         )
         prev = levels[lvl - 1]
+        joined = prev.join(
+            contrib,
+            (prev["root"] == contrib["root"]) & (prev["vid"] == contrib["pvid"]),
+        ).select(
+            prev["root"].alias("root"),
+            prev["vid"].alias("vid"),
+            F.col("wvid"),
+            (prev["sigma"] * F.col("per_sigma")).alias("c"),
+        )
+        if collect_edges:
+            # each joined row IS one root's contribution to DAG edge
+            # (v=vid, w=wvid): σ_v·(1+δ_w)/σ_w — edge betweenness keys it
+            # by the edge instead of folding into δ(v)
+            eacc = eacc.union(
+                joined.select(
+                    F.col("vid").alias("esrc"),
+                    F.col("wvid").alias("edst"),
+                    F.col("c").alias("value"),
+                )
+            ).localCheckpoint(eager=True)
         delta = (
-            prev.join(
-                contrib,
-                (prev["root"] == contrib["root"]) & (prev["vid"] == contrib["pvid"]),
-            )
-            .select(prev["root"].alias("root"), prev["vid"].alias("vid"),
-                    (prev["sigma"] * F.col("per_sigma")).alias("c"))
-            .groupBy("root", "vid")
+            joined.groupBy("root", "vid")
             .agg(F.sum("c").alias("delta"))
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
+    if collect_edges:
+        return acc, seen, eacc
     return acc, seen
 
 

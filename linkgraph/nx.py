@@ -705,6 +705,18 @@ def betweenness_centrality(
     )
 
 
+def edge_betweenness_centrality(G: DiGraph, normalized: bool = True) -> dict:
+    """nx.edge_betweenness_centrality (unweighted) — {(u, v): value};
+    same all-sources level-parallel Brandes, contributions keyed per
+    shortest-path-DAG edge."""
+    G._project()
+    df = A.edge_betweenness_centrality(G._lg, normalized=normalized)
+    return {
+        (G._node_of[r["src"]], G._node_of[r["dst"]]): r["value"]
+        for r in df.collect()
+    }
+
+
 # ---- link prediction (reference forwards networkx's suite:
 #      nx/algorithms/tests/forward/test_link_prediction.py — undirected
 #      only; DiGraph raises, as those tests assert) ---------------------

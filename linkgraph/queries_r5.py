@@ -518,6 +518,79 @@ def q_gie_output(spark, sf_dir):
     )
 
 
+def _edge_betweenness_sql(levels: int = 10) -> str:
+    """Unrolled edge-Brandes twin of queries._betweenness_sql: identical
+    forward multi-source BFS + backward δ CTE chain, but the per-edge
+    terms σ_v·(1+δ_w)/σ_w are aggregated per DAG edge (v, w) instead of
+    folded into δ(v); normalization 1/(n(n−1)) (nx directed rescale)."""
+    from linkgraph import queries as Q
+
+    parts = [
+        "lvl0 AS MATERIALIZED (SELECT vid AS root, vid, 1.0 AS sigma FROM v)",
+        "seen0 AS MATERIALIZED (SELECT root, vid FROM lvl0)",
+    ]
+    for d in range(1, levels + 1):
+        p = d - 1
+        parts.append(
+            f"""lvl{d} AS MATERIALIZED (
+      SELECT s.root, e.dst AS vid, sum(s.sigma) AS sigma
+      FROM lvl{p} s JOIN e ON s.vid = e.src
+      WHERE NOT EXISTS (SELECT 1 FROM seen{p} x WHERE x.root = s.root AND x.vid = e.dst)
+      GROUP BY s.root, e.dst)"""
+        )
+        parts.append(
+            f"""seen{d} AS MATERIALIZED (
+      SELECT root, vid FROM seen{p} UNION ALL SELECT root, vid FROM lvl{d})"""
+        )
+    parts.append(
+        f"wd{levels} AS MATERIALIZED (SELECT root, vid, sigma, 0.0 AS delta FROM lvl{levels})"
+    )
+    for d in range(levels - 1, 0, -1):
+        parts.append(
+            f"""wd{d} AS MATERIALIZED (
+      SELECT p.root, p.vid, p.sigma, coalesce(s.dsum, 0) AS delta
+      FROM lvl{d} p LEFT JOIN (
+        SELECT p2.root, p2.vid, sum(p2.sigma * (1.0 + w.delta) / w.sigma) AS dsum
+        FROM lvl{d} p2 JOIN e ON p2.vid = e.src
+        JOIN wd{d + 1} w ON w.root = p2.root AND w.vid = e.dst
+        GROUP BY p2.root, p2.vid) s ON s.root = p.root AND s.vid = p.vid)"""
+        )
+    ecs = []
+    for d in range(1, levels + 1):
+        lvl_prev = f"lvl{d - 1}" if d > 1 else "lvl0"
+        parts.append(
+            f"""ec{d} AS MATERIALIZED (
+      SELECT p.vid AS src, e.dst AS dst,
+             sum(p.sigma * (1.0 + w.delta) / w.sigma) AS c
+      FROM {lvl_prev} p JOIN e ON p.vid = e.src
+      JOIN wd{d} w ON w.root = p.root AND w.vid = e.dst
+      GROUP BY p.vid, e.dst)"""
+        )
+        ecs.append(f"SELECT * FROM ec{d}")
+    parts.append(
+        f"""eacc AS (SELECT src, dst, sum(c) AS ebc FROM ({' UNION ALL '.join(ecs)}) GROUP BY src, dst),
+  nv AS (SELECT count(*) AS n FROM v)
+  SELECT e.src, e.dst,
+         round(coalesce(eacc.ebc, 0)
+               / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1.0)), 6) AS value
+  FROM e LEFT JOIN eacc ON e.src = eacc.src AND e.dst = eacc.dst"""
+    )
+    return Q._with_graph(",\n  ".join(parts))
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """nx.edge_betweenness_centrality (unweighted, directed) — per-edge
+    Brandes contributions keyed by the shortest-path-DAG edge; same
+    level-parallel all-sources machinery as g_betweenness."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import edge_betweenness_centrality
+
+    g = Q._oracle_graph(spark, sf_dir)
+    return edge_betweenness_centrality(g).select(
+        "src", "dst", F.round("value", 6).alias("value")
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -548,6 +621,7 @@ def register(
             "gie_allpath": q_gie_allpath,
             "gie_lambda": q_gie_lambda,
             "gie_output": q_gie_output,
+            "g_edge_betweenness": q_edge_betweenness,
         }
     )
     oracle_sql.update(
@@ -640,5 +714,6 @@ def register(
             "gie_output": """
   SELECT 'c' || c_custkey AS oid, 'customer' AS label, c_mktsegment
   FROM customer WHERE c_mktsegment = 'BUILDING'""",
+            "g_edge_betweenness": _edge_betweenness_sql(10),
         }
     )

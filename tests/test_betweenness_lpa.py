@@ -280,3 +280,56 @@ def test_lpa_u2i_vector_matches_python_oracle(spark):
     for u in seeds:
         for p in range(2):
             assert math.isclose(got[(u, p)], x[u][p], abs_tol=1e-9), (u, p, got[(u, p)], x[u][p])
+
+
+def test_edge_betweenness_matches_networkx(spark):
+    import networkx as nx
+
+    from linkgraph.algorithms import edge_betweenness_centrality
+
+    edges = rmat_edges(40, 200, seed=11)
+    verts = sorted({v for e in edges for v in e})
+    g = graph_from_edge_vids(spark, edges)
+    got = {
+        (r["src"], r["dst"]): r["value"]
+        for r in edge_betweenness_centrality(g).collect()
+    }
+    G = nx.DiGraph()
+    G.add_nodes_from(verts)
+    G.add_edges_from(set(edges))
+    want = nx.edge_betweenness_centrality(G, normalized=True)
+    assert set(got) == set(want)
+    for e, v in want.items():
+        assert math.isclose(got[e], v, abs_tol=1e-9), (e, got[e], v)
+
+
+def test_edge_betweenness_nx_wrapper_and_sampled(spark):
+    import networkx as nx
+
+    from linkgraph import nx as lnx
+    from linkgraph.algorithms import edge_betweenness_centrality
+
+    G = lnx.DiGraph(spark=spark)
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d")]
+    G.add_edges_from(path)
+    got = lnx.edge_betweenness_centrality(G)
+    H = nx.DiGraph(path)
+    want = nx.edge_betweenness_centrality(H)
+    for e, v in want.items():
+        assert math.isclose(got[e], v, abs_tol=1e-9), (e, got[e], v)
+
+    # sampled estimator: all-roots sample == exact
+    edges = rmat_edges(25, 80, seed=3)
+    verts = sorted({v for e in edges for v in e})
+    g = graph_from_edge_vids(spark, edges)
+    allv = g.vertices.select("vid")
+    exact = {
+        (r["src"], r["dst"]): r["value"]
+        for r in edge_betweenness_centrality(g).collect()
+    }
+    samp = {
+        (r["src"], r["dst"]): r["value"]
+        for r in edge_betweenness_centrality(g, sources=allv).collect()
+    }
+    for e, v in exact.items():
+        assert math.isclose(samp[e], v, abs_tol=1e-9)
