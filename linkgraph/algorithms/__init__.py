@@ -49,6 +49,7 @@ from linkgraph.algorithms.betweenness import (
     betweenness_centrality,
     edge_betweenness_centrality,
 )
+from linkgraph.algorithms.mst import minimum_spanning_forest
 from linkgraph.algorithms.louvain import louvain, louvain_canonical, louvain_phase1
 from linkgraph.algorithms.lpa_u2i import lpa_u2i, lpa_u2i_vector
 from linkgraph.algorithms.linkpred import (
@@ -140,6 +141,7 @@ __all__ = [
     "harmonic_centrality",
     "betweenness_centrality",
     "edge_betweenness_centrality",
+    "minimum_spanning_forest",
     "lpa_u2i",
     "lpa_u2i_vector",
     "sampling_path",

@@ -717,6 +717,30 @@ def edge_betweenness_centrality(G: DiGraph, normalized: bool = True) -> dict:
     }
 
 
+def minimum_spanning_edges(G, weight: str | None = "weight", data: bool = False):
+    """nx.minimum_spanning_edges — the unique minimum spanning forest
+    under the strict (w, u, v) total order (equals nx's Kruskal whenever
+    weights are unique). Undirected only, like networkx. Only the
+    projected 'weight' attribute (or None → unit weights) is supported,
+    same guard as betweenness_centrality."""
+    if G.directed:
+        raise ValueError("minimum_spanning_edges: undirected graphs only")
+    if weight not in ("weight", None):
+        raise ValueError(
+            f"minimum_spanning_edges: only the 'weight' attribute "
+            f"(or None) is projected; got {weight!r}"
+        )
+    G._project()
+    f = A.minimum_spanning_forest(G._lg, weight=weight)
+    rows = f.collect()
+    if data:
+        return [
+            (G._node_of[r["lo"]], G._node_of[r["hi"]], {"weight": r["w"]})
+            for r in rows
+        ]
+    return [(G._node_of[r["lo"]], G._node_of[r["hi"]]) for r in rows]
+
+
 # ---- link prediction (reference forwards networkx's suite:
 #      nx/algorithms/tests/forward/test_link_prediction.py — undirected
 #      only; DiGraph raises, as those tests assert) ---------------------

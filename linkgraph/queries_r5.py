@@ -591,6 +591,27 @@ def q_edge_betweenness(spark, sf_dir):
     )
 
 
+def q_mst(spark, sf_dir):
+    """Deterministic Borůvka minimum spanning forest (mst.py) with
+    derived symmetric weights w = (src+dst)%7+1; ties broken by the
+    strict (w, lo, hi) order make the forest unique, so the sequential
+    Kruskal list-replay oracle must produce the identical edge set."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import minimum_spanning_forest
+    from linkgraph.graph import LinkGraph
+
+    g = Q._oracle_graph(spark, sf_dir)
+    e = g.edges.select(
+        "src",
+        "dst",
+        ((F.col("src") + F.col("dst")) % 7 + 1).cast("double").alias("w"),
+    )
+    wg = LinkGraph(vertices=g.vertices, edges=e)
+    return minimum_spanning_forest(wg, weight="w").select(
+        "lo", "hi", F.col("w").cast("long").alias("w")
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -622,6 +643,7 @@ def register(
             "gie_lambda": q_gie_lambda,
             "gie_output": q_gie_output,
             "g_edge_betweenness": q_edge_betweenness,
+            "g_mst": q_mst,
         }
     )
     oracle_sql.update(
@@ -715,5 +737,35 @@ def register(
   SELECT 'c' || c_custkey AS oid, 'customer' AS label, c_mktsegment
   FROM customer WHERE c_mktsegment = 'BUILDING'""",
             "g_edge_betweenness": _edge_betweenness_sql(10),
+            # sequential Kruskal replayed as a single-row recursive CTE:
+            # the component assignment rides ONE list column indexed by
+            # vid rank; each recursion step consumes edge rank r under
+            # the strict (w, lo, hi) total order (unique forest ⇒ must
+            # equal Borůvka's edge set exactly)
+            "g_mst": Q._with_graph(
+                """sw AS (SELECT lo, hi, (lo + hi) % 7 + 1 AS w
+         FROM simple_und WHERE lo <> hi),
+  vv AS (SELECT vid, row_number() OVER (ORDER BY vid) AS idx FROM v),
+  re AS (SELECT sw.lo, sw.hi, sw.w,
+                row_number() OVER (ORDER BY sw.w, sw.lo, sw.hi) AS r,
+                a.idx AS li, b.idx AS hi_i
+         FROM sw JOIN vv a ON a.vid = sw.lo JOIN vv b ON b.vid = sw.hi),
+  ks AS (
+    WITH RECURSIVE s(r, comps, took) AS (
+      SELECT 0::BIGINT, (SELECT list(vid ORDER BY vid) FROM v), false
+      UNION ALL
+      SELECT s.r + 1,
+             CASE WHEN s.comps[re.li] = s.comps[re.hi_i] THEN s.comps
+                  ELSE list_transform(s.comps,
+                         c -> CASE WHEN c = greatest(s.comps[re.li], s.comps[re.hi_i])
+                                   THEN least(s.comps[re.li], s.comps[re.hi_i])
+                              ELSE c END)
+             END,
+             s.comps[re.li] <> s.comps[re.hi_i]
+      FROM s JOIN re ON re.r = s.r + 1)
+    SELECT r, took FROM s)
+  SELECT re.lo, re.hi, re.w::BIGINT AS w
+  FROM ks JOIN re ON re.r = ks.r WHERE ks.took"""
+            ),
         }
     )
