@@ -110,6 +110,7 @@ def edge_betweenness_centrality(
     normalized: bool = True,
     sources: DataFrame | None = None,
     max_depth: int = 10_000,
+    weight: str | None = None,
 ) -> DataFrame:
     """(src, dst, value) — nx.edge_betweenness_centrality on the directed
     graph: for every shortest-path-DAG edge (v, w),
@@ -118,8 +119,11 @@ def edge_betweenness_centrality(
     the vertex variant — the per-edge contributions ARE the terms the
     backward walk already computes before its per-vertex aggregation, so
     edge mode only keys them by (v, w) instead of folding them into δ(v).
-    ``sources`` gives the k-sample estimator (×n/k). Unweighted only
-    (reference ships only vertex BC; this is an nx-parity extension)."""
+    ``sources`` gives the k-sample estimator (×n/k); ``weight`` names a
+    positive edge-weight column (Dijkstra DAG — the per-edge terms are
+    then computed once after the layered walk finalizes δ, see
+    _weighted_phases). nx-parity extension (reference ships vertex BC
+    only)."""
     spark = graph.edges.sparkSession
     n = graph.vertices.count()
     if n == 0:
@@ -128,9 +132,14 @@ def edge_betweenness_centrality(
         roots = graph.vertices.select(F.col("vid").alias("root"))
     else:
         roots = sources.select(F.col(sources.columns[0]).alias("root")).distinct()
-    _, _, eacc = _unweighted_phases(
-        graph, roots, max_depth, endpoints=False, collect_edges=True
-    )
+    if weight is not None:
+        _, _, eacc = _weighted_phases(
+            graph, roots, weight, max_depth, endpoints=False, collect_edges=True
+        )
+    else:
+        _, _, eacc = _unweighted_phases(
+            graph, roots, max_depth, endpoints=False, collect_edges=True
+        )
     ebc = eacc.groupBy("esrc", "edst").agg(F.sum("value").alias("value"))
     scale = 1.0 / (n * (n - 1)) if (normalized and n > 1) else 1.0
     if sources is not None:
@@ -250,7 +259,7 @@ def _unweighted_phases(graph, roots, max_depth, endpoints, collect_edges=False):
     return acc, seen
 
 
-def _weighted_phases(graph, roots, weight, max_depth, endpoints):
+def _weighted_phases(graph, roots, weight, max_depth, endpoints, collect_edges=False):
     """Weighted Brandes: Bellman-Ford dist fixpoint, longest-hop DAG
     layering, then layered σ forward / δ backward passes."""
     spark = graph.edges.sparkSession
@@ -427,6 +436,32 @@ def _weighted_phases(graph, roots, weight, max_depth, endpoints):
         ).localCheckpoint(eager=True)
 
     seen = dist  # (root, vid, dist) — reached set incl. root
+    if collect_edges:
+        # per-DAG-edge terms σ_v·(1+δ_w)/σ_w, computed ONCE at the end
+        # (δ is final everywhere): the per-layer contrib joins above
+        # revisit a (v, w) pair at every layer between v and w, so
+        # collecting there would double-count — one join here doesn't.
+        wterm = final.select(
+            "root",
+            F.col("vid").alias("dst"),
+            ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("per_sigma"),
+        )
+        vsig = known.select(
+            "root", F.col("vid").alias("src"), F.col("sigma").alias("vsigma")
+        )
+        eacc = (
+            dag.join(wterm, ["root", "dst"])
+            .join(vsig, ["root", "src"])
+            .select(
+                F.col("src").alias("esrc"),
+                F.col("dst").alias("edst"),
+                (F.col("vsigma") * F.col("per_sigma")).alias("value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges.unpersist()
+        dag.unpersist()
+        return acc, seen, eacc
     edges.unpersist()
     dag.unpersist()
     return acc, seen

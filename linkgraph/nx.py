@@ -705,12 +705,22 @@ def betweenness_centrality(
     )
 
 
-def edge_betweenness_centrality(G: DiGraph, normalized: bool = True) -> dict:
-    """nx.edge_betweenness_centrality (unweighted) — {(u, v): value};
-    same all-sources level-parallel Brandes, contributions keyed per
-    shortest-path-DAG edge."""
+def edge_betweenness_centrality(
+    G: DiGraph, normalized: bool = True, weight: str | None = None
+) -> dict:
+    """nx.edge_betweenness_centrality — {(u, v): value}; same all-sources
+    level-parallel Brandes, contributions keyed per shortest-path-DAG
+    edge. Only the projected 'weight' attribute (or None) is supported,
+    same guard as betweenness_centrality."""
+    if weight not in ("weight", None):
+        raise ValueError(
+            f"edge_betweenness_centrality: only the 'weight' attribute "
+            f"(or None) is projected; got {weight!r}"
+        )
     G._project()
-    df = A.edge_betweenness_centrality(G._lg, normalized=normalized)
+    df = A.edge_betweenness_centrality(
+        G._lg, normalized=normalized, weight="weight" if weight is not None else None
+    )
     return {
         (G._node_of[r["src"]], G._node_of[r["dst"]]): r["value"]
         for r in df.collect()

@@ -333,3 +333,33 @@ def test_edge_betweenness_nx_wrapper_and_sampled(spark):
     }
     for e, v in exact.items():
         assert math.isclose(samp[e], v, abs_tol=1e-9)
+
+
+def test_edge_betweenness_weighted_matches_networkx(spark):
+    import networkx as nx
+
+    from linkgraph.algorithms import edge_betweenness_centrality
+    from linkgraph.graph import LinkGraph
+
+    edges = rmat_edges(30, 110, seed=5)
+    rows = sorted({(a, b) for a, b in edges if a != b})
+    wrows = [(a, b, float((a * 13 + b * 7) % 23 + 1)) for a, b in rows]
+    e = spark.createDataFrame(wrows, "src long, dst long, w double")
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    g = LinkGraph(vertices=v, edges=e)
+    got = {
+        (r["src"], r["dst"]): r["value"]
+        for r in edge_betweenness_centrality(g, weight="w").collect()
+    }
+    G = nx.DiGraph()
+    G.add_nodes_from(r["vid"] for r in v.collect())
+    G.add_weighted_edges_from(wrows)
+    want = nx.edge_betweenness_centrality(G, weight="weight", normalized=True)
+    assert set(got) == set(want)
+    for k, val in want.items():
+        assert math.isclose(got[k], val, abs_tol=1e-9), (k, got[k], val)
