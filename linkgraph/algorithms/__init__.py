@@ -76,6 +76,7 @@ from linkgraph.algorithms.paths import (
     average_shortest_path_length,
     eccentricity,
     diameter,
+    diameter_approx,
     radius,
     center,
     periphery,
@@ -135,6 +136,7 @@ __all__ = [
     "average_shortest_path_length",
     "eccentricity",
     "diameter",
+    "diameter_approx",
     "radius",
     "center",
     "periphery",

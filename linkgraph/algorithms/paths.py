@@ -512,6 +512,42 @@ def diameter(graph: LinkGraph, ecc: DataFrame | None = None) -> int:
     return int(row["d"]) if row["d"] is not None else 0
 
 
+def diameter_approx(graph: LinkGraph, start: int | None = None) -> int:
+    """Double-sweep (2-sweep) diameter lower bound — the
+    nx.approximation.diameter heuristic made deterministic: BFS over the
+    symmetrized simple graph from ``start`` (default: min vid), hop to
+    the farthest reached vertex (tie-break min vid), BFS again; the
+    second eccentricity is the bound. Cost = 2 BFS runs instead of the
+    exact diameter's V-source APSP — THE scale path for diameter
+    estimation (the bound is exact on trees and empirically tight on
+    real graphs, Magnien–Latapy–Habib 2009). Disconnected input bounds
+    the start vertex's component (reachable-set semantics, like
+    :func:`eccentricity`)."""
+    from linkgraph.algorithms.traversal import bfs
+
+    sym = LinkGraph(
+        vertices=graph.vertices,
+        edges=graph.symmetrized_simple_edges().select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ),
+    )
+    if start is None:
+        row = graph.vertices.agg(F.min("vid")).first()
+        if row[0] is None:
+            return 0
+        start = int(row[0])
+    far = (
+        bfs(sym, src=start)
+        .where(F.col("value") >= 0)
+        .orderBy(F.col("value").desc(), F.col("vid").asc())
+        .first()
+    )
+    if far is None:
+        return 0
+    row = bfs(sym, src=int(far["vid"])).agg(F.max("value")).first()
+    return int(row[0]) if row[0] is not None else 0
+
+
 def radius(graph: LinkGraph, ecc: DataFrame | None = None) -> int:
     """Min reachable-set eccentricity (see :func:`eccentricity`)."""
     e = ecc if ecc is not None else eccentricity(graph)

@@ -437,6 +437,14 @@ def diameter(G: DiGraph) -> int:
     return max(_ecc_checked(G).values())
 
 
+def approximate_diameter(G: DiGraph) -> int:
+    """nx.approximation.diameter — double-sweep lower bound (2 BFS runs
+    instead of all-sources APSP; deterministic start/tie-break here).
+    The scale path for diameter estimation; exact on trees."""
+    G._project()
+    return A.diameter_approx(G._lg)
+
+
 def radius(G: DiGraph) -> int:
     """nx.radius — min eccentricity."""
     return min(_ecc_checked(G).values())

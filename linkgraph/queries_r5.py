@@ -612,6 +612,19 @@ def q_mst(spark, sf_dir):
     )
 
 
+def q_diameter_approx(spark, sf_dir):
+    """Double-sweep diameter lower bound (paths.diameter_approx —
+    nx.approximation.diameter heuristic, deterministic start/tie-break);
+    oracle replays the same two BFS sweeps as recursive walk CTEs."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import diameter_approx
+
+    g = Q._oracle_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(diameter_approx(g),)], "diameter_lb bigint"
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -644,6 +657,7 @@ def register(
             "gie_output": q_gie_output,
             "g_edge_betweenness": q_edge_betweenness,
             "g_mst": q_mst,
+            "g_diameter_approx": q_diameter_approx,
         }
     )
     oracle_sql.update(
@@ -742,6 +756,22 @@ def register(
             # vid rank; each recursion step consumes edge rank r under
             # the strict (w, lo, hi) total order (unique forest ⇒ must
             # equal Borůvka's edge set exactly)
+            "g_diameter_approx": Q._with_graph(
+                """b1 AS (
+    WITH RECURSIVE w(vid, d) AS (
+      SELECT (SELECT min(vid) FROM v), 0
+      UNION
+      SELECT und.dst, w.d + 1 FROM w JOIN und ON w.vid = und.src WHERE w.d < 50)
+    SELECT vid, min(d) AS d FROM w GROUP BY vid),
+  far AS (SELECT vid FROM b1 ORDER BY d DESC, vid ASC LIMIT 1),
+  b2 AS (
+    WITH RECURSIVE w2(vid, d) AS (
+      SELECT (SELECT vid FROM far), 0
+      UNION
+      SELECT und.dst, w2.d + 1 FROM w2 JOIN und ON w2.vid = und.src WHERE w2.d < 50)
+    SELECT vid, min(d) AS d FROM w2 GROUP BY vid)
+  SELECT max(d)::BIGINT AS diameter_lb FROM b2"""
+            ),
             "g_mst": Q._with_graph(
                 """sw AS (SELECT lo, hi, (lo + hi) % 7 + 1 AS w
          FROM simple_und WHERE lo <> hi),

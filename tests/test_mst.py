@@ -108,3 +108,20 @@ def test_nx_minimum_spanning_edges_wrapper(spark):
     D.add_edge("x", "y")
     with _pytest.raises(ValueError, match="undirected"):
         lnx.minimum_spanning_edges(D)
+
+
+def test_diameter_approx_two_sweep(spark):
+    from linkgraph.algorithms import diameter, diameter_approx
+
+    # exact on trees
+    tree = [(0, 1), (1, 2), (2, 3), (1, 4), (4, 5)]
+    g = graph_from_edge_vids(spark, tree)
+    assert diameter_approx(g) == 4
+    # lower bound never exceeds the exact diameter on a random graph
+    edges = rmat_edges(30, 100, seed=9)
+    both = list({(a, b) for a, b in edges if a != b}) + [
+        (b, a) for a, b in edges if a != b
+    ]
+    g2 = graph_from_edge_vids(spark, both)
+    lb, ex = diameter_approx(g2), diameter(g2)
+    assert 0 < lb <= ex
