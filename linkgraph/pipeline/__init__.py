@@ -29,6 +29,7 @@ from linkgraph.pipeline.dedup import (
 )
 from linkgraph.pipeline.curation import (
     hash_split,
+    pack_sequences,
     stratified_sample,
     repetition_scores,
     contamination_check,
@@ -60,6 +61,7 @@ __all__ = [
     "simhash_duplicates",
     "ngram_jaccard_pairs",
     "hash_split",
+    "pack_sequences",
     "stratified_sample",
     "repetition_scores",
     "contamination_check",

@@ -69,6 +69,71 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(shard, bin, doc_id, tok_in_bin) — deterministic concat-and-chunk
+    sequence packing: every training bin holds exactly ``budget`` tokens
+    (GPT-style pretraining sample packing; documents may straddle bin
+    boundaries, emitting one row per (doc, bin) overlap).
+
+    Shape at 100 TB: docs shard by a seeded id hash (each shard packs
+    independently — the parallel unit), order inside the shard by id,
+    and the bin spans fall out of ONE window cumsum:
+    bin ∈ [start/budget, (end−1)/budget]. One hash exchange, one
+    in-partition sort, a local explode — pure Catalyst, zero UDFs, and
+    re-runs/appends keep every existing doc's shard stable (same
+    property hash_split guarantees). Empty docs are dropped (they carry
+    no tokens). md5 hash_mode + whitespace tokens replay exactly in
+    DuckDB (driver entry doc_pack)."""
+    from pyspark.sql import Window
+
+    from linkgraph.pipeline.text import token_counts
+
+    tk = token_counts(df, id_col, text_col).select(
+        id_col, F.col("ws_tokens").alias("tokens")
+    )
+    sh = tk.where(F.col("tokens") > 0).withColumn(
+        "shard",
+        F.pmod(_hash_bucket(F.col(id_col), seed, hash_mode), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = sh.withColumn("e", F.sum("tokens").over(w)).withColumn(
+        "s", F.col("e") - F.col("tokens")
+    )
+    z = x.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / budget), F.floor((F.col("e") - 1) / budget)
+            )
+        ),
+    )
+    return z.select(
+        "shard",
+        F.col("bin").cast("long").alias("bin"),
+        F.col(id_col),
+        (
+            F.least(F.col("e"), (F.col("bin") + 1) * budget)
+            - F.greatest(F.col("s"), F.col("bin") * budget)
+        )
+        .cast("long")
+        .alias("tok_in_bin"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,

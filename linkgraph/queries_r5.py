@@ -625,6 +625,18 @@ def q_diameter_approx(spark, sf_dir):
     )
 
 
+def q_doc_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (curation.pack_sequences, md5
+    hash mode): fixed 2048-token training bins, one row per (doc, bin)
+    overlap — the window-cumsum bin spans replay exactly in DuckDB."""
+    from linkgraph import queries as Q
+    from linkgraph.pipeline import pack_sequences
+
+    return pack_sequences(
+        Q._docs(spark, sf_dir), budget=2048, n_shards=64, seed=0, hash_mode="md5"
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -658,6 +670,7 @@ def register(
             "g_edge_betweenness": q_edge_betweenness,
             "g_mst": q_mst,
             "g_diameter_approx": q_diameter_approx,
+            "doc_pack": q_doc_pack,
         }
     )
     oracle_sql.update(
@@ -756,6 +769,23 @@ def register(
             # vid rank; each recursion step consumes edge rank r under
             # the strict (w, lo, hi) total order (unique forest ⇒ must
             # equal Borůvka's edge set exactly)
+            "doc_pack": """
+  WITH tk AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tokens,
+           (('0x' || substring(md5('0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) % 64 AS shard
+    FROM documents),
+  x AS (SELECT doc_id, shard, tokens,
+               sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+        FROM tk WHERE tokens > 0),
+  y AS (SELECT doc_id, shard, tokens, e - tokens AS s, e FROM x),
+  z AS (SELECT doc_id, shard, s, e,
+               unnest(range((s // 2048)::BIGINT, ((e - 1) // 2048 + 1)::BIGINT)) AS bin
+        FROM y)
+  SELECT shard::INT AS shard, bin::BIGINT AS bin, doc_id,
+         (least(e, (bin + 1) * 2048) - greatest(s, bin * 2048))::BIGINT AS tok_in_bin
+  FROM z""",
             "g_diameter_approx": Q._with_graph(
                 """b1 AS (
     WITH RECURSIVE w(vid, d) AS (

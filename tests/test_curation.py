@@ -161,3 +161,26 @@ def test_pii_regex_duckdb_parity(spark):
             ).fetchone()[0]
             s = len(re.findall(pat, t))
             assert d == s, (name, t)
+
+
+def test_pack_sequences_invariants(spark, docs):
+    from linkgraph.pipeline import pack_sequences, token_counts
+
+    out = pack_sequences(docs, budget=512, n_shards=8, seed=0, hash_mode="md5").persist()
+    # every (shard, bin) except each shard's last holds exactly the budget
+    per_bin = out.groupBy("shard", "bin").agg(F.sum("tok_in_bin").alias("t"))
+    last = per_bin.groupBy("shard").agg(F.max("bin").alias("bin")).withColumn("is_last", F.lit(True))
+    full = per_bin.join(last, ["shard", "bin"], "left").where(F.col("is_last").isNull())
+    assert full.where(F.col("t") != 512).count() == 0
+    # total packed tokens == total ws tokens of non-empty docs
+    tot = out.agg(F.sum("tok_in_bin")).first()[0]
+    want = (
+        token_counts(docs).where(F.col("ws_tokens") > 0).agg(F.sum("ws_tokens")).first()[0]
+    )
+    assert tot == want
+    # per-doc packed tokens == its token count (no loss, no duplication)
+    per_doc = out.groupBy("doc_id").agg(F.sum("tok_in_bin").alias("t"))
+    tk = token_counts(docs).select("doc_id", F.col("ws_tokens").alias("w"))
+    bad = per_doc.join(tk, "doc_id").where(F.col("t") != F.col("w")).count()
+    assert bad == 0
+    out.unpersist()
