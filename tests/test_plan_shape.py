@@ -221,3 +221,18 @@ def test_mis_round_plan_no_cartesian(spark):
     plan = _explain_str(winners)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing's only network cost is the hash partition by shard: one
+    Exchange, one in-partition Sort for the window cumsum, no Python —
+    at 100 TB the packing adds one shuffle of (id, tokens) pairs."""
+    from linkgraph.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 17 + 1)) for i in range(64)], ["doc_id", "text"]
+    )
+    plan = _explain_str(pack_sequences(df, budget=16, n_shards=4))
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapGroupsInPandas"):
+        assert marker not in plan
