@@ -602,6 +602,25 @@ def _apply_chain(t: Traversal, steps: list[_Step], text: str):
             t = t.barrier()
         elif s.name == "constant":
             t = t.constant(s.args[0])
+        # ---- traversal-embedded vertex programs (terminal; TinkerPop's
+        # g.V().outE().pageRank() text forms — the *TreeNode VP family).
+        # Each requires an edge frontier exactly like the fluent step.
+        elif s.name == "pageRank":
+            t = t.page_rank(*s.args)
+        elif s.name == "connectedComponent":
+            t = t.connected_component()
+        elif s.name == "labelPropagation":
+            t = t.label_propagation(*[int(a) for a in s.args])
+        elif s.name == "peerPressure":
+            t = t.peer_pressure(*[int(a) for a in s.args])
+        elif s.name == "shortestPath":
+            if len(s.args) != 1 or not isinstance(s.args[0], str):
+                raise GremlinParseError("shortestPath() takes one source oid")
+            t = t.shortest_path(s.args[0])
+        elif s.name == "allPath":
+            if len(s.args) != 3:
+                raise GremlinParseError("allPath() takes (sid, tid, khop)")
+            t = t.all_path(s.args[0], s.args[1], int(s.args[2]))
         elif s.name == "id":
             t = t.id_()
         elif s.name == "label":

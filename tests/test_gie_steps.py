@@ -376,3 +376,32 @@ def test_select_keys_values_over_map_streams(pg):
 
     with pytest.raises(ValueError, match="map/entry-valued"):
         select_keys(traversal(pg).V("person").df)
+
+
+def test_text_vertex_program_steps(pg):
+    from pyspark.sql import functions as F
+
+    # text pageRank() ≡ fluent page_rank() on the same edge frontier
+    got = gremlin(pg).execute("g.V('person').outE('knows').pageRank(0.85, 3)")
+    want = traversal(pg).V("person").outE("knows").page_rank(0.85, 3)
+    a = {r["oid"]: round(r["value"], 9) for r in got.collect()}
+    b = {r["oid"]: round(r["value"], 9) for r in want.collect()}
+    assert a == b
+
+    cc = gremlin(pg).execute(
+        "g.V('person').bothE('knows', 'created').connectedComponent()"
+    )
+    assert {r["component_oid"] for r in cc.collect()} == {"p1"}
+
+    sp = gremlin(pg).execute("g.V('person').outE('knows').shortestPath('p4')")
+    assert {r["oid"]: r["value"] for r in sp.collect()} == {
+        "p4": 0, "p1": 1, "p2": 2, "p3": 2,
+    }
+
+    ap = gremlin(pg).execute("g.V().outE().allPath('p4', 's2', 3)")
+    assert sorted(tuple(r["path"]) for r in ap.collect()) == [
+        ("p4", "p1", "p3", "s2"), ("p4", "s2"),
+    ]
+
+    with pytest.raises(GremlinParseError, match="sid, tid, khop"):
+        gremlin(pg).execute("g.V().outE().allPath('p4')")
