@@ -29,6 +29,7 @@ from linkgraph.pipeline.dedup import (
 )
 from linkgraph.pipeline.curation import (
     hash_split,
+    mixture_sample,
     pack_sequences,
     stratified_sample,
     repetition_scores,
@@ -61,6 +62,7 @@ __all__ = [
     "simhash_duplicates",
     "ngram_jaccard_pairs",
     "hash_split",
+    "mixture_sample",
     "pack_sequences",
     "stratified_sample",
     "repetition_scores",

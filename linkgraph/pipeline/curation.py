@@ -134,6 +134,64 @@ def pack_sequences(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, int],
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic data-mixing downsample: keep a per-stratum fraction
+    of documents so the surviving TOKEN distribution over ``by`` matches
+    the ``targets`` weights in expectation, discarding as little data as
+    possible.
+
+    The standard pretraining mixture step. With integer target weights
+    w_s and current token counts c_s, the binding stratum
+    u = argmin c_s/w_s (most under-represented relative to its target,
+    ties by stratum value) keeps everything; every other stratum keeps
+    r_s = (c_u·w_s)/(w_u·c_s) — the normalizations cancel, so the keep
+    cutoffs are EXACT integer arithmetic (floor at the _BUCKETS grain)
+    and the DuckDB oracle replays them bit-for-bit. Selection is the
+    same stable id-hash rule as hash_split (per-doc decisions never
+    flip when other strata grow... the cutoff itself shifts with the
+    corpus, as any mixture must). Strata absent from ``targets`` drop.
+    One (stratum, tokens) aggregation → |strata| driver scalars → one
+    literal CASE cutoff — nothing heavier than the token count moves.
+    """
+    from linkgraph.pipeline.text import token_counts
+
+    tk = token_counts(df, id_col, text_col).select(
+        id_col, F.col("ws_tokens").alias("__mix_tokens")
+    )
+    d = df.join(tk, id_col)
+    shares = {
+        r[by]: int(r["tok"])
+        for r in d.groupBy(by).agg(F.sum("__mix_tokens").alias("tok")).collect()
+        if r[by] in targets and r["tok"]
+    }
+    if not shares:
+        return d.drop("__mix_tokens").limit(0)
+    u = min(sorted(shares), key=lambda s: shares[s] / targets[s])
+    cuts = {
+        s: min(
+            _BUCKETS, (_BUCKETS * shares[u] * targets[s]) // (targets[u] * shares[s])
+        )
+        for s in shares
+    }
+    expr = F.lit(-1).cast("long")
+    for s, cut in cuts.items():
+        expr = F.when(F.col(by) == s, F.lit(cut)).otherwise(expr)
+    bucket = _hash_bucket(
+        F.concat_ws("|", F.col(by), F.col(id_col).cast("string")), seed, hash_mode
+    )
+    return d.withColumn("__mix_cut", expr).where(bucket < F.col("__mix_cut")).drop(
+        "__mix_cut", "__mix_tokens"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fraction: float,

@@ -637,6 +637,31 @@ def q_doc_pack(spark, sf_dir):
     )
 
 
+def q_doc_mixture(spark, sf_dir):
+    """Data-mixing downsample (curation.mixture_sample, md5 hash mode):
+    keep per-lang fractions so surviving tokens match 3:2:1 weights for
+    en:de:fr; cutoffs are exact integer arithmetic, so DuckDB replays
+    the whole pipeline — binding-stratum selection included. Returns
+    per-lang kept doc counts + token sums."""
+    from linkgraph import queries as Q
+    from linkgraph.pipeline import mixture_sample
+    from linkgraph.pipeline.text import token_counts
+
+    kept = mixture_sample(
+        Q._docs(spark, sf_dir),
+        {"en": 3, "de": 2, "fr": 1},
+        by="lang",
+        seed=1,
+        hash_mode="md5",
+    )
+    tk = token_counts(kept).select("doc_id", F.col("ws_tokens").alias("t"))
+    return (
+        kept.join(tk, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("tokens"))
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -671,6 +696,7 @@ def register(
             "g_mst": q_mst,
             "g_diameter_approx": q_diameter_approx,
             "doc_pack": q_doc_pack,
+            "doc_mixture": q_doc_mixture,
         }
     )
     oracle_sql.update(
@@ -786,6 +812,26 @@ def register(
   SELECT shard::INT AS shard, bin::BIGINT AS bin, doc_id,
          (least(e, (bin + 1) * 2048) - greatest(s, bin * 2048))::BIGINT AS tok_in_bin
   FROM z""",
+            "doc_mixture": """
+  WITH w(lang, wt) AS (VALUES ('en', 3), ('de', 2), ('fr', 1)),
+  tk AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS t
+    FROM documents),
+  c AS (SELECT tk.lang, w.wt, sum(t)::BIGINT AS c FROM tk JOIN w ON w.lang = tk.lang
+        GROUP BY tk.lang, w.wt HAVING sum(t) > 0),
+  u AS (SELECT lang AS ul, wt AS uw, c AS uc FROM c
+        ORDER BY c::DOUBLE / wt, lang LIMIT 1),
+  cuts AS (SELECT c.lang, least(1000000::HUGEINT,
+                  (1000000::HUGEINT * u.uc * c.wt) // (u.uw * c.c)) AS cut
+           FROM c, u),
+  kept AS (
+    SELECT tk.doc_id, tk.lang, tk.t
+    FROM tk JOIN cuts ON cuts.lang = tk.lang
+    WHERE ('0x' || substring(md5('1:' || tk.lang || '|' || tk.doc_id::VARCHAR), 1, 15))::BIGINT
+          % 1000000 < cut)
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS tokens
+  FROM kept GROUP BY lang""",
             "g_diameter_approx": Q._with_graph(
                 """b1 AS (
     WITH RECURSIVE w(vid, d) AS (

@@ -184,3 +184,33 @@ def test_pack_sequences_invariants(spark, docs):
     bad = per_doc.join(tk, "doc_id").where(F.col("t") != F.col("w")).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_mixture_sample_hits_target_ratios(spark, docs):
+    from linkgraph.pipeline import mixture_sample, token_counts
+
+    targets = {"en": 3, "de": 2, "fr": 1}
+    kept = mixture_sample(docs, targets, by="lang", seed=1, hash_mode="md5").persist()
+    # only target strata survive
+    assert {r["lang"] for r in kept.select("lang").distinct().collect()} <= set(targets)
+    tk = token_counts(kept).select("doc_id", F.col("ws_tokens").alias("t"))
+    toks = {
+        r["lang"]: r["tok"]
+        for r in kept.join(tk, "doc_id").groupBy("lang").agg(F.sum("t").alias("tok")).collect()
+    }
+    tk_all = token_counts(docs).select("doc_id", F.col("ws_tokens").alias("t"))
+    orig = {
+        r["lang"]: r["tok"]
+        for r in docs.join(tk_all, "doc_id").groupBy("lang").agg(F.sum("t").alias("tok")).collect()
+    }
+    # binding stratum keeps everything
+    u = min(sorted(targets), key=lambda s: orig[s] / targets[s])
+    assert toks[u] == orig[u]
+    # surviving token shares approximate the target weights (hash noise at
+    # sf0.001 is coarse — 35% tolerance on each pairwise ratio)
+    for a in targets:
+        for b in targets:
+            want = targets[a] / targets[b]
+            got = toks[a] / toks[b]
+            assert abs(got - want) / want < 0.35, (a, b, got, want)
+    kept.unpersist()
