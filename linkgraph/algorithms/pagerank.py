@@ -171,6 +171,96 @@ def pagerank_nx(
     )
 
 
+def pagerank_weighted(
+    graph: LinkGraph,
+    weights: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float | None = 1e-06,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Edge-weighted PageRank (NetworkX ``pagerank(G, weight=...)``
+    semantics, which graphscope.nx forwards — transition mass out of u
+    splits proportionally to edge weight instead of 1/deg):
+
+        msg(v)  = Σ_{(u,v)∈E, W(u)>0} rank(u) · w(u,v) / W(u),
+        W(u)    = Σ_{(u,·)∈E} w(u,·)   (dangling ⇔ W(u) = 0)
+
+    ``weights``: (src, dst, w) — one row per directed edge; parallel
+    rows are legal (their weights add, exactly as nx MultiDiGraph).
+    ``tol=None`` runs exactly ``max_iter`` rounds (LDBC twin).
+
+    Same superstep shape as the unweighted kernel: the weighted edge
+    table shuffles once onto src and is reused every round; per round
+    one join + one ``groupBy(dst).sum`` (algebraic — map-side combine
+    absorbs hub skew) + one fused L1/dangling scalar aggregate.
+    """
+    spark = graph.edges.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    w = weights.columns[2]
+    edges = (
+        weights.select("src", "dst", F.col(w).cast("double").alias("w"))
+        .repartition(p, "src")
+        .persist()
+    )
+    n = graph.vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, value double")
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    state0 = (
+        graph.vertices.select("vid")
+        .join(wout.withColumnRenamed("src", "vid"), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("wout", F.lit(0.0)).alias("wout"),
+            F.lit(1.0 / n).alias("rank"),
+        )
+    )
+    dangling = {"mass": None}
+
+    def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        if dangling["mass"] is None:
+            dangling["mass"] = (
+                state.where(F.col("wout") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
+            ) * alpha
+        base = F.lit((1.0 - alpha) / n + dangling["mass"] / n)
+        msgs = (
+            state.where(F.col("wout") > 0.0)
+            .join(edges, state["vid"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wout")).alias("msum"))
+        )
+        new_state = (
+            state.join(msgs, state["vid"] == msgs["dst"], "left")
+            .select(
+                state["vid"],
+                state["wout"],
+                (alpha * F.coalesce(F.col("msum"), F.lit(0.0)) + base).alias("rank"),
+                state["rank"].alias("prev_rank"),
+            )
+            .persist()
+        )
+        row = new_state.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))).alias("l1"),
+            F.sum(
+                F.when(F.col("wout") == 0.0, F.col("rank")).otherwise(F.lit(0.0))
+            ).alias("dg"),
+        ).first()
+        dangling["mass"] = (row["dg"] or 0.0) * alpha
+        return new_state, {"l1": row["l1"] or 0.0}
+
+    if tol is None:
+        conv = lambda stats: False  # noqa: E731
+    else:
+        conv = lambda stats: stats["l1"] < tol * n  # noqa: E731
+    result = run_supersteps(
+        state0, step, conv, max_rounds=max_iter, checkpoint_dir=checkpoint_dir
+    )
+    out = result.state.select("vid", F.col("rank").alias("value"))
+    edges.unpersist()
+    return out
+
+
 def pagerank(
     graph: LinkGraph,
     delta: float = 0.85,

@@ -4867,8 +4867,10 @@ R5_NEW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 R5_NEW_ORACLE_SQL: dict[str, str] = {}
 
 from linkgraph import queries_r5  # noqa: E402  (populates R5_NEW_*)
+from linkgraph import queries_r5b  # noqa: E402  (second-wave r5 entries)
 
 queries_r5.register(R5_NEW_QUERIES, R5_NEW_ORACLE_SQL)
+queries_r5b.register(R5_NEW_QUERIES, R5_NEW_ORACLE_SQL)
 
 QUERIES = {**R5_QUEUE_QUERIES, **R5_NEW_QUERIES, **QUERIES}
 ORACLE_SQL = {**R5_QUEUE_ORACLE_SQL, **R5_NEW_ORACLE_SQL, **ORACLE_SQL}

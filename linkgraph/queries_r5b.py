@@ -1,0 +1,140 @@
+"""Round-5 second-wave registry additions (implemented after the r5
+splice; ride in the driver window immediately behind queries_r5's
+entries — see queries.py's window note).
+
+Covered here:
+
+- ``g_matching`` — deterministic distributed maximal matching
+  (mutual-min proposal rounds, algorithms/matching.py) with a
+  round-for-round unrolled SQL twin.
+- ``g_pagerank_w`` — edge-weighted PageRank (nx ``pagerank(G,
+  weight=...)`` semantics), fixed rounds, weighted unrolled oracle.
+- ``g_bipartite_proj`` — weighted one-mode bipartite projection
+  (nx ``bipartite.weighted_projected_graph``) of the lineitem
+  part↔order incidence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MATCH_ROUNDS = 12
+
+
+def q_matching(spark, sf_dir):
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.matching import maximal_matching
+
+    g = Q._oracle_graph(spark, sf_dir)
+    return maximal_matching(g, max_rounds=MATCH_ROUNDS)
+
+
+def q_pagerank_w(spark, sf_dir):
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.pagerank import pagerank_weighted
+
+    g = Q._oracle_graph(spark, sf_dir)
+    w = g.edges.select(
+        "src", "dst", (F.pmod(F.col("src") + F.col("dst"), F.lit(7)) + 1).alias("w")
+    )
+    out = pagerank_weighted(g, w, alpha=Q.ALPHA, max_iter=Q.PR_ROUNDS, tol=None)
+    return out.select("vid", F.round("value", 6).alias("value"))
+
+
+def q_bipartite_proj(spark, sf_dir):
+    from linkgraph.algorithms.bipartite import weighted_projection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    inc = li.select(F.col("l_partkey").alias("u"), F.col("l_orderkey").alias("item"))
+    return weighted_projection(inc, min_weight=2).select(
+        F.col("u1").alias("p1"), F.col("u2").alias("p2"), F.col("w").cast("long").alias("w")
+    )
+
+
+def _matching_sql(rounds: int) -> str:
+    """Unrolled mutual-min proposal rounds — textually the same rule the
+    engine applies (min proposal per src, mutual pairs, pool shrink)."""
+    from linkgraph import queries as Q
+
+    ctes = ["av_0 AS MATERIALIZED (SELECT lo, hi FROM simple_und)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""und_{i} AS (SELECT lo AS src, hi AS dst FROM av_{p}
+           UNION ALL SELECT hi, lo FROM av_{p}),
+  pr_{i} AS MATERIALIZED (SELECT src, min(dst) AS pick FROM und_{i} GROUP BY src),
+  mp_{i} AS MATERIALIZED (
+    SELECT a.src AS lo, a.pick AS hi
+    FROM pr_{i} a JOIN pr_{i} b ON a.pick = b.src AND b.pick = a.src
+    WHERE a.src < a.pick),
+  mv_{i} AS (SELECT lo AS vid FROM mp_{i} UNION SELECT hi FROM mp_{i}),
+  av_{i} AS MATERIALIZED (
+    SELECT * FROM av_{p}
+    WHERE lo NOT IN (SELECT vid FROM mv_{i})
+      AND hi NOT IN (SELECT vid FROM mv_{i}))"""
+        )
+    readout = " UNION ALL ".join(f"SELECT lo, hi FROM mp_{i}" for i in range(1, rounds + 1))
+    return Q._with_graph(",\n  ".join(ctes) + f"\n  {readout}")
+
+
+def _pagerank_w_sql(rounds: int) -> str:
+    """Weighted twin of queries._pagerank_body: W(u) = Σ w out of u,
+    message = rank·w/W; dangling ⇔ W = 0."""
+    from linkgraph import queries as Q
+
+    pre = f"""
+  ew AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e),
+  wo AS (SELECT src AS vid, sum(w) AS wout FROM ew GROUP BY src),
+  nv AS (SELECT count(*) AS n FROM v),
+  vd AS (SELECT v.vid, coalesce(wo.wout, 0) AS wout FROM v LEFT JOIN wo ON v.vid = wo.vid),
+  r0 AS (SELECT vid, wout, 1.0 / (SELECT n FROM nv) AS rank FROM vd)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(
+            f"""
+  dang{i} AS MATERIALIZED (SELECT {Q.ALPHA} * coalesce(sum(rank), 0) AS m
+                           FROM r{p} WHERE wout = 0),
+  msg{i} AS MATERIALIZED (SELECT ew.dst AS vid, sum(r.rank * ew.w / r.wout) AS s
+             FROM ew JOIN r{p} r ON ew.src = r.vid WHERE r.wout > 0 GROUP BY ew.dst),
+  r{i} AS MATERIALIZED (SELECT vd.vid, vd.wout,
+                  {Q.ALPHA} * coalesce(m.s, 0)
+                  + (1 - {Q.ALPHA}) / (SELECT n FROM nv)
+                  + (SELECT m FROM dang{i}) / (SELECT n FROM nv) AS rank
+           FROM vd LEFT JOIN msg{i} m ON vd.vid = m.vid)"""
+        )
+    return Q._with_graph(
+        pre + "," + ",".join(steps)
+        + f"\n  SELECT vid, round(rank, 6) AS value FROM r{rounds}"
+    )
+
+
+_BIPARTITE_PROJ_SQL = """
+  WITH inc AS (SELECT DISTINCT l_partkey AS u, l_orderkey AS item FROM lineitem)
+  SELECT a.u AS p1, b.u AS p2, count(*)::BIGINT AS w
+  FROM inc a JOIN inc b ON a.item = b.item AND a.u < b.u
+  GROUP BY a.u, b.u HAVING count(*) >= 2"""
+
+
+def register(
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracle_sql: dict[str, str],
+) -> None:
+    """Populate the round-5 second-wave query/oracle dicts."""
+    queries.update(
+        {
+            "g_matching": q_matching,
+            "g_pagerank_w": q_pagerank_w,
+            "g_bipartite_proj": q_bipartite_proj,
+        }
+    )
+    oracle_sql.update(
+        {
+            "g_matching": _matching_sql(MATCH_ROUNDS),
+            "g_pagerank_w": _pagerank_w_sql(3),
+            "g_bipartite_proj": _BIPARTITE_PROJ_SQL,
+        }
+    )

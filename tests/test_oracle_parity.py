@@ -157,3 +157,27 @@ def test_r5_queue_matches_oracle_sf0001(spark, duck, name):
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
     assert _norm(srows, scols) == _norm(orows, ocols)
+
+
+# ---- r5 NEW entries (implemented during round 5, never driver-verified):
+# same gate, parametrized over whatever queries_r5/queries_r5b registered.
+
+def _r5_new_names():
+    from linkgraph.queries import R5_NEW_ORACLE_SQL, R5_NEW_QUERIES
+
+    return sorted(k for k in R5_NEW_QUERIES if R5_NEW_ORACLE_SQL.get(k))
+
+
+@pytest.mark.parametrize("name", _r5_new_names())
+def test_r5_new_matches_oracle_sf0001(spark, duck, name):
+    from linkgraph.queries import R5_NEW_ORACLE_SQL, R5_NEW_QUERIES
+
+    sdf = R5_NEW_QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(R5_NEW_ORACLE_SQL[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _norm(srows, scols) == _norm(orows, ocols)
