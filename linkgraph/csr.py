@@ -1937,3 +1937,202 @@ def ppr_batch_csr(
     ).select("vid", F.col("seed").cast("int").alias("seed"), "value")
     blocks.unpersist()
     return out
+
+
+# ---------------- bit-parallel multi-source BFS ----------------
+
+_MSBFS_PACKED_SCHEMA = pa.schema(
+    [("tgt", pa.int32()), ("dsts", pa.list_(pa.int64())), ("pmasks", pa.list_(pa.int64()))]
+)
+
+
+def msbfs_csr(
+    graph: LinkGraph,
+    seeds: list[int],
+    max_rounds: int = 50,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Bit-parallel multi-source BFS on the CSR fast tier.
+
+    One superstep advances up to 64 BFS trees at once: seed *k* owns bit
+    *k* of a single int64 mask per vertex (the MS-BFS idea of Then et al.,
+    VLDB 2015 — "The More the Merrier: Efficient Multi-Source BFS").
+    Per round each changed vertex broadcasts its *frontier* mask along its
+    out-edges; per-block OR-reduction (``np.bitwise_or.at`` over the
+    compacted dst dictionary) emits ≤P partial rows per destination —
+    the same heavy-hitter bound the PageRank/SSSP tiers have — and the
+    destination folds them with OR. OR is idempotent and order-free, so
+    the packed Arrow-list path is exactly equal to any re-association of
+    the partials. A vertex's distance from seed *k* is the round its bit
+    first entered the ``seen`` mask; distances ride in the state as one
+    ``array<int>`` per vertex, so no side-channel unions accumulate
+    across rounds.
+
+    Replaces the reference's per-source BFS app
+    (/root/reference/analytical_engine/apps/bfs/bfs.h) run |seeds| times:
+    same frontier semantics, but one shared edge pass per round for all
+    sources. Output: one row per *reached* (seed, vid) pair with the hop
+    distance (seed rows themselves included at dist 0).
+
+    Cost model at scale: the edge pass is identical to one BFS round; the
+    extra state is 8 bytes (mask) + 4·64 bytes (dists) per vertex, and the
+    64-way sharing means ~64× fewer total edge passes than sequential
+    per-seed BFS — the scale path for closeness/eccentricity batches.
+    """
+    if not seeds:
+        raise ValueError("msbfs_csr needs at least one seed")
+    if len(seeds) > 64:
+        raise ValueError(f"msbfs_csr packs seeds into one int64 mask: got {len(seeds)} > 64")
+    seeds = [int(s) for s in seeds]
+    k_seeds = len(seeds)
+    spark = graph.edges.sparkSession
+    p = num_blocks or spark.sparkContext.defaultParallelism
+    blocks = build_csr_blocks(graph.edges, p).persist()
+    blocks.count()
+
+    if len(set(seeds)) != len(seeds):
+        raise ValueError("msbfs_csr seeds must be distinct (one mask bit each)")
+    # bit values precomputed driver-side: bit 63 is the int64 sign bit, so
+    # 1<<63 must enter Spark as the negative two's-complement literal
+    def _bit(i: int) -> int:
+        return (1 << i) if i < 63 else -(1 << 63)
+
+    seed_df = spark.createDataFrame(
+        [(int(v), int(i), _bit(i)) for i, v in enumerate(seeds)],
+        "vid long, k int, bit long",
+    )
+    # bit k set for seed vertices (seeds distinct → ≤1 bit per vertex);
+    # dists[k] = 0 there, -1 elsewhere
+    state0 = (
+        graph.vertices.select("vid")
+        .join(F.broadcast(seed_df), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("bit", F.lit(0).cast("long")).alias("seen"),
+            F.coalesce("bit", F.lit(0).cast("long")).alias("frontier"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k_seeds - 1)),
+                lambda i: F.when(F.col("k").isNotNull() & (F.col("k") == i), F.lit(0)).otherwise(
+                    F.lit(-1)
+                ),
+            ).alias("dists"),
+        )
+    )
+
+    def _partials_packed(state_tbl: pa.Table, block_tbl: pa.Table) -> pa.Table:
+        if state_tbl.num_rows == 0 or block_tbl.num_rows == 0:
+            return _MSBFS_PACKED_SCHEMA.empty_table()
+        fr = _np_col(state_tbl, "frontier", np.int64)
+        changed = fr != 0
+        if not changed.any():
+            return _MSBFS_PACKED_SCHEMA.empty_table()
+        vids = _np_col(state_tbl, "vid", np.int64)[changed]
+        masks = fr[changed]
+        outs_d, outs_m = [], []
+        for us, indptr, udst, dst_idx in _iter_blocks(block_tbl):
+            src_masks = _gather(vids, masks, us, 0)
+            per_edge = np.repeat(src_masks, np.diff(indptr))
+            pmask = np.zeros(len(udst), dtype=np.int64)
+            np.bitwise_or.at(pmask, dst_idx, per_edge)
+            nz = pmask != 0
+            outs_d.append(udst[nz])
+            outs_m.append(pmask[nz])
+        if not outs_d:
+            return _MSBFS_PACKED_SCHEMA.empty_table()
+        all_d = np.concatenate(outs_d)
+        all_m = np.concatenate(outs_m)
+        tgt, off, order = _pack_by_tgt(all_d, p)
+        return pa.table(
+            {
+                "tgt": tgt,
+                "dsts": pa.ListArray.from_arrays(off, pa.array(all_d[order], pa.int64())),
+                "pmasks": pa.ListArray.from_arrays(off, pa.array(all_m[order], pa.int64())),
+            }
+        )
+
+    def _make_update(rnd: int):
+        def _update(state_tbl: pa.Table, packed_tbl: pa.Table) -> pa.Table:
+            if state_tbl.num_rows == 0:
+                return pa.schema(
+                    [
+                        ("vid", pa.int64()),
+                        ("seen", pa.int64()),
+                        ("frontier", pa.int64()),
+                        ("dists", pa.list_(pa.int32())),
+                    ]
+                ).empty_table()
+            vids = _np_col(state_tbl, "vid", np.int64)
+            seen = _np_col(state_tbl, "seen", np.int64)
+            dists = np.stack(
+                state_tbl.column("dists").combine_chunks().to_numpy(zero_copy_only=False)
+            ).astype(np.int32, copy=False)
+            cand = np.zeros(len(vids), dtype=np.int64)
+            if packed_tbl.num_rows:
+                d = (
+                    packed_tbl.column("dsts").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                )
+                m = (
+                    packed_tbl.column("pmasks").combine_chunks().flatten()
+                    .to_numpy(zero_copy_only=False)
+                )
+                if len(d):
+                    idx, ok = _scatter_positions(vids, d)
+                    np.bitwise_or.at(cand, idx, m[ok])
+            newly = cand & ~seen
+            new_seen = seen | newly
+            hit = newly != 0
+            if hit.any():
+                for k in range(dists.shape[1]):
+                    kb = ((newly >> np.int64(k)) & np.int64(1)).astype(bool)
+                    dists[kb, k] = rnd
+            flat = dists.reshape(-1)
+            off = pa.array(
+                np.arange(0, (len(vids) + 1) * dists.shape[1], dists.shape[1], dtype=np.int32),
+                pa.int32(),
+            )
+            return pa.table(
+                {
+                    "vid": pa.array(vids, pa.int64()),
+                    "seen": pa.array(new_seen, pa.int64()),
+                    "frontier": pa.array(newly, pa.int64()),
+                    "dists": pa.ListArray.from_arrays(off, pa.array(flat, pa.int32())),
+                }
+            )
+
+        return _update
+
+    def step(state: DataFrame, rnd: int) -> tuple[DataFrame, dict]:
+        st_keyed = state.withColumn("bid", F.pmod(F.col("vid"), F.lit(p)).cast("int"))
+        parts = st_keyed.groupBy("bid").cogroup(blocks.groupBy("bid")).applyInArrow(
+            _partials_packed, schema="tgt int, dsts array<long>, pmasks array<long>"
+        )
+        new_state = (
+            st_keyed.groupBy("bid")
+            .cogroup(parts.groupBy("tgt"))
+            .applyInArrow(
+                _make_update(rnd),
+                schema="vid long, seen long, frontier long, dists array<int>",
+            )
+            .persist()
+        )
+        n = new_state.where(F.col("frontier") != 0).count()
+        return new_state, {"changed": n}
+
+    result = run_supersteps(
+        state0, step, converged=lambda s: s["changed"] == 0, max_rounds=max_rounds
+    )
+    seed_lookup = F.array(*[F.lit(s).cast("long") for s in seeds])
+    out = (
+        result.state.select(
+            "vid", F.posexplode(F.col("dists")).alias("k", "dist")
+        )
+        .where(F.col("dist") >= 0)
+        .select(
+            F.element_at(seed_lookup, F.col("k") + 1).alias("seed"),
+            F.col("vid"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )
+    blocks.unpersist()
+    return out

@@ -119,6 +119,37 @@ _BIPARTITE_PROJ_SQL = """
   GROUP BY a.u, b.u HAVING count(*) >= 2"""
 
 
+MSBFS_SEEDS = 64
+
+
+def q_msbfs(spark, sf_dir):
+    """Bit-parallel multi-source BFS (csr.msbfs_csr): 64 BFS trees per
+    int64 mask, one shared edge pass per round. Seeds = the 64 smallest
+    vids; output = every reached (seed, vid) pair with hop distance."""
+    from linkgraph import queries as Q
+    from linkgraph.csr import msbfs_csr
+
+    g = Q._oracle_graph(spark, sf_dir)
+    seeds = [r.vid for r in g.vertices.select("vid").orderBy("vid").limit(MSBFS_SEEDS).collect()]
+    return msbfs_csr(g, seeds).select("seed", "vid", "dist")
+
+
+def _msbfs_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        f"""seeds AS (SELECT vid FROM v ORDER BY vid LIMIT {MSBFS_SEEDS}),
+  walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM seeds
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 50)
+    SELECT * FROM w)
+  SELECT root AS seed, vid, CAST(min(d) AS BIGINT) AS dist
+  FROM walk GROUP BY root, vid"""
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -129,6 +160,7 @@ def register(
             "g_matching": q_matching,
             "g_pagerank_w": q_pagerank_w,
             "g_bipartite_proj": q_bipartite_proj,
+            "g_msbfs": q_msbfs,
         }
     )
     oracle_sql.update(
@@ -136,5 +168,6 @@ def register(
             "g_matching": _matching_sql(MATCH_ROUNDS),
             "g_pagerank_w": _pagerank_w_sql(3),
             "g_bipartite_proj": _BIPARTITE_PROJ_SQL,
+            "g_msbfs": _msbfs_sql(),
         }
     )
