@@ -2041,6 +2041,8 @@ def msbfs_csr(
             return _MSBFS_PACKED_SCHEMA.empty_table()
         all_d = np.concatenate(outs_d)
         all_m = np.concatenate(outs_m)
+        if len(all_d) == 0:  # every per-block OR came up empty after nz-filter
+            return _MSBFS_PACKED_SCHEMA.empty_table()
         tgt, off, order = _pack_by_tgt(all_d, p)
         return pa.table(
             {

@@ -134,6 +134,64 @@ def q_msbfs(spark, sf_dir):
     return msbfs_csr(g, seeds).select("seed", "vid", "dist")
 
 
+def q_bridges(spark, sf_dir):
+    """Exact bridges via the spanning-forest XOR-cover
+    (algorithms/bridges.py). The V_MOD oracle graph is too dense to have
+    any bridge at sf≥0.01, so this entry derives a tree-plus-chords graph
+    from orders (binary-heap tree edges k→k//2 plus k→k-2 chords on
+    k≡0 mod 5): ~25% of its edges are real bridges."""
+    from linkgraph.algorithms.bridges import bridges
+    from linkgraph.graph import LinkGraph
+
+    ks = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.pmod("o_orderkey", F.lit(4096)).alias("k"))
+        .where(F.col("k") > 0)
+        .distinct()
+    )
+    e = (
+        ks.select(F.col("k").alias("src"), (F.col("k") / 2).cast("long").alias("dst"))
+        .union(
+            ks.where((F.col("k") % 5 == 0) & (F.col("k") >= 2)).select(
+                F.col("k").alias("src"), (F.col("k") - 2).alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    return bridges(LinkGraph(vertices=v, edges=e))
+
+
+_BRIDGES_SQL = """
+  WITH ks AS (SELECT DISTINCT o_orderkey % 4096 AS k FROM orders WHERE o_orderkey % 4096 > 0),
+  e AS (
+    SELECT k AS src, k // 2 AS dst FROM ks
+    UNION
+    SELECT k AS src, k - 2 AS dst FROM ks WHERE k % 5 = 0 AND k >= 2),
+  uek AS (SELECT lo, hi, lo * 4294967296 + hi AS eid FROM (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM e WHERE src <> dst)),
+  adj AS (SELECT eid, lo AS a, hi AS b FROM uek
+          UNION ALL SELECT eid, hi AS a, lo AS b FROM uek),
+  -- ground truth: (lo,hi) is a bridge iff hi is unreachable from lo with
+  -- that one undirected edge banned; finite (eid, vid) state space, so
+  -- the UNION-dedup recursion terminates without a depth bound
+  walk AS (
+    WITH RECURSIVE w(eid, vid) AS (
+      SELECT eid, lo FROM uek
+      UNION
+      SELECT w.eid, n.b FROM w JOIN adj n ON n.a = w.vid AND n.eid <> w.eid)
+    SELECT * FROM w)
+  SELECT u.lo, u.hi FROM uek u
+  WHERE NOT EXISTS (SELECT 1 FROM walk w WHERE w.eid = u.eid AND w.vid = u.hi)"""
+
+
 def _msbfs_sql() -> str:
     from linkgraph import queries as Q
 
@@ -161,6 +219,7 @@ def register(
             "g_pagerank_w": q_pagerank_w,
             "g_bipartite_proj": q_bipartite_proj,
             "g_msbfs": q_msbfs,
+            "g_bridges": q_bridges,
         }
     )
     oracle_sql.update(
@@ -169,5 +228,6 @@ def register(
             "g_pagerank_w": _pagerank_w_sql(3),
             "g_bipartite_proj": _BIPARTITE_PROJ_SQL,
             "g_msbfs": _msbfs_sql(),
+            "g_bridges": _BRIDGES_SQL,
         }
     )
