@@ -12,6 +12,12 @@ Covered here:
 - ``g_bipartite_proj`` — weighted one-mode bipartite projection
   (nx ``bipartite.weighted_projected_graph``) of the lineitem
   part↔order incidence.
+- ``g_msbfs`` — bit-parallel multi-source BFS (csr.msbfs_csr, 64 BFS
+  trees per int64 mask) vs a 64-root recursive-CTE walk.
+- ``g_bridges`` — exact bridges (spanning-forest XOR-cover,
+  algorithms/bridges.py) vs the banned-edge reachability ground truth.
+- ``g_harmonic_msbfs`` — 64-root harmonic centrality batch computed by
+  ONE reversed-graph MSBFS instead of 64 sequential BFS runs.
 """
 
 from __future__ import annotations
@@ -208,6 +214,53 @@ def _msbfs_sql() -> str:
     )
 
 
+def q_harmonic_msbfs(spark, sf_dir):
+    """Harmonic centrality for a 64-root batch, computed by ONE
+    bit-parallel multi-source BFS over the reversed graph (csr.msbfs_csr)
+    instead of 64 sequential BFS runs — the scale path for centrality
+    batches (64× fewer edge passes). dist(root→u) on reversed edges =
+    d(u→root) on the original, i.e. nx harmonic's incoming distance."""
+    from linkgraph import queries as Q
+    from linkgraph.csr import msbfs_csr
+    from linkgraph.graph import LinkGraph
+
+    g = Q._oracle_graph(spark, sf_dir)
+    rev = LinkGraph(
+        vertices=g.vertices,
+        edges=g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    seeds = [r.vid for r in g.vertices.select("vid").orderBy("vid").limit(MSBFS_SEEDS).collect()]
+    d = msbfs_csr(rev, seeds)
+    h = (
+        d.where(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 6).alias("h"))
+    )
+    seed_df = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    return seed_df.join(h, seed_df["vid"] == h["seed"], "left").select(
+        "vid", F.coalesce("h", F.lit(0.0)).alias("value")
+    )
+
+
+def _harmonic_msbfs_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        f"""seeds AS (SELECT vid FROM v ORDER BY vid LIMIT {MSBFS_SEEDS}),
+  walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM seeds
+      UNION
+      SELECT w.root, e.src, w.d + 1 FROM w JOIN e ON w.vid = e.dst WHERE w.d < 50)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  agg AS (SELECT root, round(sum(1.0 / dist), 6) AS value
+          FROM sp WHERE dist > 0 GROUP BY root)
+  SELECT s.vid, coalesce(agg.value, 0.0) AS value
+  FROM seeds s LEFT JOIN agg ON s.vid = agg.root"""
+    )
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -220,6 +273,7 @@ def register(
             "g_bipartite_proj": q_bipartite_proj,
             "g_msbfs": q_msbfs,
             "g_bridges": q_bridges,
+            "g_harmonic_msbfs": q_harmonic_msbfs,
         }
     )
     oracle_sql.update(
@@ -229,5 +283,6 @@ def register(
             "g_bipartite_proj": _BIPARTITE_PROJ_SQL,
             "g_msbfs": _msbfs_sql(),
             "g_bridges": _BRIDGES_SQL,
+            "g_harmonic_msbfs": _harmonic_msbfs_sql(),
         }
     )
