@@ -400,3 +400,115 @@ def embedding_near_duplicates(
         "id_b",
         (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------- product quantization (PQ) ----------------
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """``(m, k, dim/m)`` PQ codebooks from the k smallest-id vectors.
+
+    Codebook j of subspace s is the s-th subvector of the j-th
+    smallest-id embedding — deterministic and SQL-replayable, the same
+    stand-in-for-k-means move as :func:`ivf_seed_ids` (production trains
+    per-subspace k-means on a bounded sample; the index structure, the
+    encode path, and the ADC search are identical either way). One
+    bounded driver fetch of k rows."""
+    rows = embeddings.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    if len(rows) < k:
+        raise ValueError(f"pq_codebooks: corpus has {len(rows)} < k={k} vectors")
+    mat = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in sorted(rows, key=lambda r: r[0])]
+    )
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    return mat.reshape(k, m, dim // m).transpose(1, 0, 2).copy()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Append ``out`` = array<int> of m codeword ids (argmin-L2 per
+    subspace, ties → lowest id). One numpy einsum per Arrow batch — the
+    codebooks ride an executor broadcast, the corpus never moves
+    (shuffle-free projection, 8 bits/subspace of index state at
+    k ≤ 256)."""
+    import pandas as pd
+
+    m, k, sub = codebooks.shape
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    _BROADCASTS.append(bc)
+
+    @F.pandas_udf("array<int>")
+    def _encode(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        xs = x.reshape(len(x), m, sub)  # (n, m, sub)
+        cb = bc.value  # (m, k, sub)
+        # ||x - c||² per (row, subspace, codeword), argmin over codewords
+        d = (
+            (xs**2).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("nms,mks->nmk", xs, cb)
+            + (cb**2).sum(axis=2)[None, :, :]
+        )
+        codes = np.argmin(d, axis=2).astype(np.int32)  # first min = lowest id
+        return pd.Series(list(codes))
+
+    return df.withColumn(out, _encode(F.col(vec_col)))
+
+
+def pq_adc(
+    embeddings: DataFrame,
+    query: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) scores for every vector: encode the
+    corpus, then score each row as ``Σ_s LUT[s, code_s]`` where LUT is
+    the (m, k) table of squared L2 distances from the query's subvectors
+    to every codeword — the PQ search kernel (Jégou et al., TPAMI 2011).
+    The LUT enters the plan as literals (m·k doubles); the scan is a
+    shuffle-free projection over the encoded corpus. Returns
+    ``(id_col, pq_code, adc)``."""
+    m, k, sub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m, sub)
+    lut = ((q[:, None, :] - codebooks) ** 2).sum(axis=2)  # (m, k)
+    enc = pq_encode(embeddings, codebooks, vec_col=vec_col, out=code_col)
+    lut_col = F.array(*[
+        F.array(*[F.lit(float(lut[s, j])) for j in range(k)]) for s in range(m)
+    ])
+    adc = F.aggregate(
+        F.zip_with(
+            lut_col,
+            F.col(code_col),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return enc.select(F.col(id_col), F.col(code_col), adc.alias("adc"))
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    query: np.ndarray,
+    codebooks: np.ndarray,
+    topk: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest by PQ asymmetric distance (ties → smallest id).
+    The scale path of brute-force cosine top-k: the ranking scan reads
+    m int32 codes per row instead of the full vector."""
+    scored = pq_adc(embeddings, query, codebooks, id_col=id_col, vec_col=vec_col)
+    return scored.orderBy("adc", id_col).limit(topk).select(id_col, "adc")

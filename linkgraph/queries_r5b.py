@@ -261,6 +261,58 @@ def _harmonic_msbfs_sql() -> str:
     )
 
 
+PQ_M = 4
+PQ_K = 16
+PQ_QUERY_ID = 333
+
+
+def q_pq_adc(spark, sf_dir):
+    """Product-quantization encode + ADC scores for the whole embedding
+    corpus (pipeline/similarity.py pq_*): deterministic codebooks = the
+    16 smallest-id vectors' subvectors, query = embedding #333. Emits
+    every row's code (joined 'c0-c1-c2-c3') and rounded ADC — pinning the
+    encode argmin AND the LUT sum, with no top-k boundary to flake on."""
+    from linkgraph.pipeline.similarity import pq_adc, pq_codebooks
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks(emb, m=PQ_M, k=PQ_K)
+    q = np.asarray(
+        emb.where(F.col("vec_id") == PQ_QUERY_ID).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    out = pq_adc(emb, q, cb)
+    return out.select(
+        "vec_id",
+        F.concat_ws("-", F.transform("pq_code", lambda c: c.cast("string"))).alias("code"),
+        F.round("adc", 6).alias("adc"),
+    )
+
+
+_PQ_ADC_SQL = f"""
+  WITH ve AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+  vx AS (SELECT vec_id, CAST((i - 1) // 16 AS INT) AS s, (i - 1) % 16 AS p, x FROM ve),
+  cbids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+            FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {PQ_K})),
+  cbx AS (SELECT c.j, v.s, v.p, v.x FROM vx v JOIN cbids c ON v.vec_id = c.vec_id),
+  dist AS (SELECT v.vec_id, v.s, c.j, sum((v.x - c.x) * (v.x - c.x)) AS d
+           FROM vx v JOIN cbx c ON v.s = c.s AND v.p = c.p
+           GROUP BY v.vec_id, v.s, c.j),
+  code AS (SELECT vec_id, s, j FROM (
+             SELECT vec_id, s, j,
+                    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+             FROM dist) WHERE rn = 1),
+  qd AS (SELECT s, j, d FROM dist WHERE vec_id = {PQ_QUERY_ID}),
+  adc AS (SELECT c.vec_id, sum(q.d) AS adc
+          FROM code c JOIN qd q ON c.s = q.s AND c.j = q.j GROUP BY c.vec_id),
+  codes AS (SELECT vec_id, string_agg(j::VARCHAR, '-' ORDER BY s) AS code
+            FROM code GROUP BY vec_id)
+  SELECT codes.vec_id, codes.code, round(adc.adc, 6) AS adc
+  FROM codes JOIN adc ON codes.vec_id = adc.vec_id"""
+
+
 def register(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_sql: dict[str, str],
@@ -274,6 +326,7 @@ def register(
             "g_msbfs": q_msbfs,
             "g_bridges": q_bridges,
             "g_harmonic_msbfs": q_harmonic_msbfs,
+            "emb_pq_adc": q_pq_adc,
         }
     )
     oracle_sql.update(
@@ -284,5 +337,6 @@ def register(
             "g_msbfs": _msbfs_sql(),
             "g_bridges": _BRIDGES_SQL,
             "g_harmonic_msbfs": _harmonic_msbfs_sql(),
+            "emb_pq_adc": _PQ_ADC_SQL,
         }
     )
