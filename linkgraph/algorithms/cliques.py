@@ -20,9 +20,10 @@ min-propagation WCC on a graph whose nodes are packed edge keys
 lesson). Triangles themselves come from the degree-oriented wedge join
 (triangles.py kernel shape, Σ min-deg(u,v) wedge cost).
 
-Only k=3 is implemented: general k needs maximal-clique enumeration
-(Bron–Kerbosch), inherently sequential/exponential — out of engine
-scope, loudly rejected.
+k=3 and k=4 are implemented (k=4 percolates 4-cliques through shared
+triangle FACES, same packed-node WCC shape one rung up); general k
+needs maximal-clique enumeration (Bron–Kerbosch), inherently
+sequential/exponential — out of engine scope, loudly rejected.
 """
 
 from __future__ import annotations
@@ -69,10 +70,13 @@ def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
     min MEMBER vid is not a valid id: two edge-disjoint triangle
     components sharing only their minimum vertex (e.g. triangles
     {0,1,2} and {0,3,4}) would collapse into one group under it."""
+    if k == 4:
+        return k_clique_communities_4(graph)
     if k != 3:
         raise NotImplementedError(
-            "k_clique_communities: only k=3 (triangle percolation) is "
-            "implemented — general k requires maximal-clique enumeration"
+            "k_clique_communities: k=3 (triangle percolation) and k=4 "
+            "(4-clique/face percolation) are implemented — general k "
+            "requires maximal-clique enumeration"
         )
     if not graph.pair_key_packable():
         raise ValueError(
@@ -110,3 +114,78 @@ def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
     return members.select(
         F.col("comp").alias("community"), F.col("m").alias("vid")
     ).distinct()
+
+
+_T21 = 1 << 21
+
+
+def _packed_triple(a, b, c):
+    """((a<<21)|b)<<21|c — three vids in one long; needs vids < 2^21."""
+    return (F.col(a) * F.lit(_T21) + F.col(b)) * F.lit(_T21) + F.col(c)
+
+
+def four_clique_quads(graph: LinkGraph) -> DataFrame:
+    """(a, b, c, d) with a < b < c < d, one row per 4-clique: the
+    triangle stream closed against the undirected edge list three more
+    times (d adjacent to all of a, b, c). Cost = the triangle join plus
+    three equi-joins on (vertex, d) — each bounded by Σ tri-deg·deg,
+    the standard clique-enumeration ladder one rung up."""
+    tri = triangle_triples(graph)
+    und = graph.simple_undirected_edges()
+    return (
+        tri.join(und.select(F.col("lo").alias("c"), F.col("hi").alias("d")), "c")
+        .join(und.select(F.col("lo").alias("b"), F.col("hi").alias("d")), ["b", "d"])
+        .join(und.select(F.col("lo").alias("a"), F.col("hi").alias("d")), ["a", "d"])
+        .select("a", "b", "c", "d")
+    )
+
+
+def k_clique_communities_4(graph: LinkGraph) -> DataFrame:
+    """(community, vid) membership of the k=4 clique percolation
+    (nx.community.k_clique_communities(G, 4)): two 4-cliques belong to
+    the same community iff chained through shared triangles.
+
+    Same packed-node shape as k=3 one rung up: nodes are the 4-clique's
+    four triangle FACES as packed (a<<42|b<<21|c) keys; each 4-clique
+    star-links its min face (a,b,c) to the other three, so two 4-cliques
+    sharing a face connect through that face node, and WCC components of
+    the face-link graph ARE the percolation communities. Community id =
+    the component's min face key (unique per community; min member vid is
+    not — the k=3 lesson). Members = the union of unpacked face vids."""
+    mx = graph.vertices.agg(F.max("vid"), F.min("vid")).first()
+    if mx[1] is not None and (mx[1] < 0 or mx[0] >= _T21):
+        raise ValueError(
+            "k_clique_communities_4: needs vids in [0, 2^21) to pack "
+            "triangle-face keys — remap via assign_dense_ids first"
+        )
+    q4 = four_clique_quads(graph)
+    f1 = _packed_triple("a", "b", "c")  # min face under a<b<c<d
+    faces = q4.select(
+        f1.alias("src"), _packed_triple("a", "b", "d").alias("dst")
+    ).union(
+        q4.select(f1.alias("src"), _packed_triple("a", "c", "d").alias("dst"))
+    ).union(
+        q4.select(f1.alias("src"), _packed_triple("b", "c", "d").alias("dst"))
+    )
+    nodes = (
+        faces.select(F.col("src").alias("vid"))
+        .union(faces.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    comp = wcc(LinkGraph(vertices=nodes, edges=faces))
+    mask = F.lit(_T21 - 1)
+    members = (
+        comp.select(F.col("value").alias("comp"), F.shiftright("vid", 42).alias("m"))
+        .union(
+            comp.select(
+                F.col("value").alias("comp"),
+                F.shiftright("vid", 21).bitwiseAND(mask).alias("m"),
+            )
+        )
+        .union(
+            comp.select(F.col("value").alias("comp"), F.col("vid").bitwiseAND(mask).alias("m"))
+        )
+        .distinct()
+    )
+    return members.select(F.col("comp").alias("community"), F.col("m").alias("vid"))

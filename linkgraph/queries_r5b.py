@@ -327,6 +327,7 @@ def register(
             "g_bridges": q_bridges,
             "g_harmonic_msbfs": q_harmonic_msbfs,
             "emb_pq_adc": q_pq_adc,
+            "g_kclique4": q_kclique4,
         }
     )
     oracle_sql.update(
@@ -338,5 +339,73 @@ def register(
             "g_bridges": _BRIDGES_SQL,
             "g_harmonic_msbfs": _harmonic_msbfs_sql(),
             "emb_pq_adc": _PQ_ADC_SQL,
+            "g_kclique4": _kclique4_sql(24),
         }
+    )
+
+
+def q_kclique4(spark, sf_dir):
+    """k=4 clique percolation (algorithms/cliques.py
+    k_clique_communities_4): 4-cliques chained through shared triangle
+    faces, communities = WCC over packed face-key nodes."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.cliques import k_clique_communities
+
+    g = Q._oracle_graph(spark, sf_dir)
+    return k_clique_communities(g, k=4).select("community", "vid")
+
+
+def _kclique4_sql(rounds: int = 24) -> str:
+    """4-clique/face percolation replay, one rung up from
+    queries._kclique3_sql: enumerate quads, star-link the min face to the
+    other three, unrolled min-label propagation (converges by round 20
+    at sf0.01 — 24 gives headroom), unpack member vids from
+    the (a<<42 | b<<21 | c) face keys."""
+    from linkgraph import queries as Q
+
+    t21 = 1 << 21
+    parts = [
+        f"e AS ({Q._EDGES_SQL})",
+        """und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+          FROM e WHERE src <> dst)""",
+        """tri AS (SELECT u1.lo AS a, u1.hi AS b, u2.hi AS c
+          FROM und u1
+          JOIN und u2 ON u2.lo = u1.lo AND u2.hi > u1.hi
+          JOIN und u3 ON u3.lo = u1.hi AND u3.hi = u2.hi)""",
+        """q4 AS (SELECT t.a, t.b, t.c, u4.hi AS d
+          FROM tri t
+          JOIN und u4 ON u4.lo = t.c
+          JOIN und u5 ON u5.lo = t.b AND u5.hi = u4.hi
+          JOIN und u6 ON u6.lo = t.a AND u6.hi = u4.hi)""",
+        f"""fk AS (SELECT (a * {t21} + b) * {t21} + c AS f1,
+                 (a * {t21} + b) * {t21} + d AS f2,
+                 (a * {t21} + c) * {t21} + d AS f3,
+                 (b * {t21} + c) * {t21} + d AS f4
+          FROM q4)""",
+        """lnk0 AS (SELECT f1 AS s, f2 AS d FROM fk
+           UNION ALL SELECT f1, f3 FROM fk
+           UNION ALL SELECT f1, f4 FROM fk)""",
+        "lnk AS (SELECT DISTINCT s, d FROM (SELECT s, d FROM lnk0 UNION ALL SELECT d, s FROM lnk0))",
+        "l0 AS (SELECT DISTINCT s AS id, s AS m FROM lnk)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT t.id, least(t.m, coalesce(n.nm, t.m)) AS m
+      FROM l{p} t LEFT JOIN (
+        SELECT lnk.d AS id, min(x.m) AS nm
+        FROM lnk JOIN l{p} x ON x.id = lnk.s GROUP BY lnk.d) n
+      ON n.id = t.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + f""",
+  comp AS (SELECT id, m AS cm FROM l{rounds}),
+  members AS (
+    SELECT DISTINCT cm, id // {t21 * t21} AS vid FROM comp
+    UNION SELECT cm, (id // {t21}) % {t21} FROM comp
+    UNION SELECT cm, id % {t21} FROM comp)
+  SELECT cm AS community, vid FROM members"""
     )

@@ -71,9 +71,9 @@ def test_communities_match_brute(spark, g):
     assert 20 not in flat and 21 not in flat
 
 
-def test_k_other_than_3_rejected(spark, g):
+def test_k_other_than_3_or_4_rejected(spark, g):
     with pytest.raises(NotImplementedError):
-        k_clique_communities(g, k=4)
+        k_clique_communities(g, k=5)
 
 
 def test_nx_wrapper(spark):
@@ -106,3 +106,32 @@ def test_vertex_sharing_edge_disjoint_communities_stay_distinct(spark):
     G.add_edges_from(edges)
     comms = {frozenset(c) for c in lnx.k_clique_communities(G, 3)}
     assert comms == {frozenset({0, 1, 2}), frozenset({0, 3, 4})}
+
+
+def test_k4_two_k4s_sharing_a_vertex_stay_distinct(spark):
+    """k=4 twin of the r4 advice repro: two edge-disjoint K4s sharing
+    only vertex 0 are distinct communities; a lone triangle is no
+    community at k=4."""
+    k4a = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    k4b = [(0, 4), (0, 5), (0, 6), (4, 5), (4, 6), (5, 6)]
+    lone_tri = [(7, 8), (8, 9), (7, 9)]
+    g = graph_from_edge_vids(spark, k4a + k4b + lone_tri)
+    got = {}
+    for r in k_clique_communities(g, k=4).collect():
+        got.setdefault(r["community"], set()).add(r["vid"])
+    assert {frozenset(m) for m in got.values()} == {
+        frozenset({0, 1, 2, 3}),
+        frozenset({0, 4, 5, 6}),
+    }
+
+
+def test_k4_face_chain_merges(spark):
+    """Two 4-cliques sharing a triangle face {1,2,3} percolate into ONE
+    community {0,1,2,3,4}."""
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (4, 1), (4, 2), (4, 3)]
+    g = graph_from_edge_vids(spark, edges)
+    got = {}
+    for r in k_clique_communities(g, k=4).collect():
+        got.setdefault(r["community"], set()).add(r["vid"])
+    assert {frozenset(m) for m in got.values()} == {frozenset({0, 1, 2, 3, 4})}
