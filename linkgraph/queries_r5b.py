@@ -328,6 +328,7 @@ def register(
             "g_harmonic_msbfs": q_harmonic_msbfs,
             "emb_pq_adc": q_pq_adc,
             "g_kclique4": q_kclique4,
+            "g_bidir_dist": q_bidir,
         }
     )
     oracle_sql.update(
@@ -340,6 +341,7 @@ def register(
             "g_harmonic_msbfs": _harmonic_msbfs_sql(),
             "emb_pq_adc": _PQ_ADC_SQL,
             "g_kclique4": _kclique4_sql(24),
+            "g_bidir_dist": _bidir_sql(),
         }
     )
 
@@ -408,4 +410,33 @@ def _kclique4_sql(rounds: int = 24) -> str:
     UNION SELECT cm, (id // {t21}) % {t21} FROM comp
     UNION SELECT cm, id % {t21} FROM comp)
   SELECT cm AS community, vid FROM members"""
+    )
+
+
+def q_bidir(spark, sf_dir):
+    """Meet-in-the-middle s→t hop distance
+    (algorithms/traversal.py bidirectional_distance): src = min vid,
+    dst = max vid of the oracle graph; one (src, dst, dist) row."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.traversal import bidirectional_distance
+
+    g = Q._oracle_graph(spark, sf_dir)
+    lohi = g.vertices.agg(F.min("vid"), F.max("vid")).first()
+    return bidirectional_distance(g, int(lohi[0]), int(lohi[1]))
+
+
+def _bidir_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        """st AS (SELECT min(vid) AS s, max(vid) AS t FROM v),
+  walk AS (
+    WITH RECURSIVE w(vid, d) AS (
+      SELECT (SELECT s FROM st), 0
+      UNION
+      SELECT e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 50)
+    SELECT * FROM w)
+  SELECT st.s AS src, st.t AS dst,
+         coalesce((SELECT min(d) FROM walk WHERE vid = st.t), -1) AS dist
+  FROM st"""
     )

@@ -297,3 +297,28 @@ def test_nx_condensation():
     assert H.number_of_nodes() == 2 and H.number_of_edges() == 1
     (u, v), = list(H.edges())
     assert u in ("a", "b") and v in ("c", "d")
+
+
+def test_bidirectional_distance_matches_bfs(spark):
+    from linkgraph.algorithms.traversal import bfs, bidirectional_distance
+    from tests.conftest import rmat_edges
+    from linkgraph.graph import graph_from_edge_vids
+
+    g = graph_from_edge_vids(spark, rmat_edges(100, 420, seed=3))
+    vids = sorted(r["vid"] for r in g.vertices.select("vid").collect())
+    src, dst = vids[0], vids[-1]
+    want = {r["vid"]: r["value"] for r in bfs(g, src).collect()}.get(dst, -1)
+    got = bidirectional_distance(g, src, dst).first()
+    assert (got["src"], got["dst"]) == (src, dst)
+    assert got["dist"] == want
+
+
+def test_bidirectional_distance_unreachable_and_self(spark):
+    from linkgraph.algorithms.traversal import bidirectional_distance
+    from tests.conftest import TWO_COMPONENTS
+    from linkgraph.graph import graph_from_edge_vids
+
+    g = graph_from_edge_vids(spark, TWO_COMPONENTS)
+    assert bidirectional_distance(g, 0, 5).first()["dist"] == -1  # cross-component
+    assert bidirectional_distance(g, 0, 0).first()["dist"] == 0
+    assert bidirectional_distance(g, 0, 2).first()["dist"] == 2
