@@ -90,3 +90,26 @@ def test_sampled_estimators_parallelism_invariant(spark):
         res_h.append(_d(harmonic_centrality(g, sources=srcs)))
     assert res_b[0] == res_b[1] == res_b[2]
     assert res_h[0] == res_h[1] == res_h[2]
+
+
+def test_msbfs_and_bridges_parallelism_invariant(spark):
+    """msbfs_csr (any num_blocks) and bridges (any input partitioning)
+    must give identical results — integer outputs, exact equality."""
+    from linkgraph.algorithms.bridges import bridges
+    from linkgraph.csr import msbfs_csr
+
+    edges = rmat_edges(110, 330, seed=13)
+    base = graph_from_edge_vids(spark, edges)
+    seeds = [r["vid"] for r in base.vertices.orderBy("vid").limit(16).collect()]
+    msbfs_runs, bridge_runs = [], []
+    for parts in (1, 3, 7):
+        g = LinkGraph(
+            vertices=base.vertices.repartition(parts),
+            edges=base.edges.repartition(parts),
+        )
+        msbfs_runs.append(
+            {(r["seed"], r["vid"]): r["dist"] for r in msbfs_csr(g, seeds, num_blocks=parts).collect()}
+        )
+        bridge_runs.append({(r["lo"], r["hi"]) for r in bridges(g).collect()})
+    assert msbfs_runs[0] == msbfs_runs[1] == msbfs_runs[2]
+    assert bridge_runs[0] == bridge_runs[1] == bridge_runs[2]
