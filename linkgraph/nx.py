@@ -874,6 +874,21 @@ def local_bridges(G: DiGraph) -> list:
     ]
 
 
+def bridges(G: DiGraph) -> list:
+    """networkx.bridges(G) — (u, v) node-key pairs of edges whose removal
+    disconnects their endpoints (spanning-forest XOR-cover,
+    algorithms/bridges.py)."""
+    from linkgraph.algorithms.bridges import bridges as _bridges
+
+    if G.directed:
+        raise ValueError("bridges: undirected graphs only")
+    lg = G._project()
+    return [
+        (G._node_of[r["lo"]], G._node_of[r["hi"]])
+        for r in _bridges(lg).collect()
+    ]
+
+
 def is_bipartite(G: DiGraph) -> bool:
     """networkx.is_bipartite of the symmetrized graph."""
     row = A.is_bipartite(G._project()).first()

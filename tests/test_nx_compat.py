@@ -281,6 +281,7 @@ def test_nx_structural_holes_and_misc(spark):
     assert abs(con["d"] - 0.5) < 1e-7  # two non-adjacent neighbors, p=1/2 each
     assert nx.wiener_index(G) == 17.0
     assert sorted(nx.local_bridges(G)) == [("c", "d"), ("d", "e")]
+    assert sorted(nx.bridges(G)) == [("c", "d"), ("d", "e")]
     assert nx.is_bipartite(G) is False
     assert nx.degree_histogram(G) == [0, 1, 3, 1]
 
