@@ -104,3 +104,65 @@ def dag_longest_path_length(graph: LinkGraph, max_rounds: int = 100_000) -> Data
     (= max generation index); raises on cycles."""
     layers = topological_generations(graph, max_rounds)
     return layers.agg(F.coalesce(F.max("layer"), F.lit(0)).alias("value"))
+
+
+def transitive_reduction(
+    graph: LinkGraph, max_rounds: int = 64, max_pairs: int = 50_000_000
+) -> DataFrame:
+    """(src, dst) — the DAG's transitive reduction (nx.transitive_reduction
+    parity): the unique minimal edge subset with the same reachability.
+    An edge (u, v) is dropped iff some other u→v path exists, i.e. iff
+    (u, v) has a path of length ≥ 2.
+
+    Spark shape: transitive closure by ITERATIVE DOUBLING — each round
+    composes the closure-so-far with itself (``reach ∘ reach``), so a
+    depth-D DAG converges in ⌈log₂ D⌉ rounds instead of D edge-join
+    rounds (depth 54 → 6 supersteps; the superstep count, not the data
+    volume, dominates at driver/test scale). Then ``two_plus = edges ∘
+    closure`` and one anti-join keeps the reduction. Closure size is
+    O(V·avg-reach) rows of two longs — inherently quadratic on dense
+    DAGs, so a loud ``max_pairs`` guard bounds the correctness tier; at
+    scale run per topological layer band or on the condensation
+    quotient first (reference surface: nx.transitive_reduction has no
+    GAE app either — python/graphscope/nx falls back). Raises on cyclic
+    input (checked by the Kahn peel, same as topological_generations —
+    doubling on a cycle would never converge)."""
+    _, remaining, _ = _peel(graph, max_rounds=100_000)
+    if remaining:
+        raise ValueError("transitive_reduction: graph contains a cycle")
+    edges = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    reach = edges.localCheckpoint(eager=True)
+    n_prev = reach.count()
+    for _ in range(max_rounds):
+        doubled = (
+            reach.select(F.col("dst").alias("mid"), F.col("src"))
+            .join(reach.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+        )
+        reach = reach.union(doubled).distinct().localCheckpoint(eager=True)
+        n = reach.count()
+        if n > max_pairs:
+            edges.unpersist()
+            raise ValueError(
+                f"transitive_reduction: closure exceeds max_pairs "
+                f"({n} > {max_pairs}) — run per layer band or raise the cap"
+            )
+        if n == n_prev:
+            break
+        n_prev = n
+    two_plus = (
+        edges.select("src", F.col("dst").alias("mid"))
+        .join(reach.select(F.col("src").alias("mid"), "dst"), "mid")
+        .select("src", "dst")
+        .distinct()
+    )
+    out = edges.join(two_plus, ["src", "dst"], "left_anti").localCheckpoint(
+        eager=True
+    )
+    edges.unpersist()
+    return out

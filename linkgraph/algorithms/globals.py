@@ -361,3 +361,58 @@ def is_bipartite(graph: LinkGraph, max_rounds: int = 200) -> DataFrame:
         )
     finally:
         und.unpersist()
+
+
+def eulerian_summary(graph: LinkGraph) -> DataFrame:
+    """Two rows (which, value): ``is_eulerian`` and ``has_eulerian_path``
+    for the directed graph (nx.is_eulerian / nx.has_eulerian_path
+    parity on vertex sets without isolated vertices).
+
+    Theorem-based — no SCC run needed: a digraph has an Euler circuit
+    iff every vertex is balanced (in-degree == out-degree) AND the
+    non-isolated vertices are WEAKLY connected (balance + weak
+    connectivity already implies strong connectivity — the classical
+    directed Euler theorem); an Euler path additionally allows exactly
+    one +1/-1 degree pair. So the whole verdict is one degree
+    aggregation plus ONE wcc run — O(diameter) supersteps, never the
+    O(cycle-length) forward-coloring an SCC would pay on long cycles.
+    nx evaluates connectivity over the whole node set so a single
+    isolated vertex flips it False; engine vertices come from edge
+    endpoints in the loader path, and the documented convention here is
+    non-isolated-only — the honest distributed reading and the one the
+    SQL oracle replays."""
+    from linkgraph.algorithms.wcc import wcc
+
+    spark = graph.edges.sparkSession
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    outs = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("outd"))
+    ins = e.groupBy(F.col("dst").alias("vid")).agg(F.count("*").alias("ind"))
+    degs = (
+        outs.join(ins, "vid", "full")
+        .select(
+            "vid",
+            F.coalesce("outd", F.lit(0)).alias("outd"),
+            F.coalesce("ind", F.lit(0)).alias("ind"),
+        )
+        .persist()
+    )
+    bal = degs.agg(
+        F.sum(F.when(F.col("outd") != F.col("ind"), 1).otherwise(0)).alias("nbad"),
+        F.sum(F.when(F.col("outd") - F.col("ind") == 1, 1).otherwise(0)).alias("plus1"),
+        F.sum(F.when(F.col("ind") - F.col("outd") == 1, 1).otherwise(0)).alias("minus1"),
+    ).first()
+    active = degs.select("vid", F.col("vid").cast("string").alias("oid"))
+    sub = LinkGraph(vertices=active, edges=e)
+    n_wcc = wcc(sub).select("value").distinct().count()
+    degs.unpersist()
+    balanced = bal["nbad"] == 0
+    connected = n_wcc <= 1
+    is_euler = bool(balanced and connected)
+    path_degrees = bal["nbad"] == 0 or (
+        bal["plus1"] == 1 and bal["minus1"] == 1 and bal["nbad"] == 2
+    )
+    has_path = bool(path_degrees and connected)
+    return spark.createDataFrame(
+        [("is_eulerian", is_euler), ("has_eulerian_path", has_path)],
+        "which string, value boolean",
+    )

@@ -27,7 +27,7 @@ source-loop), with the usual flat-lineage superstep loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from linkgraph.graph import LinkGraph
@@ -595,4 +595,50 @@ def harmonic_centrality(
         out_vids
         .join(agg, F.col("vid") == F.col("root"), "left")
         .select("vid", F.coalesce("value", F.lit(0.0)).alias("value"))
+    )
+
+
+def effective_diameter(
+    graph: LinkGraph, n_roots: int = 64, q: float = 0.9
+) -> DataFrame:
+    """One row (n_pairs, effective_diameter): the q-quantile (default
+    90th percentile) of directed shortest-path distances from a
+    deterministic ``n_roots``-root sample — the ANF/HyperANF headline
+    statistic, computed exactly for the sampled roots.
+
+    Scale shape: the roots ride ONE bit-parallel multi-source BFS
+    (csr.msbfs_csr — 64 BFS trees per int64 mask, one shared edge pass
+    per round) instead of ``n_roots`` sequential BFS runs, so the cost
+    is a single BFS sweep regardless of root count ≤64; the distance
+    histogram is a groupBy over reached (root, vid) pairs and the
+    quantile an integer cumulative-sum threshold (ceil(q·pairs), exact
+    integer arithmetic — no percentile_approx), so the result is
+    bit-stable across partitionings. Roots = the ``n_roots`` smallest
+    vids (deterministic, like the msbfs/harmonic batch entries).
+    Self-pairs (dist 0) are excluded, matching the pairwise-distance
+    definition."""
+    if not 0 < q <= 1:
+        raise ValueError("effective_diameter: q must be in (0, 1]")
+    from linkgraph.csr import msbfs_csr
+
+    num, den = int(round(q * 1000)), 1000
+    seeds = [
+        r["vid"]
+        for r in graph.vertices.select("vid").orderBy("vid").limit(n_roots).collect()
+    ]
+    d = msbfs_csr(graph, seeds).where(F.col("dist") > 0)
+    hist = d.groupBy("dist").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    return (
+        hist.select(
+            "dist",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(tot).alias("n_pairs"),
+        )
+        .where(F.col("cum") * den >= F.col("n_pairs") * num)
+        .agg(
+            F.max("n_pairs").cast("long").alias("n_pairs"),
+            F.min("dist").cast("long").alias("effective_diameter"),
+        )
     )

@@ -441,3 +441,79 @@ def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         )
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-document duplicated n-gram share per document.
+
+    (doc_id, n_grams, dup_grams, dup_frac): of a document's DISTINCT
+    word n-grams, how many occur in ≥ ``min_docs`` distinct documents —
+    the corpus-level complement of :func:`repetition_scores`'s
+    within-document signals. High dup_frac marks boilerplate that exact
+    and MinHash dedup both miss (templates sharing phrases across
+    otherwise-distinct pages) and is the standard cheap filter before
+    near-dedup at web scale (CCNet/RefinedWeb-style shared-shingle
+    pruning).
+
+    Shape: n-grams are built by one Catalyst ``transform(sequence)``
+    (no explode of overlapping copies — one array op per doc), then the
+    only shuffle carries ``md5(gram)`` 32-hex keys, never gram text or
+    documents: distinct per doc, a doc-count per gram key, one semi-join
+    back. md5 keys keep the DuckDB oracle exact; production swaps the
+    key expression for ``xxhash64`` (8 bytes/key) — same plan shape.
+    """
+    if n < 2:
+        raise ValueError("cross_doc_ngram_dup: n must be ≥ 2")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("w"), i + F.lit(k)) for k in range(n)]
+    )
+    grams = (
+        df.select(F.col(id_col), words.alias("w"))
+        .where(F.size("w") >= n)
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)), gram_at
+            ).alias("grams"),
+        )
+        .select(id_col, F.explode("grams").alias("gram"))
+        .select(id_col, F.md5(F.col("gram").cast("binary")).alias("gk"))
+        .distinct()
+    )
+    gram_docs = grams.groupBy("gk").agg(F.countDistinct(id_col).alias("nd"))
+    dup = gram_docs.where(F.col("nd") >= min_docs).select("gk")
+    per_doc = grams.join(dup.hint("broadcast"), "gk", "left_semi").groupBy(
+        id_col
+    ).agg(F.count("*").alias("dup_grams"))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("ng"),
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dg"),
+        )
+        .select(
+            id_col,
+            F.col("ng").alias("n_grams"),
+            F.col("dg").alias("dup_grams"),
+            F.round(
+                F.when(F.col("ng") > 0, F.col("dg") / F.col("ng")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -512,3 +512,107 @@ def pq_ann_topk(
     m int32 codes per row instead of the full vector."""
     scored = pq_adc(embeddings, query, codebooks, id_col=id_col, vec_col=vec_col)
     return scored.orderBy("adc", id_col).limit(topk).select(id_col, "adc")
+
+
+def sq8_quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[DataFrame, list[float], list[float]]:
+    """(codes_df, mins, maxs) — symmetric int8 scalar quantization.
+
+    Per-dimension [min, max] over the corpus maps each float to an
+    integer code in [0, 255] via ``floor((x - min)·255/(max - min) +
+    0.5)`` (explicit floor — identical IEEE double arithmetic in Spark
+    and DuckDB, so codes are bit-exact across engines; float32 inputs
+    widen to double losslessly). Stats are one global aggregate (2·dim
+    doubles driver-side — bounded); the quantizer itself is a single
+    Catalyst ``transform`` against literal arrays, so codes never leave
+    the JVM. 4× smaller than float32: the memory-resident tier for
+    re-rank pipelines (PQ is the 32× tier, emb_pq_adc).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    stats = df.agg(
+        *[F.min(F.col(vec_col)[i].cast("double")).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.col(vec_col)[i].cast("double")).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    mins = [float(stats[f"mn{i}"]) for i in range(dim)]
+    maxs = [float(stats[f"mx{i}"]) for i in range(dim)]
+    mn_lit = F.array(*[F.lit(m) for m in mins])
+    rng_lit = F.array(
+        *[F.lit((mx - mn) if mx > mn else 1.0) for mn, mx in zip(mins, maxs)]
+    )
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    codes = df.select(
+        F.col(id_col),
+        F.transform(
+            idx,
+            lambda i: F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (
+                            F.element_at(F.col(vec_col), i).cast("double")
+                            - F.element_at(mn_lit, i)
+                        )
+                        * F.lit(255.0)
+                        / F.element_at(rng_lit, i)
+                        + F.lit(0.5)
+                    ).cast("int"),
+                ),
+            ),
+        ).alias("code"),
+    )
+    return codes, mins, maxs
+
+
+def sq8_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, vec_id, dist, rank) — top-k nearest by SYMMETRIC int8
+    scalar-quantized L2: both query and base vectors quantize with the
+    same per-dim grid, so the distance ``Σ (cq_i − cb_i)²`` is exact
+    64-bit integer arithmetic — bit-identical across engines,
+    partitionings and summation orders (no float tie hazards).
+
+    Plan: quantize once (sq8_quantize), broadcast the ≤|query_ids| query
+    code rows against the base codes (one broadcast nested-loop over
+    int arrays — the brute-force re-rank tier; compose with the LSH/IVF
+    bucket routers for the candidate-pruned scale path), distance via
+    ``zip_with``+``aggregate`` in longs, ``row_number`` per query.
+    Ties break by vec_id. Self-matches are excluded."""
+    codes, _, _ = sq8_quantize(df, vec_col=vec_col, id_col=id_col)
+    codes = codes.persist()
+    q = codes.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        F.col(id_col).alias("qid"), F.col("code").alias("qcode")
+    )
+    dist = (
+        codes.join(F.broadcast(q))
+        .where(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            F.aggregate(
+                F.zip_with(
+                    F.col("qcode"),
+                    F.col("code"),
+                    lambda a, b: (a.cast("long") - b.cast("long"))
+                    * (a.cast("long") - b.cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    out = (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", id_col, "dist", "rank")
+        .localCheckpoint(eager=True)
+    )
+    codes.unpersist()
+    return out

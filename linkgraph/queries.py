@@ -4872,5 +4872,9 @@ from linkgraph import queries_r5b  # noqa: E402  (second-wave r5 entries)
 queries_r5.register(R5_NEW_QUERIES, R5_NEW_ORACLE_SQL)
 queries_r5b.register(R5_NEW_QUERIES, R5_NEW_ORACLE_SQL)
 
+from linkgraph import queries_r5c  # noqa: E402  (third-wave r5 entries)
+
+queries_r5c.register(R5_NEW_QUERIES, R5_NEW_ORACLE_SQL)
+
 QUERIES = {**R5_QUEUE_QUERIES, **R5_NEW_QUERIES, **QUERIES}
 ORACLE_SQL = {**R5_QUEUE_ORACLE_SQL, **R5_NEW_ORACLE_SQL, **ORACLE_SQL}

@@ -1,0 +1,330 @@
+"""Round-5 third-wave registry additions (late-round window fill: the
+driver window had six green-buffer slots at positions 44-49; these six
+never-verified entries take them — see queries.py's window note).
+
+Covered here:
+
+- ``g_transitive_reduction`` — DAG transitive reduction
+  (nx.transitive_reduction parity) via semi-naive closure + one
+  anti-join, vs a recursive-CTE closure oracle.
+- ``g_label_spreading`` — seeded harmonic-function node classification
+  (nx.node_classification.harmonic_function, Zhu et al. ICML'03),
+  fixed 3 rounds, sparse long-format state, vs a round-for-round
+  unrolled SQL twin.
+- ``g_eulerian`` — nx.is_eulerian / nx.has_eulerian_path verdicts on
+  BOTH the cyclic oracle graph and a constructed directed cycle (one
+  Eulerian, one not — both polarities proved).
+- ``g_effdiam`` — 90th-percentile effective diameter from a 64-root
+  bit-parallel MSBFS distance histogram (exact integer quantile).
+- ``doc_dup_ngrams`` — cross-document duplicated 3-gram share per doc
+  (curation.cross_doc_ngram_dup), md5 gram keys so DuckDB replays the
+  shuffle keys bit-for-bit.
+- ``emb_sq8`` — symmetric int8 scalar-quantized L2 top-k
+  (similarity.sq8_topk): integer ADC distances, bit-identical across
+  engines by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HF_ROUNDS = 3
+SQ8_QUERY_IDS = [0, 1, 2, 3]
+SQ8_K = 5
+EFFDIAM_ROOTS = 64
+
+
+# ------------------------------------------------------------------ graph
+
+
+def q_transitive_reduction(spark, sf_dir):
+    """Transitive reduction of the forward (src < dst) DAG
+    (algorithms/dag.py transitive_reduction): semi-naive closure, then
+    edges with a length-≥2 path are anti-joined away."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.dag import transitive_reduction
+
+    return transitive_reduction(Q._fwd_graph(spark, sf_dir)).select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+
+
+def _transitive_reduction_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        """fe AS (SELECT src, dst FROM e WHERE src < dst),
+  reach AS (
+    WITH RECURSIVE r(src, dst) AS (
+      SELECT src, dst FROM fe
+      UNION
+      SELECT r.src, fe.dst FROM r JOIN fe ON r.dst = fe.src)
+    SELECT * FROM r),
+  two AS (SELECT DISTINCT fe.src, reach.dst
+          FROM fe JOIN reach ON fe.dst = reach.src)
+  SELECT src, dst FROM fe
+  EXCEPT
+  SELECT src, dst FROM two"""
+    )
+
+
+def q_label_spreading(spark, sf_dir):
+    """Harmonic-function label spreading (algorithms/nodeclass.py):
+    seeds = vids ≡ 0 (mod 10) with class vid % 3, 3 fixed rounds over
+    the simple undirected graph, argmax label (NULL if unreached)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.nodeclass import harmonic_function
+
+    g = Q._oracle_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("vid") % 10 == 0).select(
+        "vid", (F.col("vid") % 3).alias("cls")
+    )
+    return harmonic_function(g, seeds, rounds=HF_ROUNDS)
+
+
+def _label_spreading_sql(rounds: int) -> str:
+    from linkgraph import queries as Q
+
+    ctes = [
+        "seeds AS (SELECT vid, vid % 3 AS cls FROM v WHERE vid % 10 = 0)",
+        """adj AS (SELECT lo AS vx, hi AS nbr FROM simple_und
+           UNION ALL SELECT hi AS vx, lo AS nbr FROM simple_und)""",
+        "deg AS (SELECT vx AS vid, count(*) AS deg FROM adj GROUP BY vx)",
+        "s0 AS (SELECT vid, cls, 1.0 AS p FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""s{r} AS (
+    SELECT vid, cls, 1.0 AS p FROM seeds
+    UNION ALL
+    SELECT a.vx AS vid, s.cls AS cls, sum(s.p) / any_value(d.deg) AS p
+    FROM adj a JOIN s{r - 1} s ON s.vid = a.nbr JOIN deg d ON d.vid = a.vx
+    WHERE a.vx NOT IN (SELECT vid FROM seeds)
+    GROUP BY a.vx, s.cls)"""
+        )
+    readout = f"""ranked AS (
+    SELECT vid, cls,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY round(p, 6) DESC, cls ASC) AS rk
+    FROM s{rounds})
+  SELECT v.vid, CAST(r.cls AS BIGINT) AS label
+  FROM v LEFT JOIN ranked r ON r.vid = v.vid AND r.rk = 1"""
+    return Q._with_graph(",\n  ".join(ctes) + ",\n  " + readout)
+
+
+def q_eulerian(spark, sf_dir):
+    """Euler verdicts on two graphs: the cyclic oracle graph (neither
+    circuit nor path — unbalanced degrees) and its SYMMETRIZED twin
+    (every simple undirected edge as two arcs — balanced by
+    construction and weakly connected, so both verdicts flip true).
+    Rows (graph, which, value) — both polarities proved."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.globals import eulerian_summary
+    from linkgraph.graph import LinkGraph
+
+    g = Q._oracle_graph(spark, sf_dir)
+    base = eulerian_summary(g).select(F.lit("oracle").alias("graph"), "which", "value")
+    sym_e = g.symmetrized_simple_edges().select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    sym = LinkGraph(vertices=g.vertices, edges=sym_e)
+    ring = eulerian_summary(sym).select(F.lit("sym").alias("graph"), "which", "value")
+    return base.unionByName(ring)
+
+
+def _eulerian_sql() -> str:
+    from linkgraph import queries as Q
+
+    # theorem form (matches algorithms/globals.py eulerian_summary):
+    # circuit = balanced AND weakly connected; path adds one +1/-1 pair.
+    verdict = """outs{T} AS (SELECT src AS vid, count(*) AS outd FROM {E} GROUP BY src),
+  ins{T} AS (SELECT dst AS vid, count(*) AS ind FROM {E} GROUP BY dst),
+  degs{T} AS (SELECT coalesce(o.vid, i.vid) AS vid,
+                coalesce(o.outd, 0) AS outd, coalesce(i.ind, 0) AS ind
+              FROM outs{T} o FULL JOIN ins{T} i ON o.vid = i.vid),
+  bal{T} AS (SELECT sum(CASE WHEN outd <> ind THEN 1 ELSE 0 END) AS nbad,
+               sum(CASE WHEN outd - ind = 1 THEN 1 ELSE 0 END) AS plus1,
+               sum(CASE WHEN ind - outd = 1 THEN 1 ELSE 0 END) AS minus1
+             FROM degs{T}),
+  v0{T} AS (SELECT min(vid) AS vid FROM degs{T}),
+  wr{T} AS (WITH RECURSIVE w(vid) AS (
+      SELECT vid FROM v0{T}
+      UNION SELECT t.dst FROM w JOIN (SELECT src, dst FROM {E}
+                                      UNION SELECT dst, src FROM {E}) t
+            ON t.src = w.vid)
+    SELECT * FROM w),
+  nv{T} AS (SELECT count(*) AS n FROM degs{T})"""
+    body = (
+        verdict.replace("{E}", "e").replace("{T}", "_a")
+        + ",\n  "
+        + verdict.replace("{E}", "und").replace("{T}", "_b")
+        + """
+  SELECT 'oracle' AS graph, 'is_eulerian' AS which,
+         (SELECT nbad FROM bal_a) = 0
+         AND (SELECT count(*) FROM wr_a) = (SELECT n FROM nv_a) AS value
+  UNION ALL
+  SELECT 'oracle', 'has_eulerian_path',
+         ((SELECT nbad FROM bal_a) = 0
+          OR ((SELECT plus1 FROM bal_a) = 1 AND (SELECT minus1 FROM bal_a) = 1
+              AND (SELECT nbad FROM bal_a) = 2))
+         AND (SELECT count(*) FROM wr_a) = (SELECT n FROM nv_a)
+  UNION ALL
+  SELECT 'sym', 'is_eulerian',
+         (SELECT nbad FROM bal_b) = 0
+         AND (SELECT count(*) FROM wr_b) = (SELECT n FROM nv_b)
+  UNION ALL
+  SELECT 'sym', 'has_eulerian_path',
+         ((SELECT nbad FROM bal_b) = 0
+          OR ((SELECT plus1 FROM bal_b) = 1 AND (SELECT minus1 FROM bal_b) = 1
+              AND (SELECT nbad FROM bal_b) = 2))
+         AND (SELECT count(*) FROM wr_b) = (SELECT n FROM nv_b)"""
+    )
+    return Q._with_graph(body)
+
+
+def q_effdiam(spark, sf_dir):
+    """90th-percentile effective diameter from the 64 smallest vids'
+    directed BFS distances, computed by ONE bit-parallel MSBFS sweep
+    (paths.effective_diameter)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.paths import effective_diameter
+
+    return effective_diameter(Q._oracle_graph(spark, sf_dir), n_roots=EFFDIAM_ROOTS)
+
+
+def _effdiam_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        f"""seeds AS (SELECT vid FROM v ORDER BY vid LIMIT {EFFDIAM_ROOTS}),
+  walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM seeds
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON w.vid = e.src WHERE w.d < 50)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  hist AS (SELECT dist, count(*) AS cnt FROM sp WHERE dist > 0 GROUP BY dist),
+  cum AS (SELECT dist, sum(cnt) OVER (ORDER BY dist) AS cum,
+                 sum(cnt) OVER () AS n_pairs
+          FROM hist)
+  SELECT CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+         CAST(min(dist) AS BIGINT) AS effective_diameter
+  FROM cum WHERE cum * 1000 >= n_pairs * 900"""
+    )
+
+
+# --------------------------------------------------------------- pipeline
+
+
+def q_dup_ngrams(spark, sf_dir):
+    """Cross-document duplicated 3-gram share per document
+    (pipeline/curation.py cross_doc_ngram_dup)."""
+    from linkgraph.pipeline.curation import cross_doc_ngram_dup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_doc_ngram_dup(docs, n=3, min_docs=2)
+
+
+_DUP_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' ||
+             list_extract(w, i + 2)) AS gk
+  FROM toks, LATERAL unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3),
+gd AS (SELECT gk, count(DISTINCT doc_id) AS nd FROM grams GROUP BY gk),
+dup AS (SELECT gk FROM gd WHERE nd >= 2),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+dg AS (SELECT doc_id, count(*) AS dup_grams FROM grams
+       WHERE gk IN (SELECT gk FROM dup) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(g.dup_grams, 0) AS BIGINT) AS dup_grams,
+       round(CASE WHEN coalesce(t.n_grams, 0) > 0
+                  THEN coalesce(g.dup_grams, 0) * 1.0 / t.n_grams
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN dg g ON g.doc_id = d.doc_id
+"""
+
+
+def q_sq8(spark, sf_dir):
+    """Symmetric int8 scalar-quantized L2 top-k
+    (pipeline/similarity.py sq8_topk) — integer ADC distances."""
+    from linkgraph.pipeline.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sq8_topk(emb, SQ8_QUERY_IDS, k=SQ8_K)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("dist").cast("long").alias("dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQ8_SQL = f"""
+WITH longf AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM longf GROUP BY i),
+codes AS (
+  SELECT l.vec_id, l.i,
+         greatest(0, least(255, CAST(floor(
+           (l.x - s.mn) * 255.0 /
+           (CASE WHEN s.mx > s.mn THEN s.mx - s.mn ELSE 1.0 END) + 0.5
+         ) AS INT))) AS c
+  FROM longf l JOIN stats s USING (i)),
+q AS (SELECT vec_id AS qid, i, c AS qc FROM codes
+      WHERE vec_id IN ({", ".join(str(i) for i in SQ8_QUERY_IDS)})),
+dist AS (
+  SELECT q.qid, c.vec_id,
+         sum(CAST(q.qc - c.c AS BIGINT) * CAST(q.qc - c.c AS BIGINT)) AS dist
+  FROM q JOIN codes c USING (i)
+  WHERE c.vec_id <> q.qid
+  GROUP BY q.qid, c.vec_id),
+rk AS (SELECT qid, vec_id, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank
+       FROM dist)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(dist AS BIGINT) AS dist, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {SQ8_K}
+"""
+
+
+def register(
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracle_sql: dict[str, str],
+) -> None:
+    """Populate the round-5 third-wave query/oracle dicts."""
+    queries.update(
+        {
+            "g_transitive_reduction": q_transitive_reduction,
+            "g_label_spreading": q_label_spreading,
+            "g_eulerian": q_eulerian,
+            "g_effdiam": q_effdiam,
+            "doc_dup_ngrams": q_dup_ngrams,
+            "emb_sq8": q_sq8,
+        }
+    )
+    oracle_sql.update(
+        {
+            "g_transitive_reduction": _transitive_reduction_sql(),
+            "g_label_spreading": _label_spreading_sql(HF_ROUNDS),
+            "g_eulerian": _eulerian_sql(),
+            "g_effdiam": _effdiam_sql(),
+            "doc_dup_ngrams": _DUP_NGRAMS_SQL,
+            "emb_sq8": _SQ8_SQL,
+        }
+    )
