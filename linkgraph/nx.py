@@ -1041,3 +1041,77 @@ def k_clique_communities(G: DiGraph, k: int = 3):
         groups.setdefault(r["community"], set()).add(G._node_of[r["vid"]])
     for c in sorted(groups, key=lambda c: (-len(groups[c]), c)):
         yield frozenset(groups[c])
+
+
+def transitive_reduction(G: DiGraph) -> list:
+    """networkx.transitive_reduction — the DAG's unique minimal edge set
+    with the same reachability (algorithms/dag.py: iterative-doubling
+    closure + one anti-join). Returns (u, v) node-key pairs sorted for
+    determinism; raises on cyclic input like nx."""
+    from linkgraph.algorithms.dag import transitive_reduction as _impl
+
+    lg = G._project()
+    rows = _impl(lg).collect()
+    return sorted(
+        (G._node_of[r["src"]], G._node_of[r["dst"]]) for r in rows
+    )
+
+
+def is_eulerian(G: DiGraph) -> bool:
+    """networkx.is_eulerian — Euler circuit verdict (balance + weak
+    connectivity; algorithms/globals.py eulerian_summary docstring
+    covers the isolated-vertex convention)."""
+    from linkgraph.algorithms.globals import eulerian_summary
+
+    rows = {r["which"]: r["value"] for r in eulerian_summary(G._project()).collect()}
+    return bool(rows["is_eulerian"])
+
+
+def has_eulerian_path(G: DiGraph) -> bool:
+    """networkx.has_eulerian_path — Euler path verdict (at most one
+    +1/-1 degree pair, weakly connected)."""
+    from linkgraph.algorithms.globals import eulerian_summary
+
+    rows = {r["which"]: r["value"] for r in eulerian_summary(G._project()).collect()}
+    return bool(rows["has_eulerian_path"])
+
+
+def effective_diameter(G: DiGraph, q: float = 0.9, n_roots: int = 64) -> int:
+    """q-quantile of pairwise BFS distances from a deterministic
+    ``n_roots``-root sample (ANF-style; one bit-parallel MSBFS sweep —
+    algorithms/paths.py effective_diameter). Not an nx builtin — the
+    snap.EffDiam / ANF headline statistic, exposed under the same
+    flat-call convention."""
+    from linkgraph.algorithms.paths import effective_diameter as _impl
+
+    row = _impl(G._project(), n_roots=n_roots, q=q).first()
+    return int(row["effective_diameter"]) if row["n_pairs"] else 0
+
+
+def harmonic_function(G: DiGraph, max_iter: int = 30, label_name: str = "label") -> list:
+    """networkx.algorithms.node_classification.harmonic_function: nodes
+    carrying ``G.nodes[n][label_name]`` clamp their class; everyone else
+    takes the iterated degree-normalized neighbor average; returns the
+    predicted label per node in node order. Labels may be any hashable —
+    encoded to dense class ids sorted by repr (deterministic), decoded
+    on the way out. Unreached nodes return None (documented divergence:
+    nx's argmax silently yields the first class)."""
+    from linkgraph.algorithms.nodeclass import harmonic_function as _impl
+
+    lg = G._project()
+    spark = lg.edges.sparkSession
+    labeled = {n: d[label_name] for n, d in G._nodes.items() if label_name in d}
+    if not labeled:
+        raise ValueError(f"harmonic_function: no node has attr {label_name!r}")
+    classes = sorted({repr(v): v for v in labeled.values()}.items())
+    cls_of = {rep: i for i, (rep, _) in enumerate(classes)}
+    seeds = spark.createDataFrame(
+        [(G._vid_of[n], cls_of[repr(v)]) for n, v in labeled.items()],
+        "vid long, cls long",
+    )
+    out = {r["vid"]: r["label"] for r in _impl(lg, seeds, rounds=max_iter).collect()}
+    decode = [v for _, v in classes]
+    return [
+        None if out.get(G._vid_of[n]) is None else decode[out[G._vid_of[n]]]
+        for n in G.nodes()
+    ]

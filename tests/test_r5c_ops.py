@@ -138,3 +138,24 @@ def test_sq8_distance_is_integer_exact(spark):
     b = {(r.qid, r.vec_id): r.dist for r in
          sq8_topk(emb.repartition(7), [0, 1], k=5).collect()}
     assert a == b
+
+
+def test_nx_wrappers_r5c(spark):
+    from linkgraph import nx as lnx
+
+    G = lnx.DiGraph(spark)
+    G.add_edges_from([(0, 1), (1, 2), (0, 2), (2, 3)])
+    assert lnx.transitive_reduction(G) == [(0, 1), (1, 2), (2, 3)]
+    assert lnx.is_eulerian(G) is False
+    assert lnx.has_eulerian_path(G) is False
+    assert lnx.effective_diameter(G) == 2
+
+    C = lnx.DiGraph(spark)
+    C.add_edges_from([(0, 1), (1, 2), (2, 0)])
+    assert lnx.is_eulerian(C) is True
+
+    H = lnx.DiGraph(spark)
+    H.add_node("a", label="x")
+    H.add_node("e", label="y")
+    H.add_edges_from([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    assert lnx.harmonic_function(H) == ["x", "y", "x", "x", "y"]
