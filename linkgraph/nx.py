@@ -1115,3 +1115,37 @@ def harmonic_function(G: DiGraph, max_iter: int = 30, label_name: str = "label")
         None if out.get(G._vid_of[n]) is None else decode[out[G._vid_of[n]]]
         for n in G.nodes()
     ]
+
+
+def articulation_points(G: DiGraph):
+    """networkx.articulation_points — cut vertices of the undirected
+    view (Tarjan–Vishkin aux-graph blocks,
+    algorithms/biconnectivity.py). Yields node keys in sorted order
+    (nx yields in DFS order; set equality is the contract)."""
+    from linkgraph.algorithms.biconnectivity import articulation_points as _impl
+
+    if G.directed:
+        raise ValueError("articulation_points: undirected graphs only")
+    lg = G._project()
+    for r in sorted(_impl(lg).collect(), key=lambda r: r["vid"]):
+        yield G._node_of[r["vid"]]
+
+
+def biconnected_components(G: DiGraph):
+    """networkx.biconnected_components — yields the node set of each
+    block (2-connected component), largest-first then min-node order
+    for determinism."""
+    from linkgraph.algorithms.biconnectivity import biconnected_components as _impl
+
+    if G.directed:
+        raise ValueError("biconnected_components: undirected graphs only")
+    lg = G._project()
+    rows = _impl(lg).collect()
+    G._project()
+    groups: dict[int, set] = {}
+    for r in rows:
+        groups.setdefault(r["block"], set()).update(
+            (G._node_of[r["lo"]], G._node_of[r["hi"]])
+        )
+    for b in sorted(groups, key=lambda b: (-len(groups[b]), b)):
+        yield frozenset(groups[b])

@@ -328,3 +328,52 @@ def register(
             "emb_sq8": _SQ8_SQL,
         }
     )
+
+
+# -------------------------------------------------- staged (post-window)
+# The 50-slot driver window is FULL this round (never-verified entries at
+# positions 0-49), so operators implemented after the window-fill wave
+# stage here with the SAME query+oracle shape and a local pytest gate
+# (tests/test_biconnectivity.py) instead of a driver row — the r4 queue
+# discipline (SURVEY §8 documents the hold-out).
+
+
+def q_articulation(spark, sf_dir):
+    """Articulation points of the oracle graph's undirected simple view
+    (algorithms/biconnectivity.py — Tarjan–Vishkin aux-graph blocks,
+    exact, hash-free)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.biconnectivity import articulation_points
+
+    return articulation_points(Q._oracle_graph(spark, sf_dir)).select(
+        F.col("vid").cast("long").alias("vid")
+    )
+
+
+def _articulation_sql() -> str:
+    from linkgraph import queries as Q
+
+    # ground truth: c is an articulation point iff some neighbor of c is
+    # unreachable from c's smallest neighbor when every walk step avoids c
+    return Q._with_graph(
+        """nb AS (SELECT u.src AS c, u.dst AS n FROM und u),
+  start AS (SELECT c, min(n) AS s FROM nb GROUP BY c),
+  walk AS (
+    WITH RECURSIVE w(c, vid) AS (
+      SELECT c, s FROM start
+      UNION
+      SELECT w.c, u.dst FROM w JOIN und u ON u.src = w.vid
+      WHERE u.dst <> w.c)
+    SELECT * FROM w)
+  SELECT DISTINCT nb.c AS vid
+  FROM nb LEFT JOIN walk ON walk.c = nb.c AND walk.vid = nb.n
+  WHERE walk.vid IS NULL"""
+    )
+
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "g_articulation": q_articulation,
+}
+STAGED_ORACLE_SQL: dict[str, str] = {
+    "g_articulation": _articulation_sql(),
+}
