@@ -377,3 +377,56 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 STAGED_ORACLE_SQL: dict[str, str] = {
     "g_articulation": _articulation_sql(),
 }
+
+
+ANF_H = 4
+ANF_TRIALS = 16
+
+
+def q_anf(spark, sf_dir):
+    """ANF neighborhood-function integer sketch statistic
+    (algorithms/anf.py anf_sketch_stats): 16 FM sketches per vertex,
+    4 OR-propagation rounds, readout = Σ lowest-zero-bit ranks."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.anf import anf_sketch_stats
+
+    return anf_sketch_stats(
+        Q._oracle_graph(spark, sf_dir), max_h=ANF_H, trials=ANF_TRIALS
+    )
+
+
+def _anf_sql(max_h: int, trials: int) -> str:
+    from linkgraph import queries as Q
+
+    ctes = [
+        f"tr AS (SELECT t FROM range({trials}) AS r(t))",
+        """init AS (
+    SELECT vid, t,
+           (CAST(1 AS BIGINT) << least(31, bit_count((g & -g) - 1))) AS s
+    FROM (SELECT v.vid, tr.t,
+                 CAST(('0x' || substring(
+                   md5(CAST(v.vid AS VARCHAR) || ':' || CAST(tr.t AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS g
+          FROM v, tr))""",
+        "s0 AS (SELECT vid, t, s FROM init)",
+    ]
+    for h in range(1, max_h + 1):
+        ctes.append(
+            f"""s{h} AS (
+    SELECT vid, t, bit_or(s) AS s FROM (
+      SELECT vid, t, s FROM s{h - 1}
+      UNION ALL
+      SELECT e.dst AS vid, p.t, p.s FROM e JOIN s{h - 1} p ON p.vid = e.src
+    ) GROUP BY vid, t)"""
+        )
+    reads = [
+        f"""SELECT {h} AS h,
+       CAST(sum(bit_count((xor(s, CAST(-1 AS BIGINT)) & (s + 1)) - 1)) AS BIGINT) AS sum_r,
+       CAST(count(*) AS BIGINT) AS n_rows FROM s{h}"""
+        for h in range(1, max_h + 1)
+    ]
+    return Q._with_graph(",\n  ".join(ctes) + "\n  " + "\n  UNION ALL\n  ".join(reads))
+
+
+STAGED_QUERIES["g_anf"] = q_anf
+STAGED_ORACLE_SQL["g_anf"] = _anf_sql(ANF_H, ANF_TRIALS)

@@ -170,3 +170,41 @@ def test_staged_articulation_entry_matches_oracle(spark):
     got = sorted(r.vid for r in sdf.collect())
     want = sorted(r[0] for r in con.execute(R.STAGED_ORACLE_SQL["g_articulation"]).fetchall())
     assert got == want
+
+
+# ---- ANF (staged post-window too; shares this file's staged-gate role)
+
+
+def test_staged_anf_entry_matches_oracle(spark):
+    """g_anf (queries_r5c.STAGED_QUERIES) vs the full DuckDB replay of
+    the FM sketch computation — md5 bit positions, bit_or propagation,
+    lowest-zero-bit ranks — exact integers at sf0.001."""
+    import duckdb
+
+    from linkgraph import queries_r5c as R
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
+    got = sorted(tuple(r) for r in R.STAGED_QUERIES["g_anf"](spark, sf).collect())
+    want = sorted(con.execute(R.STAGED_ORACLE_SQL["g_anf"]).fetchall())
+    assert got == want
+
+
+def test_anf_estimate_tracks_exact_ball_sizes(spark):
+    """FM estimate within loose rsd bounds of the exact neighborhood
+    function (directed balls via multi_source_bfs) and monotone in h."""
+    from linkgraph.algorithms.anf import anf_estimate
+    from linkgraph.algorithms.paths import multi_source_bfs
+
+    pairs = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 7) % 20) for i in range(20)]
+    g = _g(spark, pairs)
+    est = anf_estimate(g, max_h=3, trials=16)
+    d = multi_source_bfs(g).collect()
+    exact = {
+        h: sum(1 for r in d if 0 < r["dist"] <= h) + len({r["root"] for r in d})
+        for h in (1, 2, 3)
+    }
+    assert est[1] <= est[2] <= est[3]
+    for h in (1, 2, 3):
+        assert exact[h] * 0.35 <= est[h] <= exact[h] * 2.8, (h, est[h], exact[h])
