@@ -311,6 +311,19 @@ def run_default() -> dict:
         _sim.ivf_assign(embs, cents).count()
         queries[tag_name] = round(time.time() - t, 3)
 
+    # r5 additions: production-path cross-doc duplicated n-grams
+    # (xxhash64 keys — the md5 registry twin exists only for the oracle,
+    # same discipline as doc_minhash) and the int8 SQ brute-force tier.
+    from linkgraph.pipeline.curation import cross_doc_ngram_dup
+    from linkgraph.pipeline.similarity import sq8_topk
+
+    t = time.time()
+    cross_doc_ngram_dup(_docs, n=3, hash_mode="xxhash64").count()
+    queries["doc_dup_ngrams_fast"] = round(time.time() - t, 3)
+    t = time.time()
+    sq8_topk(embs, [0, 1, 2, 3], k=5).count()
+    queries["emb_sq8_topk"] = round(time.time() - t, 3)
+
     total = time.time() - t0
     out = {
         "metric": "pagerank_time_to_convergence_1e-6_on_corpus_dependency_graph",

@@ -449,6 +449,7 @@ def cross_doc_ngram_dup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """CROSS-document duplicated n-gram share per document.
 
@@ -465,8 +466,10 @@ def cross_doc_ngram_dup(
     (no explode of overlapping copies — one array op per doc), then the
     only shuffle carries ``md5(gram)`` 32-hex keys, never gram text or
     documents: distinct per doc, a doc-count per gram key, one semi-join
-    back. md5 keys keep the DuckDB oracle exact; production swaps the
-    key expression for ``xxhash64`` (8 bytes/key) — same plan shape.
+    back. ``hash_mode="md5"`` (default) keeps the DuckDB oracle exact;
+    ``"xxhash64"`` is the production path — one JVM hash per gram and
+    8-byte shuffle keys instead of 32-hex, same plan shape (the
+    minhash_lsh_duplicates discipline).
     """
     if n < 2:
         raise ValueError("cross_doc_ngram_dup: n must be ≥ 2")
@@ -475,6 +478,11 @@ def cross_doc_ngram_dup(
     )
     gram_at = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(F.col("w"), i + F.lit(k)) for k in range(n)]
+    )
+    key = (
+        (lambda g: F.md5(g.cast("binary")))
+        if hash_mode == "md5"
+        else (lambda g: F.xxhash64(g))
     )
     grams = (
         df.select(F.col(id_col), words.alias("w"))
@@ -486,7 +494,7 @@ def cross_doc_ngram_dup(
             ).alias("grams"),
         )
         .select(id_col, F.explode("grams").alias("gram"))
-        .select(id_col, F.md5(F.col("gram").cast("binary")).alias("gk"))
+        .select(id_col, key(F.col("gram")).alias("gk"))
         .distinct()
     )
     gram_docs = grams.groupBy("gk").agg(F.countDistinct(id_col).alias("nd"))

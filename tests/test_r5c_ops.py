@@ -159,3 +159,18 @@ def test_nx_wrappers_r5c(spark):
     H.add_node("e", label="y")
     H.add_edges_from([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
     assert lnx.harmonic_function(H) == ["x", "y", "x", "x", "y"]
+
+
+def test_cross_doc_ngram_dup_xxhash_path_same_counts(spark):
+    """The production key expression (xxhash64) gives identical
+    counts/fractions to the md5 oracle tier — only the key bytes differ
+    (8-byte long vs 32-hex), not the dedup semantics."""
+    from linkgraph.pipeline.curation import cross_doc_ngram_dup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c x y"), (3, "x y z w"), (4, "q r s")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, cross_doc_ngram_dup(df, n=3, hash_mode="md5").collect()))
+    b = sorted(map(tuple, cross_doc_ngram_dup(df, n=3, hash_mode="xxhash64").collect()))
+    assert a == b
