@@ -339,36 +339,65 @@ def register(
 
 
 def q_articulation(spark, sf_dir):
-    """Articulation points of the oracle graph's undirected simple view
-    (algorithms/biconnectivity.py — Tarjan–Vishkin aux-graph blocks,
-    exact, hash-free)."""
-    from linkgraph import queries as Q
+    """Articulation points (algorithms/biconnectivity.py — Tarjan–
+    Vishkin aux-graph blocks, exact, hash-free). The V_MOD oracle graph
+    is biconnected at sf≥0.001 (0 articulation points — vacuous), so
+    this entry reuses the bridges entry's tree-plus-chords derivation
+    (binary-heap edges k→k//2 + k→k-2 chords on k≡0 mod 5): most
+    internal tree vertices are cut vertices."""
     from linkgraph.algorithms.biconnectivity import articulation_points
+    from linkgraph.graph import LinkGraph
 
-    return articulation_points(Q._oracle_graph(spark, sf_dir)).select(
+    ks = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.pmod("o_orderkey", F.lit(4096)).alias("k"))
+        .where(F.col("k") > 0)
+        .distinct()
+    )
+    e = (
+        ks.select(F.col("k").alias("src"), (F.col("k") / 2).cast("long").alias("dst"))
+        .union(
+            ks.where((F.col("k") % 5 == 0) & (F.col("k") >= 2)).select(
+                F.col("k").alias("src"), (F.col("k") - 2).alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    v = (
+        e.select(F.col("src").alias("vid"))
+        .union(e.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    return articulation_points(LinkGraph(vertices=v, edges=e)).select(
         F.col("vid").cast("long").alias("vid")
     )
 
 
 def _articulation_sql() -> str:
-    from linkgraph import queries as Q
-
-    # ground truth: c is an articulation point iff some neighbor of c is
-    # unreachable from c's smallest neighbor when every walk step avoids c
-    return Q._with_graph(
-        """nb AS (SELECT u.src AS c, u.dst AS n FROM und u),
-  start AS (SELECT c, min(n) AS s FROM nb GROUP BY c),
-  walk AS (
-    WITH RECURSIVE w(c, vid) AS (
-      SELECT c, s FROM start
-      UNION
-      SELECT w.c, u.dst FROM w JOIN und u ON u.src = w.vid
-      WHERE u.dst <> w.c)
-    SELECT * FROM w)
-  SELECT DISTINCT nb.c AS vid
-  FROM nb LEFT JOIN walk ON walk.c = nb.c AND walk.vid = nb.n
-  WHERE walk.vid IS NULL"""
-    )
+    # ground truth on the same tree-plus-chords graph: c is an
+    # articulation point iff some neighbor of c is unreachable from c's
+    # smallest neighbor when every walk step avoids c
+    return """
+WITH RECURSIVE ks AS (
+  SELECT DISTINCT o_orderkey % 4096 AS k FROM orders WHERE o_orderkey % 4096 > 0),
+e AS (
+  SELECT k AS src, k // 2 AS dst FROM ks WHERE k <> k // 2
+  UNION
+  SELECT k AS src, k - 2 AS dst FROM ks WHERE k % 5 = 0 AND k >= 2 AND k <> k - 2),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+nb AS (SELECT u.src AS c, u.dst AS n FROM und u),
+start AS (SELECT c, min(n) AS s FROM nb GROUP BY c),
+walk(c, vid) AS (
+  SELECT c, s FROM start
+  UNION
+  SELECT w.c, u.dst FROM walk w JOIN und u ON u.src = w.vid
+  WHERE u.dst <> w.c)
+SELECT DISTINCT nb.c AS vid
+FROM nb LEFT JOIN walk ON walk.c = nb.c AND walk.vid = nb.n
+WHERE walk.vid IS NULL
+"""
 
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

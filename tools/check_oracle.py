@@ -49,6 +49,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="include post-window staged entries (queries_r5c.STAGED_QUERIES)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as e
@@ -63,6 +68,13 @@ def main() -> None:
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if args.staged:
+        # post-window staged entries (full driver window): same gate,
+        # run locally — see queries_r5c.STAGED_QUERIES
+        from linkgraph import queries_r5c as _r5c
+
+        qs = {**qs, **_r5c.STAGED_QUERIES}
+        oracles = {**oracles, **_r5c.STAGED_ORACLE_SQL}
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
