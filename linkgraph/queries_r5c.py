@@ -459,3 +459,62 @@ def _anf_sql(max_h: int, trials: int) -> str:
 
 STAGED_QUERIES["g_anf"] = q_anf
 STAGED_ORACLE_SQL["g_anf"] = _anf_sql(ANF_H, ANF_TRIALS)
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority scores (algorithms/salsa.py — Lempel–Moran
+    closed form: one degree agg + one bipartite-support WCC; no power
+    iteration)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.salsa import salsa
+
+    return salsa(Q._oracle_graph(spark, sf_dir))
+
+
+def _salsa_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        """bip AS (SELECT src * 2 AS s, dst * 2 + 1 AS d FROM e),
+  bu AS (SELECT s, d FROM bip UNION SELECT d AS s, s AS d FROM bip),
+  bn AS (SELECT s AS n FROM bu UNION SELECT d FROM bu),
+  reach AS (
+    WITH RECURSIVE r(a, b) AS (
+      SELECT n, n FROM bn
+      UNION
+      SELECT r.a, u.d FROM r JOIN bu u ON u.s = r.b)
+    SELECT * FROM r),
+  comp AS (SELECT a AS vid, min(b) AS comp FROM reach GROUP BY a),
+  hub_comp AS (SELECT vid // 2 AS src, comp FROM comp WHERE vid % 2 = 0),
+  auth_comp AS (SELECT (vid - 1) // 2 AS dst, comp FROM comp WHERE vid % 2 = 1),
+  comp_edges AS (SELECT hc.comp, count(*) AS ce
+                 FROM e JOIN hub_comp hc ON hc.src = e.src GROUP BY hc.comp),
+  comp_hubs AS (SELECT comp, count(*) AS ch FROM hub_comp GROUP BY comp),
+  comp_auths AS (SELECT comp, count(*) AS ca FROM auth_comp GROUP BY comp),
+  tot AS (SELECT
+            (SELECT count(*) FROM hub_comp) AS th,
+            (SELECT count(*) FROM auth_comp) AS ta),
+  outs AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+  ins AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+  hub AS (SELECT o.src AS vid,
+                 round((chs.ch * o.outd) /
+                       (CAST(greatest((SELECT th FROM tot), 1) AS DOUBLE) * ce.ce), 9) AS hub
+          FROM outs o JOIN hub_comp h ON h.src = o.src
+          JOIN comp_edges ce ON ce.comp = h.comp
+          JOIN comp_hubs chs ON chs.comp = h.comp),
+  auth AS (SELECT i.dst AS vid,
+                  round((a.ca_ * i.ind) /
+                        (CAST(greatest((SELECT ta FROM tot), 1) AS DOUBLE) * ce.ce), 9) AS authority
+           FROM ins i
+           JOIN (SELECT ac.dst, ac.comp, cas.ca AS ca_
+                 FROM auth_comp ac JOIN comp_auths cas ON cas.comp = ac.comp) a
+             ON a.dst = i.dst
+           JOIN comp_edges ce ON ce.comp = a.comp)
+  SELECT v.vid, coalesce(h.hub, 0.0) AS hub,
+         coalesce(a.authority, 0.0) AS authority
+  FROM v LEFT JOIN hub h ON h.vid = v.vid LEFT JOIN auth a ON a.vid = v.vid"""
+    )
+
+
+STAGED_QUERIES["g_salsa"] = q_salsa
+STAGED_ORACLE_SQL["g_salsa"] = _salsa_sql()

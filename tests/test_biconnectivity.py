@@ -208,3 +208,31 @@ def test_anf_estimate_tracks_exact_ball_sizes(spark):
     assert est[1] <= est[2] <= est[3]
     for h in (1, 2, 3):
         assert exact[h] * 0.35 <= est[h] <= exact[h] * 2.8, (h, est[h], exact[h])
+
+
+def test_staged_salsa_entry_matches_oracle(spark):
+    """g_salsa vs the closed-form SQL replay (bipartite-support WCC via
+    recursive reachability + integer-ratio scores) at sf0.001."""
+    import duckdb
+
+    from linkgraph import queries_r5c as R
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')")
+    got = sorted(tuple(r) for r in R.STAGED_QUERIES["g_salsa"](spark, sf).collect())
+    want = sorted(con.execute(R.STAGED_ORACLE_SQL["g_salsa"]).fetchall())
+    assert got == want
+
+
+def test_salsa_scores_are_distributions(spark):
+    """Each side sums to 1 (within rounding) and a hub-only vertex has
+    authority 0 (and vice versa)."""
+    from linkgraph.algorithms.salsa import salsa
+
+    g = _g(spark, [(0, 1), (0, 2), (3, 1), (3, 4), (5, 0)])
+    rows = {r.vid: (r.hub, r.authority) for r in salsa(g).collect()}
+    assert abs(sum(h for h, _ in rows.values()) - 1.0) < 1e-6
+    assert abs(sum(a for _, a in rows.values()) - 1.0) < 1e-6
+    assert rows[5][1] == 0.0  # 5 has no in-edges
+    assert rows[4][0] == 0.0  # 4 has no out-edges
