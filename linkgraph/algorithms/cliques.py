@@ -76,7 +76,8 @@ def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
         raise NotImplementedError(
             "k_clique_communities: k=3 (triangle percolation) and k=4 "
             "(4-clique/face percolation) are implemented — general k "
-            "requires maximal-clique enumeration"
+            "requires k-clique enumeration (maximal cliques themselves "
+            "are available via algorithms/maxcliques.find_cliques)"
         )
     if not graph.pair_key_packable():
         raise ValueError(

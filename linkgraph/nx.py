@@ -1149,3 +1149,41 @@ def biconnected_components(G: DiGraph):
         )
     for b in sorted(groups, key=lambda b: (-len(groups[b]), b)):
         yield frozenset(groups[b])
+
+
+def find_cliques(G: DiGraph):
+    """networkx.find_cliques — maximal cliques (vertex-ordered
+    Bron–Kerbosch, algorithms/maxcliques.py). Yields member lists,
+    sorted by (size desc, members) for determinism (nx yields in
+    DFS order; set-of-frozensets equality is the contract)."""
+    from linkgraph.algorithms.maxcliques import find_cliques as _impl
+
+    if G.directed:
+        raise ValueError("find_cliques: undirected graphs only")
+    lg = G._project()
+    rows = _impl(lg).collect()
+    G._project()
+    cliques = sorted(
+        (tuple(G._node_of[m] for m in r["members"]) for r in rows),
+        key=lambda c: (-len(c), repr(c)),
+    )
+    for c in cliques:
+        yield list(c)
+
+
+def graph_clique_number(G: DiGraph) -> int:
+    """networkx.graph_clique_number — size of the largest clique."""
+    from linkgraph.algorithms.maxcliques import clique_number
+
+    if G.directed:
+        raise ValueError("graph_clique_number: undirected graphs only")
+    return clique_number(G._project())
+
+
+def graph_number_of_cliques(G: DiGraph) -> int:
+    """networkx.graph_number_of_cliques — number of maximal cliques."""
+    from linkgraph.algorithms.maxcliques import number_of_cliques
+
+    if G.directed:
+        raise ValueError("graph_number_of_cliques: undirected graphs only")
+    return number_of_cliques(G._project())
