@@ -73,12 +73,16 @@ def k_clique_communities(graph: LinkGraph, k: int = 3) -> DataFrame:
     if k == 4:
         return k_clique_communities_4(graph)
     if k != 3:
-        raise NotImplementedError(
-            "k_clique_communities: k=3 (triangle percolation) and k=4 "
-            "(4-clique/face percolation) are implemented — general k "
-            "requires k-clique enumeration (maximal cliques themselves "
-            "are available via algorithms/maxcliques.find_cliques)"
-        )
+        if k < 3:
+            raise ValueError("k_clique_communities: k must be ≥ 3")
+        # k ≥ 5: completeness tier via maximal-clique enumeration
+        # (maxcliques.k_clique_communities_general); k=3/k=4 keep the
+        # packed-integer fast paths below. The general form's community
+        # ids are sorted member-CSV keys, not packed longs — callers
+        # group by the column, never parse it (nx.py does exactly that).
+        from linkgraph.algorithms.maxcliques import k_clique_communities_general
+
+        return k_clique_communities_general(graph, k)
     if not graph.pair_key_packable():
         raise ValueError(
             "k_clique_communities: needs vids in [0, 2^31) to pack edge "

@@ -146,3 +146,101 @@ def clique_number(graph: LinkGraph) -> int:
 def number_of_cliques(graph: LinkGraph) -> int:
     """nx.graph_number_of_cliques — count of maximal cliques."""
     return find_cliques(graph).count()
+
+
+def k_clique_communities_general(
+    graph: LinkGraph,
+    k: int,
+    max_subsets_per_clique: int = 100_000,
+) -> DataFrame:
+    """(community, vid) — k-clique percolation for ARBITRARY k ≥ 3
+    (nx.community.k_clique_communities semantics), built on maximal
+    cliques: two k-cliques are adjacent iff they share k−1 vertices;
+    communities are the connected components of that adjacency, and a
+    vertex belongs to every community one of its k-cliques is in.
+
+    Pipeline: ``find_cliques`` → expand each maximal clique of size ≥ k
+    into its C(|C|, k) k-member subsets (python ``combinations`` per
+    Arrow batch; a LOUD ``max_subsets_per_clique`` cap rejects the
+    combinatorial blow-up of giant cliques instead of silently
+    sampling) → distinct k-cliques → each emits its k (k−1)-subset keys
+    → cliques sharing a key star-link inside the key's bucket → WCC
+    over the k-clique graph. Community id = the component's minimum
+    k-clique key (the packed/sorted member string — unique per
+    community; the k=3/k=4 special-cased kernels in
+    algorithms/cliques.py keep their packed-integer fast paths and
+    remain the scale tiers; this general form is the completeness
+    tier). Keys are the sorted member CSV strings — exact, no hash
+    collisions; ids come from one rank over the distinct k-clique
+    set."""
+    from linkgraph.algorithms.wcc import wcc
+    from pyspark.sql import Window as _W
+
+    if k < 3:
+        raise ValueError("k_clique_communities_general: k must be ≥ 3")
+    mc = find_cliques(graph).where(F.size("members") >= k)
+    sizes = mc.select(F.size("members").alias("s")).agg(F.max("s")).first()
+    if sizes[0] is not None:
+        from math import comb
+
+        worst = comb(int(sizes[0]), k)
+        if worst > max_subsets_per_clique:
+            raise ValueError(
+                f"k_clique_communities_general: a maximal clique of size "
+                f"{sizes[0]} expands to C({sizes[0]},{k})={worst} k-subsets "
+                f"> max_subsets_per_clique={max_subsets_per_clique}"
+            )
+
+    def expand(batch_iter):
+        from itertools import combinations
+
+        for pdf in batch_iter:
+            rows = []
+            for members in pdf["members"]:
+                ms = sorted(int(m) for m in members)
+                for sub in combinations(ms, k):
+                    rows.append({"kc": list(sub)})
+            yield pd.DataFrame(rows, columns=["kc"])
+
+    kcliques = (
+        mc.mapInPandas(expand, "kc array<long>")
+        .distinct()
+        .withColumn("key", F.concat_ws(",", F.col("kc")))
+    )
+    w = _W.orderBy("key")
+    ids = kcliques.withColumn("cid", F.row_number().over(w)).persist()
+    subkeys = ids.select(
+        "cid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.concat_ws(
+                    ",", F.filter(F.col("kc"), lambda _, j: j != i)
+                ),
+            )
+        ).alias("sk"),
+    )
+    bw = _W.partitionBy("sk")
+    links = (
+        subkeys.withColumn("m", F.min("cid").over(bw))
+        .where(F.col("cid") != F.col("m"))
+        .select(F.col("m").alias("src"), F.col("cid").alias("dst"))
+        .distinct()
+    )
+    nodes = ids.select(
+        F.col("cid").alias("vid"), F.col("cid").cast("string").alias("oid")
+    )
+    comp = wcc(LinkGraph(vertices=nodes, edges=links))
+    comm_key = (
+        comp.select(F.col("vid").alias("cid"), F.col("value").alias("comp"))
+        .join(ids.select("cid", "key"), "cid")
+        .withColumn("community", F.min("key").over(_W.partitionBy("comp")))
+    )
+    out = (
+        comm_key.join(ids.select("cid", "kc"), "cid")
+        .select("community", F.explode("kc").alias("vid"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ids.unpersist()
+    return out

@@ -1027,8 +1027,9 @@ def dag_longest_path_length(G: DiGraph) -> int:
 
 
 def k_clique_communities(G: DiGraph, k: int = 3):
-    """networkx.algorithms.community.k_clique_communities (k=3 only —
-    triangle percolation; see algorithms/cliques.py scope note). Yields
+    """networkx.algorithms.community.k_clique_communities — any k ≥ 3
+    (k=3/k=4 packed fast paths, k ≥ 5 via maximal-clique expansion —
+    algorithms/maxcliques.k_clique_communities_general). Yields
     frozensets of node keys, largest-first then min-member order."""
     from linkgraph.algorithms.cliques import k_clique_communities as _impl
 

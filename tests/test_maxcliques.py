@@ -107,3 +107,74 @@ def test_nx_find_cliques_wrapper(spark):
     assert set(got) == {frozenset({"a", "b", "c"}), frozenset({"c", "d"})}
     assert lnx.graph_clique_number(G) == 3
     assert lnx.graph_number_of_cliques(G) == 2
+
+
+# ---- general-k clique percolation (built on find_cliques)
+
+
+def ref_percolation(pairs, k):
+    """Frozenset-of-frozensets reference: k-cliques from maximal-clique
+    subsets, adjacency = shared (k-1) vertices, union-find components."""
+    from itertools import combinations
+
+    kcs = sorted({tuple(sorted(sub)) for c in ref_cliques(pairs) if len(c) >= k
+                  for sub in combinations(c, k)})
+    parent = {c: c for c in kcs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets: dict = {}
+    for c in kcs:
+        for i in range(k):
+            buckets.setdefault(c[:i] + c[i + 1:], []).append(c)
+    for mem in buckets.values():
+        for other in mem[1:]:
+            ra, rb = find(mem[0]), find(other)
+            if ra != rb:
+                parent[rb] = ra
+    comms: dict = {}
+    for c in kcs:
+        comms.setdefault(find(c), set()).update(c)
+    return frozenset(frozenset(s) for s in comms.values())
+
+
+def _communities(rows):
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["community"], set()).add(r["vid"])
+    return frozenset(frozenset(s) for s in groups.values())
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_general_percolation_matches_reference(spark, k):
+    from linkgraph.algorithms.maxcliques import k_clique_communities_general
+
+    pairs = CASES[5 + k % 3] + CASES[2]  # mix of random + K4 cases
+    got = _communities(k_clique_communities_general(_g(spark, pairs), k).collect())
+    assert got == ref_percolation(pairs, k)
+
+
+def test_general_matches_packed_k3_k4(spark):
+    """The general tier partitions vertices identically to the packed
+    k=3 and k=4 kernels (labels differ — CSV key vs packed long)."""
+    from linkgraph.algorithms.cliques import k_clique_communities
+    from linkgraph.algorithms.maxcliques import k_clique_communities_general
+
+    pairs = CASES[3] + [(10, 11), (11, 12), (10, 12)]
+    g = _g(spark, pairs)
+    for k in (3, 4):
+        a = _communities(k_clique_communities_general(g, k).collect())
+        b = _communities(k_clique_communities(g, k=k).collect())
+        assert a == b
+
+
+def test_public_api_routes_general_k(spark):
+    from linkgraph.algorithms.cliques import k_clique_communities
+
+    pairs = list(itertools.combinations(range(6), 2))  # K6
+    got = _communities(k_clique_communities(_g(spark, pairs), k=5).collect())
+    assert got == frozenset({frozenset(range(6))})
