@@ -187,3 +187,34 @@ def onion_layers(graph: LinkGraph, max_layers: int = 100_000) -> DataFrame:
     if out is None:
         return graph.vertices.select("vid", F.lit(0).alias("value")).limit(0)
     return out
+
+
+def k_corona(graph: LinkGraph, k: int) -> DataFrame:
+    """(vid, value) — membership flag of the k-corona
+    (networkx.k_corona): vertices of the k-core with EXACTLY k
+    neighbors inside the k-core. One core-membership pass + one
+    within-core degree aggregation."""
+    members = _core_members(graph, k).persist()
+    und = graph.simple_undirected_edges()
+    adj = und.select(F.col("lo").alias("v"), F.col("hi").alias("n")).union(
+        und.select(F.col("hi").alias("v"), F.col("lo").alias("n"))
+    )
+    core_deg = (
+        adj.join(members.withColumnRenamed("vid", "v"), "v", "left_semi")
+        .join(members.withColumnRenamed("vid", "n"), "n", "left_semi")
+        .groupBy("v")
+        .agg(F.count("*").alias("cd"))
+    )
+    corona = (
+        members.join(core_deg.withColumnRenamed("v", "vid"), "vid", "left")
+        .where(F.coalesce("cd", F.lit(0)) == k)
+        .select("vid")
+    )
+    out = (
+        graph.vertices.select("vid")
+        .join(corona.withColumn("value", F.lit(1)), "vid", "left")
+        .select("vid", F.coalesce("value", F.lit(0)).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    members.unpersist()
+    return out

@@ -416,3 +416,24 @@ def eulerian_summary(graph: LinkGraph) -> DataFrame:
         [("is_eulerian", is_euler), ("has_eulerian_path", has_path)],
         "which string, value boolean",
     )
+
+
+def forest_summary(graph: LinkGraph) -> DataFrame:
+    """Two rows (which, value): ``is_forest`` and ``is_tree`` of the
+    undirected simple view (networkx.is_forest / is_tree semantics on
+    nonempty graphs). A simple undirected graph is a forest iff
+    |E| = |V| − #components (counting every vertex, isolated included);
+    a tree additionally has exactly one component. One wcc run + two
+    counts — no cycle search."""
+    from linkgraph.algorithms.wcc import wcc
+
+    spark = graph.edges.sparkSession
+    n_v = graph.vertices.count()
+    n_e = graph.simple_undirected_edges().count()
+    n_c = wcc(graph).select("value").distinct().count()
+    is_forest = bool(n_v > 0 and n_e == n_v - n_c)
+    is_tree = bool(is_forest and n_c == 1)
+    return spark.createDataFrame(
+        [("is_forest", is_forest), ("is_tree", is_tree)],
+        "which string, value boolean",
+    )

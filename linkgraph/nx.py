@@ -1188,3 +1188,32 @@ def graph_number_of_cliques(G: DiGraph) -> int:
     if G.directed:
         raise ValueError("graph_number_of_cliques: undirected graphs only")
     return number_of_cliques(G._project())
+
+
+def k_corona(G: DiGraph, k: int) -> list:
+    """networkx.k_corona — nodes of the k-core with exactly k in-core
+    neighbors (returned as a sorted node list; nx returns a subgraph
+    view — members are the contract)."""
+    from linkgraph.algorithms.cores import k_corona as _impl
+
+    lg = G._project()
+    rows = _impl(lg, k).collect()
+    return sorted(
+        (G._node_of[r["vid"]] for r in rows if r["value"] == 1), key=repr
+    )
+
+
+def is_forest(G: DiGraph) -> bool:
+    """networkx.is_forest (undirected semantics on the simple view)."""
+    from linkgraph.algorithms.globals import forest_summary
+
+    rows = {r["which"]: r["value"] for r in forest_summary(G._project()).collect()}
+    return bool(rows["is_forest"])
+
+
+def is_tree(G: DiGraph) -> bool:
+    """networkx.is_tree (undirected semantics on the simple view)."""
+    from linkgraph.algorithms.globals import forest_summary
+
+    rows = {r["which"]: r["value"] for r in forest_summary(G._project()).collect()}
+    return bool(rows["is_tree"])

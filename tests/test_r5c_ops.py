@@ -174,3 +174,32 @@ def test_cross_doc_ngram_dup_xxhash_path_same_counts(spark):
     a = sorted(map(tuple, cross_doc_ngram_dup(df, n=3, hash_mode="md5").collect()))
     b = sorted(map(tuple, cross_doc_ngram_dup(df, n=3, hash_mode="xxhash64").collect()))
     assert a == b
+
+
+def test_k_corona(spark):
+    from linkgraph.algorithms.cores import k_corona
+
+    # K4 plus a pendant: 2-corona of the K4 component = {} (all core
+    # degrees 3), 3-corona = the K4 itself; pendant never in a k>=1 core
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    g = _g(spark, pairs)
+    got3 = sorted(r.vid for r in k_corona(g, 3).collect() if r.value == 1)
+    assert got3 == [0, 1, 2, 3]
+    got2 = sorted(r.vid for r in k_corona(g, 2).collect() if r.value == 1)
+    assert got2 == []
+
+
+def test_forest_tree_verdicts(spark):
+    from linkgraph.algorithms.globals import forest_summary
+
+    tree = _g(spark, [(0, 1), (1, 2), (1, 3)])
+    got = {r.which: r.value for r in forest_summary(tree).collect()}
+    assert got == {"is_forest": True, "is_tree": True}
+
+    forest = _g(spark, [(0, 1), (2, 3)])
+    got = {r.which: r.value for r in forest_summary(forest).collect()}
+    assert got == {"is_forest": True, "is_tree": False}
+
+    cyc = _g(spark, [(0, 1), (1, 2), (2, 0)])
+    got = {r.which: r.value for r in forest_summary(cyc).collect()}
+    assert got == {"is_forest": False, "is_tree": False}
