@@ -518,3 +518,268 @@ def _salsa_sql() -> str:
 
 STAGED_QUERIES["g_salsa"] = q_salsa
 STAGED_ORACLE_SQL["g_salsa"] = _salsa_sql()
+
+
+# ------------------------------------------- staged wave 2 (post-window)
+# Late-round operators (maxcliques.py / cores.k_corona / globals.
+# forest_summary) with the same query+oracle shape; the window is full,
+# so these gate locally via tests/test_staged_wave2.py until a driver
+# slot opens (SURVEY §8 hold-out discipline).
+
+# sparsified oracle graph (the g_ktruss/g_core_number edge subset: the
+# full V_MOD graph is too dense for clique enumeration to be readable)
+_SP_SQL = """sp AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+    FROM e WHERE (src * 31 + dst) % 10 < 2),
+  spadj AS MATERIALIZED (
+    SELECT lo AS a, hi AS b FROM sp UNION ALL SELECT hi, lo FROM sp)"""
+
+
+def _sparse_graph(spark, sf_dir):
+    from linkgraph import queries as Q
+    from linkgraph.graph import LinkGraph
+
+    g = Q._oracle_graph(spark, sf_dir)
+    keep = (F.col("src") * 31 + F.col("dst")) % 10 < 2
+    return LinkGraph(vertices=g.vertices, edges=g.edges.where(keep))
+
+
+def q_k_corona(spark, sf_dir):
+    """k-corona, k=5 (cores.k_corona — nx.k_corona parity): members of
+    the 5-core with EXACTLY 5 neighbors inside it, on the sparsified
+    edge set (max core there is 9, so k=5 exercises both peel and the
+    within-core degree filter)."""
+    from linkgraph.algorithms.cores import k_corona
+
+    return k_corona(_sparse_graph(spark, sf_dir), k=5).select(
+        "vid", F.col("value").cast("long").alias("value")
+    )
+
+
+def _k_corona_sql(k: int = 5, rounds: int = 12) -> str:
+    from linkgraph import queries as Q
+
+    parts = [_SP_SQL, "c0 AS MATERIALIZED (SELECT lo, hi FROM sp)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT vid, count(*) AS c FROM (
+      SELECT lo AS vid FROM c{p} UNION ALL SELECT hi FROM c{p}) GROUP BY vid),
+  c{i} AS MATERIALIZED (SELECT x.lo, x.hi FROM c{p} x
+    JOIN d{i} dl ON dl.vid = x.lo AND dl.c >= {k}
+    JOIN d{i} dh ON dh.vid = x.hi AND dh.c >= {k})"""
+        )
+    parts.append(
+        f"""cdeg AS (SELECT vid, count(*) AS c FROM (
+      SELECT lo AS vid FROM c{rounds} UNION ALL SELECT hi FROM c{rounds}) GROUP BY vid)
+  SELECT v.vid,
+         (CASE WHEN coalesce(cd.c, 0) = {k} THEN 1 ELSE 0 END)::BIGINT AS value
+  FROM v LEFT JOIN cdeg cd ON cd.vid = v.vid"""
+    )
+    return Q._with_graph(",\n  ".join(parts))
+
+
+STAGED_QUERIES["g_k_corona"] = q_k_corona
+STAGED_ORACLE_SQL["g_k_corona"] = _k_corona_sql()
+
+
+def q_forest_verdicts(spark, sf_dir):
+    """is_forest / is_tree verdicts (globals.forest_summary — the
+    |E| = |V| − #components identity) on BOTH polarities: the heap-
+    parent graph (k → k//2: acyclic by parent < child, so always a
+    forest) and the cyclic full oracle graph (never a forest)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms.globals import forest_summary
+    from linkgraph.graph import LinkGraph
+
+    ks = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.pmod("o_orderkey", F.lit(4096)).alias("k"))
+        .where(F.col("k") > 0)
+        .distinct()
+    )
+    te = (
+        ks.select(F.col("k").alias("src"), (F.col("k") / 2).cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    tv = (
+        te.select(F.col("src").alias("vid"))
+        .union(te.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.col("vid").cast("string").alias("oid"))
+    )
+    heap = forest_summary(LinkGraph(vertices=tv, edges=te)).select(
+        F.concat(F.lit("heap_"), "which").alias("which"), "value"
+    )
+    full = forest_summary(Q._oracle_graph(spark, sf_dir)).select(
+        F.concat(F.lit("full_"), "which").alias("which"), "value"
+    )
+    return heap.unionByName(full)
+
+
+def _forest_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        """tks AS (SELECT DISTINCT o_orderkey % 4096 AS k FROM orders
+         WHERE o_orderkey % 4096 > 0),
+  te AS MATERIALIZED (SELECT DISTINCT k AS src, k // 2 AS dst FROM tks
+        WHERE k <> k // 2),
+  tund AS MATERIALIZED (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi
+         FROM te GROUP BY 1, 2),
+  tv AS MATERIALIZED (SELECT src AS vid FROM te UNION SELECT dst FROM te),
+  tub AS MATERIALIZED (SELECT lo AS a, hi AS b FROM tund
+        UNION ALL SELECT hi, lo FROM tund),
+  treach AS (
+    WITH RECURSIVE r(id, m) AS (
+      SELECT vid, vid FROM tv
+      UNION
+      SELECT u.a, r.m FROM tub u JOIN r ON r.id = u.b)
+    SELECT * FROM r),
+  tnc AS (SELECT count(DISTINCT c) AS nc
+          FROM (SELECT id, min(m) AS c FROM treach GROUP BY id)),
+  tst AS (SELECT (SELECT count(*) FROM tv) AS nv,
+                 (SELECT count(*) FROM tund) AS ne,
+                 (SELECT nc FROM tnc) AS nc),
+  fub AS MATERIALIZED (SELECT lo AS a, hi AS b FROM simple_und
+        UNION ALL SELECT hi, lo FROM simple_und),
+  freach AS (
+    WITH RECURSIVE r(id, m) AS (
+      SELECT vid, vid FROM v
+      UNION
+      SELECT u.a, r.m FROM fub u JOIN r ON r.id = u.b)
+    SELECT * FROM r),
+  fnc AS (SELECT count(DISTINCT c) AS nc
+          FROM (SELECT id, min(m) AS c FROM freach GROUP BY id)),
+  fst AS (SELECT (SELECT count(*) FROM v) AS nv,
+                 (SELECT count(*) FROM simple_und) AS ne,
+                 (SELECT nc FROM fnc) AS nc)
+  SELECT 'heap_is_forest' AS which, (nv > 0 AND ne = nv - nc) AS value FROM tst
+  UNION ALL
+  SELECT 'heap_is_tree', (nv > 0 AND ne = nv - nc AND nc = 1) FROM tst
+  UNION ALL
+  SELECT 'full_is_forest', (nv > 0 AND ne = nv - nc) FROM fst
+  UNION ALL
+  SELECT 'full_is_tree', (nv > 0 AND ne = nv - nc AND nc = 1) FROM fst"""
+    )
+
+
+STAGED_QUERIES["g_is_tree"] = q_forest_verdicts
+STAGED_ORACLE_SQL["g_is_tree"] = _forest_sql()
+
+
+def q_maxcliques(spark, sf_dir):
+    """Maximal clique enumeration (maxcliques.find_cliques — vertex-
+    ordered Bron–Kerbosch, nx.find_cliques parity) on the sparsified
+    edge set: one row per maximal clique, members sorted ascending
+    (2420 cliques at sf0.01, max size 5)."""
+    from linkgraph.algorithms.maxcliques import find_cliques
+
+    return find_cliques(_sparse_graph(spark, sf_dir))
+
+
+def _maxcliques_sql(kmax: int = 6) -> str:
+    """Level-wise clique enumeration + common-neighbor maximality: k_n
+    extends k_{n-1} by a later vertex adjacent to all members; a clique
+    is maximal iff NO vertex is adjacent to every member. kmax exceeds
+    the observed max clique size (5 at sf0.01) by one; a larger true
+    clique would surface as an engine/oracle mismatch, not silence."""
+    from linkgraph import queries as Q
+
+    parts = [_SP_SQL, "k2 AS MATERIALIZED (SELECT lo AS v1, hi AS v2 FROM sp)"]
+    for n in range(3, kmax + 1):
+        p = n - 1
+        prev_cols = ", ".join(f"k{p}.v{i}" for i in range(1, n))
+        joins = "\n    ".join(
+            f"JOIN spadj j{i} ON j{i}.a = k{p}.v{i} AND j{i}.b = j1.b"
+            for i in range(2, n)
+        )
+        parts.append(
+            f"""k{n} AS MATERIALIZED (
+    SELECT {prev_cols}, j1.b AS v{n} FROM k{p}
+    JOIN spadj j1 ON j1.a = k{p}.v1 AND j1.b > k{p}.v{p}
+    {joins})"""
+        )
+    outs = [
+        """SELECT CAST([v.vid] AS BIGINT[]) AS members FROM v
+  WHERE v.vid NOT IN (SELECT a FROM spadj)"""
+    ]
+    for n in range(2, kmax + 1):
+        cols = ", ".join(f"v{i}" for i in range(1, n + 1))
+        joins = "\n      ".join(
+            f"JOIN spadj x{i} ON x{i}.a = x1.a AND x{i}.b = k{n}.v{i}"
+            for i in range(2, n + 1)
+        )
+        outs.append(
+            f"""SELECT CAST([{cols}] AS BIGINT[]) AS members FROM k{n}
+  WHERE NOT EXISTS (
+      SELECT 1 FROM spadj x1
+      {joins}
+      WHERE x1.b = k{n}.v1)"""
+        )
+    return Q._with_graph(",\n  ".join(parts) + "\n  " + "\n  UNION ALL\n  ".join(outs))
+
+
+STAGED_QUERIES["g_maxcliques"] = q_maxcliques
+STAGED_ORACLE_SQL["g_maxcliques"] = _maxcliques_sql()
+
+
+def q_kclique5(spark, sf_dir):
+    """General-k clique percolation at k=5 (maxcliques.
+    k_clique_communities_general — the completeness tier above the
+    packed-key k=3/k=4 kernels): communities of 5-cliques chained by
+    4-vertex overlap on the sparsified graph (exactly one 5-clique at
+    sf0.01, none at sf0.001 — the empty case is part of the check)."""
+    from linkgraph.algorithms.maxcliques import k_clique_communities_general
+
+    return k_clique_communities_general(_sparse_graph(spark, sf_dir), k=5)
+
+
+def _kclique5_sql() -> str:
+    """5-cliques from the maxcliques ladder; adjacency = shared sorted
+    4-subset key; community id = min member-CSV key per component
+    (string-lexicographic on both engines)."""
+    from linkgraph import queries as Q
+
+    parts = [_SP_SQL, "k2 AS MATERIALIZED (SELECT lo AS v1, hi AS v2 FROM sp)"]
+    for n in range(3, 6):
+        p = n - 1
+        prev_cols = ", ".join(f"k{p}.v{i}" for i in range(1, n))
+        joins = "\n    ".join(
+            f"JOIN spadj j{i} ON j{i}.a = k{p}.v{i} AND j{i}.b = j1.b"
+            for i in range(2, n)
+        )
+        parts.append(
+            f"""k{n} AS MATERIALIZED (
+    SELECT {prev_cols}, j1.b AS v{n} FROM k{p}
+    JOIN spadj j1 ON j1.a = k{p}.v1 AND j1.b > k{p}.v{p}
+    {joins})"""
+        )
+    key = "v1 || ',' || v2 || ',' || v3 || ',' || v4 || ',' || v5"
+    subs = []
+    for skip in range(1, 6):
+        cols = " || ',' || ".join(f"v{i}" for i in range(1, 6) if i != skip)
+        subs.append(f"SELECT key, {cols} AS sk FROM kk")
+    parts.append(
+        f"""kk AS MATERIALIZED (SELECT *, {key} AS key FROM k5),
+  sub AS MATERIALIZED ({' UNION ALL '.join(subs)}),
+  cadj AS MATERIALIZED (SELECT a.key AS ka, b.key AS kb
+         FROM sub a JOIN sub b ON a.sk = b.sk AND a.key <> b.key),
+  reach AS (
+    WITH RECURSIVE r(k, m) AS (
+      SELECT key, key FROM kk
+      UNION
+      SELECT p.ka, r.m FROM cadj p JOIN r ON r.k = p.kb)
+    SELECT * FROM r),
+  comm AS (SELECT k, min(m) AS community FROM reach GROUP BY k)
+  SELECT DISTINCT c.community, u.vid FROM comm c JOIN (
+      SELECT key, v1 AS vid FROM kk UNION ALL SELECT key, v2 FROM kk
+      UNION ALL SELECT key, v3 FROM kk UNION ALL SELECT key, v4 FROM kk
+      UNION ALL SELECT key, v5 FROM kk) u ON u.key = c.k"""
+    )
+    return Q._with_graph(",\n  ".join(parts))
+
+
+STAGED_QUERIES["g_kclique5"] = q_kclique5
+STAGED_ORACLE_SQL["g_kclique5"] = _kclique5_sql()
