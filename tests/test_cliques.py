@@ -71,9 +71,13 @@ def test_communities_match_brute(spark, g):
     assert 20 not in flat and 21 not in flat
 
 
-def test_k_other_than_3_or_4_rejected(spark, g):
-    with pytest.raises(NotImplementedError):
-        k_clique_communities(g, k=5)
+def test_k_bounds(spark, g):
+    # k < 3 is rejected; k >= 5 now dispatches to the general
+    # maximal-clique tier (maxcliques.k_clique_communities_general) —
+    # no 5-clique in the fixture, so the result is empty
+    with pytest.raises(ValueError):
+        k_clique_communities(g, k=2)
+    assert k_clique_communities(g, k=5).count() == 0
 
 
 def test_nx_wrapper(spark):
