@@ -42,7 +42,7 @@ from linkgraph.algorithms.assortativity import (
     numeric_assortativity_coefficient,
 )
 from linkgraph.algorithms.boundary import node_boundary, edge_boundary
-from linkgraph.algorithms.mis import greedy_color, maximal_independent_set
+from linkgraph.algorithms.mis import greedy_color, maximal_independent_set, dominating_set
 from linkgraph.algorithms.scc import scc, condensation
 from linkgraph.algorithms.truss import k_truss, truss_decomposition
 from linkgraph.algorithms.betweenness import (
@@ -80,6 +80,9 @@ from linkgraph.algorithms.paths import (
     radius,
     center,
     periphery,
+    barycenter,
+    descendants,
+    ancestors,
     harmonic_centrality,
 )
 
@@ -98,6 +101,7 @@ __all__ = [
     "k_truss",
     "truss_decomposition",
     "maximal_independent_set",
+    "dominating_set",
     "triangles",
     "triangle_total",
     "triangle_total_incr",
@@ -140,6 +144,9 @@ __all__ = [
     "radius",
     "center",
     "periphery",
+    "barycenter",
+    "descendants",
+    "ancestors",
     "harmonic_centrality",
     "betweenness_centrality",
     "edge_betweenness_centrality",

@@ -212,3 +212,18 @@ def greedy_color(
     if colored is None:
         return graph.vertices.select("vid", F.lit(0).alias("value")).limit(0)
     return colored
+
+
+def dominating_set(graph: LinkGraph, seed: int = 42) -> DataFrame:
+    """(vid) — a dominating set of the undirected simple view: every
+    vertex is in the set or adjacent to a member.
+
+    nx.dominating_set contract (SOME valid dominating set; nx's own
+    greedy is arbitrary-order too). Implementation: the deterministic
+    Luby maximal independent set — ANY maximal independent set
+    dominates, since maximality means every excluded vertex has a
+    selected neighbor — so this inherits MIS's parallel round structure
+    and parallelism-independence instead of a sequential greedy scan.
+    Isolated vertices enter the MIS (degree 0 ⇒ priority argmax of
+    their own closed neighborhood), so they are covered too."""
+    return maximal_independent_set(graph, seed=seed).select("vid")

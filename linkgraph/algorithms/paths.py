@@ -569,6 +569,44 @@ def periphery(graph: LinkGraph, ecc: DataFrame | None = None) -> DataFrame:
     return out
 
 
+def barycenter(graph: LinkGraph) -> DataFrame:
+    """(vid) — vertices minimizing the total distance Σ d(v, u) over
+    their reachable set (nx.barycenter semantics on connected graphs;
+    like :func:`eccentricity`, the core operator keeps the reachable-set
+    definition so it is total — the :mod:`linkgraph.nx` wrapper adds the
+    faithful connectivity guard, without which a sink's empty sum would
+    trivially win). Same one multi-source BFS as the eccentricity
+    family."""
+    d = multi_source_bfs(graph)
+    tot = d.groupBy(F.col("root").alias("vid")).agg(
+        F.sum("dist").cast("long").alias("td")
+    )
+    row = tot.agg(F.min("td")).first()
+    if row[0] is None:
+        return tot.select("vid").limit(0)
+    return tot.where(F.col("td") == int(row[0])).select("vid")
+
+
+def descendants(graph: LinkGraph, source: int) -> DataFrame:
+    """(vid) — vertices reachable from ``source`` by directed edges,
+    excluding the source itself (nx.descendants). One single-root
+    frontier BFS — the multi_source_bfs machinery with a 1-row source
+    set, so cost is O(reachable), not O(V²)."""
+    spark = graph.edges.sparkSession
+    src = spark.createDataFrame([(int(source),)], "vid long")
+    d = multi_source_bfs(graph, sources=src)
+    return d.where(F.col("dist") > 0).select("vid")
+
+
+def ancestors(graph: LinkGraph, source: int) -> DataFrame:
+    """(vid) — vertices that can reach ``source`` (nx.ancestors): the
+    same single-root sweep over reversed edges."""
+    spark = graph.edges.sparkSession
+    src = spark.createDataFrame([(int(source),)], "vid long")
+    d = multi_source_bfs(graph, sources=src, reverse=True)
+    return d.where(F.col("dist") > 0).select("vid")
+
+
 def harmonic_centrality(
     graph: LinkGraph, sources: DataFrame | None = None
 ) -> DataFrame:

@@ -1217,3 +1217,106 @@ def is_tree(G: DiGraph) -> bool:
 
     rows = {r["which"]: r["value"] for r in forest_summary(G._project()).collect()}
     return bool(rows["is_tree"])
+
+
+def barycenter(G: DiGraph) -> list:
+    """networkx.barycenter — nodes minimizing total distance Σ d(v, u).
+    Faithful guard: raises if the graph is not (strongly) connected,
+    like nx (reuses the eccentricity check's reachability scan)."""
+    _ecc_checked(G)  # raises unless every vertex reaches every other
+    rows = A.barycenter(G._lg).collect()
+    return sorted((G._node_of[r["vid"]] for r in rows), key=repr)
+
+
+def dominating_set(G: DiGraph, start_with=None) -> set:
+    """networkx.dominating_set analog — a valid dominating set of the
+    undirected view (every node in it or adjacent to it), selected as
+    the deterministic Luby maximal independent set rather than nx's
+    arbitrary-order greedy; same contract (SOME dominating set).
+    ``start_with`` pre-seeding is not supported."""
+    if start_with is not None:
+        raise NotImplementedError("dominating_set: start_with not supported")
+    if G.directed:
+        raise ValueError("dominating_set: not implemented for directed graphs")
+    rows = A.dominating_set(G._project()).collect()
+    return {G._node_of[r["vid"]] for r in rows}
+
+
+def descendants(G: DiGraph, source) -> set:
+    """networkx.descendants — nodes reachable from source (source
+    excluded)."""
+    lg = G._project()
+    if source not in G._vid_of:
+        raise KeyError(source)
+    rows = A.descendants(lg, G._vid_of[source]).collect()
+    return {G._node_of[r["vid"]] for r in rows}
+
+
+def ancestors(G: DiGraph, source) -> set:
+    """networkx.ancestors — nodes with a directed path to source."""
+    lg = G._project()
+    if source not in G._vid_of:
+        raise KeyError(source)
+    rows = A.ancestors(lg, G._vid_of[source]).collect()
+    return {G._node_of[r["vid"]] for r in rows}
+
+
+def has_bridges(G: DiGraph) -> bool:
+    """networkx.has_bridges (undirected only, like nx)."""
+    if G.directed:
+        raise ValueError("has_bridges: undirected graphs only")
+    from linkgraph.algorithms.bridges import bridges as _impl
+
+    return not _impl(G._project()).isEmpty()
+
+
+def maximal_matching(G: DiGraph) -> set:
+    """networkx.maximal_matching analog — a valid maximal matching of
+    the undirected simple view (matched pairs as (u, v) tuples),
+    selected by deterministic mutual-min proposal rounds rather than
+    nx's insertion-order greedy; same contract (SOME maximal
+    matching)."""
+    if G.directed:
+        raise ValueError("maximal_matching: undirected graphs only")
+    from linkgraph.algorithms.matching import maximal_matching as _impl
+
+    rows = _impl(G._project()).collect()
+    return {(G._node_of[r["lo"]], G._node_of[r["hi"]]) for r in rows}
+
+
+def k_shell(G: DiGraph, k: int) -> list:
+    """networkx.k_shell — nodes in the k-core but not the (k+1)-core
+    (sorted node list; nx returns a subgraph view)."""
+    from linkgraph.algorithms.cores import k_shell as _impl
+
+    res = _impl(G._project(), k=k)
+    return sorted((n for n, v in G._to_dict(res).items() if v), key=repr)
+
+
+def _label_groups(G: DiGraph, labeled) -> list:
+    comm = G._to_dict(labeled)
+    groups: dict = {}
+    for n, c in comm.items():
+        groups.setdefault(c, set()).add(n)
+    return sorted(groups.values(), key=lambda s: (-len(s), repr(sorted(s, key=repr))))
+
+
+def louvain_communities(G: DiGraph, seed=None) -> list:
+    """networkx.community.louvain_communities analog — node sets from
+    the distributed Louvain labels (deterministic argmax tie-breaks
+    instead of nx's seeded shuffle; the partition is A valid
+    high-modularity community structure, pytest-bounded in
+    tests/test_louvain.py). ``seed`` accepted for signature parity,
+    unused (the engine is deterministic)."""
+    return _label_groups(G, A.louvain(G._project()))
+
+
+def label_propagation_communities(G: DiGraph) -> list:
+    """networkx.community.label_propagation_communities analog — node
+    sets from synchronous min-tie-break CDLP labels over the undirected
+    view (nx uses asynchronous sweeps with RNG order; the contract —
+    a label-propagation community partition — is the same, and the
+    engine's version is deterministic at any parallelism)."""
+    if G.directed:
+        raise ValueError("label_propagation_communities: undirected graphs only")
+    return _label_groups(G, A.cdlp(G._project(), max_round=10))

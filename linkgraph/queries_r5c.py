@@ -783,3 +783,74 @@ def _kclique5_sql() -> str:
 
 STAGED_QUERIES["g_kclique5"] = q_kclique5
 STAGED_ORACLE_SQL["g_kclique5"] = _kclique5_sql()
+
+
+def q_barycenter(spark, sf_dir):
+    """Barycenter (paths.barycenter — argmin Σ d(v,u), nx.barycenter
+    semantics; the V_MOD oracle graph is strongly connected at sf0.01 so
+    the reachable-set totality matches the nx definition there)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import barycenter
+
+    return barycenter(Q._oracle_graph(spark, sf_dir))
+
+
+def _barycenter_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        """walk AS (
+    WITH RECURSIVE w(root, vid, d) AS (
+      SELECT vid, vid, 0 FROM v
+      UNION
+      SELECT w.root, e.dst, w.d + 1 FROM w JOIN e ON e.src = w.vid
+      WHERE w.d < 30)
+    SELECT * FROM w),
+  sp AS (SELECT root, vid, min(d) AS dist FROM walk GROUP BY root, vid),
+  tot AS (SELECT root AS vid, sum(dist) AS td FROM sp GROUP BY root),
+  best AS (SELECT min(td) AS m FROM tot)
+  SELECT vid FROM tot WHERE td = (SELECT m FROM best)"""
+    )
+
+
+STAGED_QUERIES["g_barycenter"] = q_barycenter
+STAGED_ORACLE_SQL["g_barycenter"] = _barycenter_sql()
+
+
+def q_reach(spark, sf_dir):
+    """descendants ∪ ancestors of vertex 0 (paths.descendants /
+    paths.ancestors — nx parity): one row per (which, vid), the two
+    single-root frontier sweeps (forward + reversed)."""
+    from linkgraph import queries as Q
+    from linkgraph.algorithms import ancestors, descendants
+
+    g = Q._oracle_graph(spark, sf_dir)
+    d = descendants(g, 0).select(F.lit("desc").alias("which"), "vid")
+    a = ancestors(g, 0).select(F.lit("anc").alias("which"), "vid")
+    return d.unionByName(a)
+
+
+def _reach_sql() -> str:
+    from linkgraph import queries as Q
+
+    return Q._with_graph(
+        """fwd AS (
+    WITH RECURSIVE r(vid) AS (
+      SELECT 0::BIGINT
+      UNION
+      SELECT e.dst FROM r JOIN e ON e.src = r.vid)
+    SELECT vid FROM r WHERE vid <> 0),
+  bwd AS (
+    WITH RECURSIVE r(vid) AS (
+      SELECT 0::BIGINT
+      UNION
+      SELECT e.src FROM r JOIN e ON e.dst = r.vid)
+    SELECT vid FROM r WHERE vid <> 0)
+  SELECT 'desc' AS which, vid FROM fwd
+  UNION ALL
+  SELECT 'anc' AS which, vid FROM bwd"""
+    )
+
+
+STAGED_QUERIES["g_reach"] = q_reach
+STAGED_ORACLE_SQL["g_reach"] = _reach_sql()

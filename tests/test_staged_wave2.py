@@ -45,3 +45,11 @@ def test_staged_kclique5_matches_oracle(spark, con):
     # empty at sf0.001 (no 5-clique in the sparsified graph) — the
     # nonempty polarity runs at sf0.01 via tools/check_oracle.py --staged
     _cmp(spark, con, "g_kclique5", lambda t: t)
+
+
+def test_staged_barycenter_matches_oracle(spark, con):
+    _cmp(spark, con, "g_barycenter", lambda t: (int(t[0]),))
+
+
+def test_staged_reach_matches_oracle(spark, con):
+    _cmp(spark, con, "g_reach", lambda t: (t[0], int(t[1])))
