@@ -1320,3 +1320,8 @@ def label_propagation_communities(G: DiGraph) -> list:
     if G.directed:
         raise ValueError("label_propagation_communities: undirected graphs only")
     return _label_groups(G, A.cdlp(G._project(), max_round=10))
+
+
+# deprecated-in-networkx aliases the reference still exports
+# (python/graphscope/nx/algorithms/builtin.py: hits_scipy = hits)
+hits_scipy = hits

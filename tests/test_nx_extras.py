@@ -91,3 +91,7 @@ def test_label_propagation_communities_disjoint(spark):
         frozenset({0, 1, 2}),
         frozenset({10, 11, 12}),
     }
+
+
+def test_hits_scipy_alias():
+    assert lnx.hits_scipy is lnx.hits
