@@ -107,15 +107,17 @@ def find_cliques(graph: LinkGraph, max_group_pairs: int = 2_000_000) -> DataFram
     groups = n_agg.join(p_agg, "v", "left")
 
     def run_bk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # zip over plain lists, not iterrows(): most groups are tiny
+        # (one vertex's later-neighborhood), so per-row overhead — not
+        # BK itself — dominates; iterrows() is ~5× that overhead
         rows = []
-        for _, r in pdf.iterrows():
-            v = int(r["v"])
+        for v, ns, ps in zip(pdf["v"], pdf["ns"], pdf["ps"]):
+            v = int(v)
             P, X = set(), set()
             adj_l: dict = {}
-            for s in r["ns"]:
+            for s in ns:
                 n, later = int(s["n"]), bool(s["later"])
                 (P if later else X).add(n)
-            ps = r["ps"]
             if ps is not None:
                 for s in ps:
                     p, q = int(s["p"]), int(s["q"])
